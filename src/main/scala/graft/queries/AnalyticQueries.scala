@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** General analytic operator coverage over the harness star schema: scans with
+  * pushdown, hash aggregation, broadcast + shuffle joins, semi/anti/outer
+  * joins, distinct, set operations, rollup/cube, ranking / running / lag
+  * window functions, sessionization, time bucketing, interval and as-of joins,
+  * and the scalar function library. These generalize the reference's operator
+  * set (SURVEY.md §2 "categories with no instance") into the full engine
+  * surface.
+  *
+  * Oracle-compat rules (see tools/oracle_check.py):
+  *   - money stays DECIMAL end-to-end: 2-decimal doubles cast to DECIMAL(18,2)
+  *     before arithmetic, sums cast to a fixed output type — bit-exact in both
+  *     engines, so results hash-match;
+  *   - averages are expressed as integer floor-division (×10⁴) — exact;
+  *   - event time is epoch-µs integers (`ts DIV 1000`), matching DuckDB's
+  *     µs-truncated read of the nanosecond parquet column.
+  */
+object AnalyticQueries {
+
+  private val D2 = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** events with epoch-µs long time; the shared normalization for time queries. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), expr("ts DIV 1000").as("tus"), col("user_id"),
+      col("event_type"), col("value"))
+
+  // ------------------------------------------------------------- aggregation
+
+  /** TPC-H Q1 shape: filtered scan → hash aggregate with decimal sums. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val price = col("l_extendedprice").cast(D2)
+    val disc = col("l_discount").cast(D2)
+    val tax = col("l_tax").cast(D2)
+    li.filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(DecimalType(38, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty_e4", expr("(sum_qty * 10000) div count_order"))
+  }
+
+  /** TPC-H Q6 shape: tight filter → single decimal sum (pushdown showcase). */
+  def q6Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(D2) * col("l_discount").cast(D2))
+        .cast(DecimalType(38, 4)).as("revenue"))
+
+  // ------------------------------------------------------------------- joins
+
+  /** TPC-H Q3 shape: 3-way join → aggregate → deterministic top-k. */
+  def q3Topk(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1) - col("l_discount").cast(D2)))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join with broadcast dims → per-nation revenue. */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1) - col("l_discount").cast(D2)))
+        .cast(DecimalType(38, 4)).as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): orders having any heavy lineitem. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(D2).as("total"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders in 2001+. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("2001-01-01"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  /** Left-outer join + aggregate with null handling. */
+  def qOuterAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast(D2)), lit(0))
+          .cast(DecimalType(38, 2)).as("total_spent"))
+  }
+
+  // ------------------------------------------------- distinct / set ops / cube
+
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  /** UNION / INTERSECT / EXCEPT over customer vs supplier nations. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(su).select(lit("intersect").as("op"), col("nk"))
+      .unionAll(c.except(su).select(lit("except").as("op"), col("nk")))
+      .unionAll(c.union(su).distinct().select(lit("union").as("op"), col("nk")))
+  }
+
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D2)).cast(DecimalType(38, 2)).as("total"))
+
+  // --------------------------------------------------------- window functions
+
+  /** Ranking: top-3 orders per customer (deterministic tie-break). */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(D2).as("total"), col("rk"))
+  }
+
+  /** Running total per customer with an explicit ROWS frame. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast(D2)).over(w)
+        .cast(DecimalType(38, 2)).as("running_total"))
+  }
+
+  /** lag + cumulative-sum sessionization of the event stream (30-min gap). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"), min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+  }
+
+  /** Tumbling 1-hour windows over event time. */
+  def qTumbling(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("hour", date_trunc("hour", timestamp_micros(col("tus"))))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast(DecimalType(38, 2)).as("sum_value"))
+
+  // ------------------------------------------------- interval / as-of joins
+
+  /** Interval join: purchases matched to same-user clicks in the prior hour. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("p_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("tus").as("c_us"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_us"), col("c_us"))
+  }
+
+  /** As-of join via the scalable union + last-non-null-over-window plan (no
+    * join blow-up): for each purchase, the latest same-user click at or before
+    * it. This is the 100 TB-safe formulation — one shuffle on user_id, state
+    * bounded by the window frame, vs. an N×M join + re-aggregate.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("event_type").isin("purchase", "click"))
+      // clicks sort before purchases at equal tus => "at or before" inclusive
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("click_us",
+        when(col("kind") === 0, col("tus")).otherwise(lit(null).cast("long")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("purchase_us"), col("last_click_us"))
+  }
+
+  // ---------------------------------------------------------- scalar functions
+
+  /** Scalar function sampler: string ops, arithmetic, date parts. */
+  def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      length(col("p_name")).as("name_len"),
+      (col("p_size") % 10).as("size_mod"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+
+  def qDateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      quarter(col("o_orderdate")).as("q"))
+
+  // -------------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q6_filter" -> (q6Filter _),
+    "q3_topk" -> (q3Topk _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_outer_agg" -> (qOuterAgg _),
+    "q_distinct" -> (qDistinct _),
+    "q_setops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_sessionize" -> (qSessionize _),
+    "q_tumbling" -> (qTumbling _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_date_parts" -> (qDateParts _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           COUNT(*) AS count_order,
+           (SUM(CAST(l_quantity AS BIGINT)) * 10000) // COUNT(*) AS avg_qty_e4
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q6_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    "q5_multijoin" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01')""",
+    "q_outer_agg" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name""",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q_setops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+              s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+         SELECT 'intersect' AS op, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+         UNION ALL
+         SELECT 'except' AS op, nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+         UNION ALL
+         SELECT 'union' AS op, nk FROM (SELECT nk FROM c UNION SELECT nk FROM s)""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+         FROM orders""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+           g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                  OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+           sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g)
+         SELECT user_id, session_no, COUNT(*) AS n_events,
+                MIN(tus) AS start_us, MAX(tus) AS end_us
+         FROM sess GROUP BY user_id, session_no""",
+    "q_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+         FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events)
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+                p.tus AS p_us, c.tus AS c_us
+         FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.tus >= p.tus - 3600000000 AND c.tus <= p.tus""",
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events)
+         SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+                (SELECT MAX(c.tus) FROM e c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.tus <= p.tus) AS last_click_us
+         FROM e p WHERE p.event_type = 'purchase'""",
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8,
+           length(p_name) AS name_len, p_size % 10 AS size_mod,
+           p_brand || '#' || p_type AS brand_type
+         FROM part""",
+    "q_date_parts" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS d, quarter(o_orderdate) AS q
+         FROM orders""")
+}

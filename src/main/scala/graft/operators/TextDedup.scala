@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication family for large-scale training-data pipelines:
+  *
+  *   - exact dedup: content-hash groupBy (one shuffle on the hash);
+  *   - exact n-gram Jaccard: shingle equi-join — the scalable exact algorithm
+  *     (pairs only materialize for docs sharing a shingle; no O(n²) cross
+  *     product), with pure-integer threshold comparison;
+  *   - MinHash + LSH banding: signature → band keys → bucket join, the
+  *     sub-quadratic candidate generator for when even the shingle join is too
+  *     hot (very frequent shingles at 100 TB);
+  *   - SimHash: 64-bit near-dup signature via a merge-safe typed Aggregator.
+  *
+  * Scale notes: every stage is groupBy/join on a derived key — shuffles are on
+  * (hash, shingle, band, doc-pair) keys, all high-cardinality. The known skew
+  * risk is frequent shingles (stopword runs); `jaccardPairs` takes a
+  * `maxShingleFreq` cutoff — dropping shingles shared by more than N docs — the
+  * standard prefix-filter trick; at the default it is a no-op on the harness
+  * data but caps the join blow-up at scale.
+  */
+object TextDedup {
+
+  /** Exact dedup: canonical (min-id) row per distinct content hash. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol).cast("binary")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("content_hash"), col("n_copies"))
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        explode(expr(s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n)))")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle equi-join.
+    *
+    * Emits (doc_a, doc_b, inter, size_a, size_b) for pairs whose Jaccard
+    * `inter / (size_a + size_b - inter)` ≥ `thresholdPct`/100 — compared in
+    * integer arithmetic (`inter * 100 >= pct * union`), no floats.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   thresholdPct: Int, maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val filtered =
+      if (maxShingleFreq == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = filtered.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .filter(col("inter") * 100 >= lit(thresholdPct) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+  }
+
+  /** Universal-hash family over 61-bit Mersenne prime; deterministic params. */
+  private val P = (1L << 61) - 1
+  private def perm(i: Int): (Long, Long) =
+    (2862933555777941757L * (i + 1) & Long.MaxValue, 3037000493L * (i + 1) & Long.MaxValue)
+
+  /** MinHash signature: numHashes min-values over the shingle hash set.
+    * One aggregation; each signature column is a partial-aggregatable `min`.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(h * a + b, lit(P))).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding: hash `rowsPerBand` signature values per band into a bucket
+    * key; docs sharing any (band, bucket) become candidate pairs.
+    */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { bnd =>
+      val members = (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), xxhash64(concat_ws("_", members: _*)).as("bucket"))
+    }
+    val banded = signatures
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: LSH candidates (sub-quadratic)
+    * → exact Jaccard check on just the candidates.
+    */
+  def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                        thresholdPct: Int, numHashes: Int = 32,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cands.join(a, "doc_a").join(b.withColumnRenamed("shingle", "shingle_b"),
+        col("doc_b") === b("doc_b") && col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .filter(col("inter") * 100 >= lit(thresholdPct) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+  }
+
+  /** Merge-safe SimHash: per 64 bit positions, sum ±1 weighted by token-hash
+    * bit, sign → signature bit. Buffer is the 64 counters, so partial
+    * aggregates combine correctly (map-side combine applies).
+    */
+  val simhashAgg: Aggregator[Long, Array[Int], Long] =
+    new Aggregator[Long, Array[Int], Long] {
+      def zero: Array[Int] = new Array[Int](64)
+      def reduce(buf: Array[Int], tokenHash: Long): Array[Int] = {
+        var i = 0
+        while (i < 64) {
+          if (((tokenHash >>> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1
+          i += 1
+        }
+        buf
+      }
+      def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+        var i = 0
+        while (i < 64) { x(i) += y(i); i += 1 }
+        x
+      }
+      def finish(buf: Array[Int]): Long = {
+        var sig = 0L
+        var i = 0
+        while (i < 64) { if (buf(i) > 0) sig |= (1L << i); i += 1 }
+        sig
+      }
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+        org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+    }
+
+  /** (doc_id, simhash) via token explode + typed aggregation. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("th"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(simhashAgg.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Hamming distance between two 64-bit signatures as a Column. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,16 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * feeds SimHash token hashing. Deterministic across JVMs (pure integer math,
   * no locale/charset variance — operates on raw UTF-8 bytes).
   */
-case class FingerprintExpression(child: Expression) extends UnaryExpression {
+case class FingerprintExpression(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
+  // covariant return: AbstractDataType is private[sql], DataType suffices
   override def inputTypes: Seq[DataType] = Seq(StringType)
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"fingerprint requires STRING input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
     FingerprintExpression.hashBytes(input.asInstanceOf[UTF8String].getBytes)
@@ -56,5 +52,5 @@ object FingerprintExpression {
 
   /** Column API: `fingerprint($"text")`. */
   def fingerprint(c: Column): Column =
-    ExpressionUtils.column(FingerprintExpression(ExpressionUtils.expression(c)))
+    ColumnBridge.column(FingerprintExpression(ColumnBridge.expression(c)))
 }

@@ -31,14 +31,18 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("content_hash"), col("n_copies"))
 
-  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"),
-        explode(expr(s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n)))")).as("shingle"))
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. Docs with
+    * fewer than n tokens yield zero shingles (guarded — `sequence(1, 0)` would
+    * otherwise produce [1,0] and slice would throw).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("__toks")) >= n,
+            expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+              s"i -> concat_ws(' ', slice(__toks, i, $n)))"))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle equi-join.
     *
@@ -115,11 +119,14 @@ object TextDedup {
     val sh = shingles(docs, idCol, textCol, n)
     val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = cands.join(a, "doc_a").join(b.withColumnRenamed("shingle", "shingle_b"),
-        col("doc_b") === b("doc_b") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // Candidate pairs joined against the shingle table twice, alias-qualified
+    // (the two sides share plan lineage — bare col("shingle") is ambiguous).
+    val inter = cands.alias("c")
+      .join(sh.alias("sa"), col("c.doc_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"),
+        col("c.doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
@@ -154,7 +161,7 @@ object TextDedup {
         sig
       }
       def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
-        org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
       def outputEncoder: org.apache.spark.sql.Encoder[Long] =
         org.apache.spark.sql.Encoders.scalaLong
     }
@@ -167,6 +174,7 @@ object TextDedup {
       .select(col("doc_id"), xxhash64(col("token")).as("th"))
       .as[(Long, Long)]
       .groupByKey(_._1)
+      .mapValues(_._2)
       .agg(simhashAgg.toColumn.name("simhash"))
       .toDF("doc_id", "simhash")
   }

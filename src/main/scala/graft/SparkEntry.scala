@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, NearQueries}
+import graft.queries.{AnalyticQueries, NearQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,13 +30,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (NearQueries.queries ++ AnalyticQueries.queries).map { case (k, f) =>
-      k -> ((s: SparkSession, dir: String) => f(configure(s), dir))
+    (NearQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries).map {
+      case (k, f) => k -> ((s: SparkSession, dir: String) => f(configure(s), dir))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    NearQueries.oracleSql ++ AnalyticQueries.oracleSql
+    NearQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql
 }

@@ -74,19 +74,28 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
-  /** Universal-hash family over 61-bit Mersenne prime; deterministic params. */
-  private val P = (1L << 61) - 1
-  private def perm(i: Int): (Long, Long) =
-    (2862933555777941757L * (i + 1) & Long.MaxValue, 3037000493L * (i + 1) & Long.MaxValue)
+  /** Universal-hash family over the 31-bit Mersenne prime, params derived by a
+    * splitmix-style scramble of the hash index. 31-bit operands keep every
+    * intermediate below 2^62 — ANSI-safe (Spark 4 raises on Long overflow, so
+    * the classic wraparound 64-bit family is not usable in an expression).
+    */
+  private val P31 = 2147483647L // 2^31 - 1
+  private def scramble(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) & Long.MaxValue) % (P31 - 1) + 1
+  }
+  private def perm(i: Int): (Long, Long) = (scramble(2L * i), scramble(2L * i + 1))
 
   /** MinHash signature: numHashes min-values over the shingle hash set.
     * One aggregation; each signature column is a partial-aggregatable `min`.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val h = xxhash64(col("shingle"))
+    val h = pmod(xxhash64(col("shingle")), lit(P31))
     val sigCols = (0 until numHashes).map { i =>
       val (a, b) = perm(i)
-      min(pmod(h * a + b, lit(P))).as(s"mh_$i")
+      min(pmod(h * a + b, lit(P31))).as(s"mh_$i")
     }
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
@@ -181,4 +190,32 @@ object TextDedup {
 
   /** Hamming distance between two 64-bit signatures as a Column. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via 16-bit banding (pigeonhole: two signatures
+    * within Hamming distance 3 must agree on at least one of the 4 bands, so
+    * recall is exact for maxHamming ≤ 3; above that it is approximate).
+    * Scale: bucket join on (band, key) — sub-quadratic like the LSH path; no
+    * all-pairs product.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol)
+    val bands = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

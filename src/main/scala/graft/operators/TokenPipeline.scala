@@ -172,6 +172,11 @@ object TokenPipeline {
     * The reference folds serially per Kafka partition; Spark merges partial
     * aggregates, so the fold is decomposed into a commutative sum × argmax —
     * both merge-safe, hence arrival-order-independent (property-tested).
+    *
+    * The ordering appends (receipt_id, index_in_action_receipt) as a
+    * deterministic tiebreaker beyond the reference's (timestamp, index) pair —
+    * two transfers tying on both would otherwise make argmax pick an
+    * arbitrary row (and the oracle an arbitrary but different one).
     */
   def balances(transfers: DataFrame): DataFrame =
     transfers
@@ -186,7 +191,8 @@ object TokenPipeline {
             col("index_in_chunk").as("index_in_chunk"),
             col("originated_from_transaction_hash").as("transaction_hash"),
             col("receipt_id").as("receipt_id")),
-          struct(col("included_in_block_timestamp"), col("index_in_chunk"))).as("_prov"))
+          struct(col("included_in_block_timestamp"), col("index_in_chunk"),
+            col("receipt_id"), col("index_in_action_receipt"))).as("_prov"))
       .select(col("account"), col("balance"), col("_prov.*"))
 
   // -------------------------------------------------------------- composition

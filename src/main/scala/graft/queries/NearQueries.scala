@@ -90,7 +90,8 @@ object NearQueries {
                       originated_from_transaction_hash AS transaction_hash,
                       receipt_id,
                       row_number() OVER (PARTITION BY affected_account
-                        ORDER BY included_in_block_timestamp DESC, index_in_chunk DESC) AS rn
+                        ORDER BY included_in_block_timestamp DESC, index_in_chunk DESC,
+                                 receipt_id DESC, index_in_action_receipt DESC) AS rn
                FROM transfers) p
            ON b.account = p.account AND p.rn = 1"""))
 }

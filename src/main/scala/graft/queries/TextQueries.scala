@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{FingerprintExpression, TextFunctions}
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators over `documents.parquet`, each with a
+  * DuckDB oracle twin (the text functions emit integers / strings only, so
+  * every comparison is bit-exact — no float drift).
+  *
+  * Parameters (shingle n = 3, Jaccard ≥ 60%) are chosen against the harness
+  * data's planted near-dup pairs (Jaccard 0.9–0.99, next tier < 0.3), so the
+  * exact and LSH paths both isolate the planted pairs with wide margin.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Exact dedup: one canonical row per distinct content hash. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedup(docs(spark, dir), "doc_id", "text")
+
+  /** Exact n-gram Jaccard near-dup pairs (shingle equi-join, no all-pairs). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(docs(spark, dir), "doc_id", "text", n = 3, thresholdPct = 60)
+
+  /** MinHash+LSH candidates, exact-verified — the sub-quadratic scale path.
+    * The oracle is the *exact* Jaccard SQL: with 16 bands × 2 rows a true pair
+    * at J ≥ 0.9 is banded with probability 1-(1-J²)^16 ≈ 1-10⁻¹², and the
+    * hash family is deterministic, so LSH∘verify ≡ exact on this data.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashDedupPairs(docs(spark, dir), "doc_id", "text", n = 3,
+      thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
+
+  /** Per-document text analysis: language ID, token counts, quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.langId(t).as("lang_id"),
+      TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextFunctions.bpeishTokenCount(t).cast("long").as("n_bpeish"),
+      TextFunctions.punctCount(t).cast("long").as("n_punct"),
+      TextFunctions.stopwordRatioE4(t).as("stopword_e4"),
+      TextFunctions.qualityScoreE4(t).as("quality_e4"))
+  }
+
+  /** Document fingerprinting via the native codegen'd rolling-hash expression:
+    * the distinct-fingerprint count must equal the distinct-text count
+    * (injective on this corpus; identical texts collapse).
+    */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(FingerprintExpression.fingerprint(col("text")).as("fp"))
+      .agg(count_distinct(col("fp")).as("n_distinct_fp"), count(lit(1)).as("n_docs"))
+
+  /** SimHash banded near-dup pairs. xxhash64 is not expressible in the oracle,
+    * so this entry is registered rows-only; its semantics are covered by the
+    * ScalaTest property suite instead.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_dedup" -> (exactDedup _),
+    "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_minhash_lsh" -> (minhashLsh _),
+    "q_text_stats" -> (textStats _),
+    "q_fingerprint_dedup" -> (fingerprintDedup _),
+    "q_simhash_pairs" -> (simhashPairs _))
+
+  private val jaccardOracle =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+       ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b USING (shingle)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "q_jaccard_pairs" -> jaccardOracle,
+    "q_minhash_lsh" -> jaccardOracle,
+    "q_text_stats" ->
+      """SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+           n_tokens, n_bpeish, n_punct,
+           (en * 10000) // greatest(n_tokens, 1) AS stopword_e4,
+           greatest(least(least(n_tokens, 100) * 30
+             + least((en * 40000) // greatest(n_tokens, 1), 4000)
+             - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
+         FROM (
+           SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpeish,
+             len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+             len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+             len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
+             len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
+             len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+           FROM documents)""",
+    "q_fingerprint_dedup" ->
+      """SELECT count(DISTINCT text) AS n_distinct_fp, count(*) AS n_docs
+         FROM documents""")
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{FingerprintExpression, TextFunctions}
+import graft.operators.TextDedup
+
+/** Unit + property coverage for the dedup/fingerprint/text-analysis family.
+  * The DuckDB oracle covers the registered queries end-to-end; these tests pin
+  * the edge cases the oracle data doesn't exercise (short docs, exact dups,
+  * merge associativity, known hash values).
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: docs shorter than n yield zero shingles, no runtime error") {
+    val df = docsDf(1L -> "one two", 2L -> "a b c d", 3L -> "x")
+    val sh = TextDedup.shingles(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh === Set((2L, "a b c"), (2L, "b c d")))
+  }
+
+  test("exactDedup collapses identical texts to min doc_id with copy count") {
+    val df = docsDf(5L -> "same text", 2L -> "same text", 9L -> "other")
+    val out = TextDedup.exactDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out === Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("jaccardPairs finds near-dups and is symmetric in input order") {
+    val near1 = "the quick brown fox jumps over the lazy dog today"
+    val near2 = "the quick brown fox jumps over the lazy dog tonight"
+    val far = "completely different words in this document here now ok fine"
+    val df = docsDf(1L -> near1, 2L -> near2, 3L -> far)
+    val pairs = TextDedup.jaccardPairs(df, "doc_id", "text", n = 3, thresholdPct = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // permuting input rows must not change the result
+    val pairs2 = TextDedup.jaccardPairs(docsDf(3L -> far, 2L -> near2, 1L -> near1),
+        "doc_id", "text", n = 3, thresholdPct = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 === pairs)
+  }
+
+  test("minhash LSH candidates exact-verified match the exact jaccard pairs") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val df = docsDf(
+      1L -> base,
+      2L -> (base + " extra"),                       // J ~ 28/31 vs doc 1
+      3L -> (31 to 60).map(i => s"token$i").mkString(" "))
+    val exact = TextDedup.jaccardPairs(df, "doc_id", "text", 3, 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashDedupPairs(df, "doc_id", "text", 3, 60,
+        numHashes = 32, rowsPerBand = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L)))
+    assert(lsh === exact)
+  }
+
+  test("simhash aggregator merge is associative and matches serial reduce") {
+    val agg = TextDedup.simhashAgg
+    val hashes = Seq(0x123456789abcdefL, -0x6789abcdef1234L, 0x1L, -0x1L, 77777L)
+    val serial = {
+      val b = hashes.foldLeft(agg.zero)((buf, h) => agg.reduce(buf, h))
+      agg.finish(b)
+    }
+    // split at every point, reduce halves independently, merge
+    (1 until hashes.length).foreach { cut =>
+      val (l, r) = hashes.splitAt(cut)
+      val bl = l.foldLeft(agg.zero)((buf, h) => agg.reduce(buf, h))
+      val br = r.foldLeft(agg.zero)((buf, h) => agg.reduce(buf, h))
+      assert(agg.finish(agg.merge(bl, br)) === serial)
+    }
+  }
+
+  test("simhashNearDupPairs: identical docs at distance 0, disjoint docs absent") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = docsDf(1L -> a, 2L -> a, 3L -> "uno dos tres cuatro cinco seis")
+    val out = TextDedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 0L)))
+  }
+
+  test("fingerprint: deterministic known value, distinct on distinct input") {
+    val expected = {
+      var h = FingerprintExpression.Seed
+      "abc".getBytes("UTF-8").foreach(b => h = h * FingerprintExpression.Prime + b)
+      h
+    }
+    val out = docsDf(1L -> "abc", 2L -> "abd")
+      .select(FingerprintExpression.fingerprint(col("text")).as("fp"))
+      .as[Long].collect()
+    assert(out(0) === expected)
+    assert(out(0) !== out(1))
+  }
+
+  test("text functions: hand-computed stats on a known sentence") {
+    val s = "the cat sat on the mat, and it is nice."
+    val df = Seq(1L -> s).toDF("doc_id", "text").select(
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+      TextFunctions.punctCount(col("text")).cast("long").as("punct"),
+      TextFunctions.markerCount(col("text"), "en").cast("long").as("en"),
+      TextFunctions.langId(col("text")).as("lang"))
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("toks") === 10L)
+    assert(r.getAs[Long]("punct") === 2L)  // comma + period
+    assert(r.getAs[Long]("en") === 4L)     // the, the, and, is
+    assert(r.getAs[String]("lang") === "en")
+  }
+}

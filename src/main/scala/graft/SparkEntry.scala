@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, NearQueries, TextQueries}
+import graft.queries.{AnalyticQueries, EmbeddingQueries, NearQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (NearQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries).map {
+    (NearQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
+      EmbeddingQueries.queries).map {
       case (k, f) => k -> ((s: SparkSession, dir: String) => f(configure(s), dir))
     }
 
@@ -38,5 +39,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    NearQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql
+    NearQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
+      EmbeddingQueries.oracleSql
 }

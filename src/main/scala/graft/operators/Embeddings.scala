@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `Array[Float]` embedding column.
+  *
+  * Two paths:
+  *   - exact brute-force cosine top-k — the oracle/baseline: broadcast the
+  *     (small) query set against the full vector table, rank per query. One
+  *     broadcast join, no shuffle of the big side; at 100 TB the vector table
+  *     streams through executors once per query batch.
+  *   - IVF (inverted-file) top-k — the scale path: assign every vector to its
+  *     nearest centroid (broadcast centroids; one pass), then probe only the
+  *     `nProbe` nearest centroid buckets per query. Candidate set shrinks by
+  *     ~numCentroids/nProbe; recall is measured against the exact path by
+  *     [[ivfRecall]]. Centroid "training" is deterministic (first C vectors
+  *     serve as centroids), so results are reproducible and oracle-checkable.
+  *
+  * All arithmetic is double precision, left-to-right over the array — both
+  * Spark's `aggregate` and DuckDB's `list_sum` evaluate sequentially, so
+  * scores are bit-identical across engines (verified empirically); ranking
+  * additionally tie-breaks on neighbor id.
+  */
+object Embeddings {
+
+  /** Dot product in double precision (exact float→double widening first). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k of `vectors` for each row of `queries`
+    * (self-matches excluded). Queries are broadcast — they are the small side.
+    */
+  def knnExact(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Per-vector nearest-centroid assignment (IVF "index build"): one pass over
+    * the vectors against broadcast centroids; argmax by (score, -cent_id).
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(c))
+      .withColumn("score", cosine(col("embedding"), col("c_emb")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("score"), -col("cent_id"))).as("cent_id"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest centroids per query, exact cosine
+    * within the probed buckets only.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val centroids = vectors.filter(col("vec_id") < numCentroids)
+    val assigned = ivfAssign(vectors, centroids)
+    val members = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_score").desc, col("cent_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select("query_id", "q_emb", "cent_id")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    members.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Recall of the IVF path vs the exact path: per query, |IVF ∩ exact| and k
+    * (integers — oracle-friendly; global recall = Σhits / Σk).
+    */
+  def ivfRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+                nProbe: Int, k: Int): DataFrame = {
+    val exact = knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(vectors, queries, numCentroids, nProbe, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.alias("e")
+      .join(approx.alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+        col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.operators.Embeddings
+import graft.sources.Tables
+
+/** Similarity search over `embeddings.parquet` (64-dim float vectors).
+  *
+  * The query set is the first [[NumQueries]] vectors; exact top-k is the
+  * baseline, IVF (centroids = first [[NumCentroids]] vectors, deterministic)
+  * is the scale path, and `q_ann_recall` reports IVF-vs-exact hits per query
+  * as integers. Scores are bit-identical between Spark and DuckDB (double
+  * precision, sequential sum — see [[graft.operators.Embeddings]]), so rank
+  * output is hash-stable.
+  */
+object EmbeddingQueries {
+
+  val NumQueries = 20
+  val NumCentroids = 16
+  val NProbe = 4
+  val K = 10
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  private def queryVectors(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).filter(col("vec_id") < NumQueries)
+
+  def knnExact(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.knnExact(vectors(spark, dir), queryVectors(spark, dir), K)
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfTopK(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, K)
+
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfRecall(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, K)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_topk" -> (knnExact _),
+    "q_ann_topk" -> (ivfTopK _),
+    "q_ann_recall" -> (ivfRecall _))
+
+  /** Shared oracle CTEs: double-widened vectors, norms, query set, centroids,
+    * and both ranking paths. `list_sum(list_transform(...))` evaluates
+    * sequentially left-to-right, matching Spark's `aggregate` bit-for-bit.
+    */
+  private val base =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS (SELECT vec_id,
+                  sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                FROM v),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < $NumQueries),
+        exact AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+            FROM q JOIN v ON v.vec_id <> q.query_id
+            JOIN nrm nq ON nq.vec_id = q.query_id
+            JOIN nrm nv ON nv.vec_id = v.vec_id)
+          WHERE rank <= $K),
+        c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM v CROSS JOIN c
+            JOIN nrm nv ON nv.vec_id = v.vec_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qe, cent_id FROM (
+            SELECT q.query_id, q.qe, c.cent_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i]))
+                  / (nq.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM q CROSS JOIN c
+            JOIN nrm nq ON nq.vec_id = q.query_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn <= $NProbe),
+        approx AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> p.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, a.vec_id ASC) AS rank
+            FROM probes p
+            JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            JOIN v ON v.vec_id = a.vec_id
+            JOIN nrm nq ON nq.vec_id = p.query_id
+            JOIN nrm nv ON nv.vec_id = a.vec_id)
+          WHERE rank <= $K)
+     """
+
+  val oracleSql: Map[String, String] = Map(
+    "q_knn_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM exact"),
+    "q_ann_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM approx"),
+    "q_ann_recall" -> (base +
+      """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+         FROM exact e
+         LEFT JOIN approx a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id"""))
+}

@@ -1,0 +1,136 @@
+package graft.sinks
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The balance upsert sink (SURVEY.md §2 #15).
+  *
+  * The reference pushes its KTable changelog through a Kafka Connect JDBC sink
+  * configured `insert.mode=UPSERT, pk.fields=account` (reference:
+  * README.md:273-297) — the running fold lives in Kafka Streams state and
+  * Postgres receives absolute balances. The Spark-idiomatic equivalent keeps
+  * the running state in the idempotent sink itself: each micro-batch emits
+  * per-account *deltas* (sum) plus that batch's argmax provenance, and the
+  * upsert merges them — `balance = balance + EXCLUDED.balance`, provenance
+  * replaced only when the incoming event is newer. Merging is commutative and
+  * associative across batches, so retries of an uncommitted batch after
+  * failure are the only duplication risk (same as the reference's
+  * at-least-once + idempotent-upsert story; exact-once needs batch-id
+  * journaling, documented here, not required for parity).
+  */
+object BalanceUpsert {
+
+  /** One balance row (delta or absolute, depending on context). */
+  final case class BalanceRow(
+      account: String,
+      balance: JBigDecimal,
+      blockTimestamp: JBigDecimal,
+      blockHash: String,
+      chunkHash: String,
+      indexInChunk: Int,
+      transactionHash: String,
+      receiptId: String)
+
+  object BalanceRow {
+    /** From a `TokenPipeline.balances` output row (column order fixed there). */
+    def fromRow(r: Row): BalanceRow = BalanceRow(
+      r.getAs[String]("account"),
+      r.getAs[JBigDecimal]("balance"),
+      r.getAs[JBigDecimal]("block_timestamp"),
+      r.getAs[String]("block_hash"),
+      r.getAs[String]("chunk_hash"),
+      r.getAs[Int]("index_in_chunk"),
+      r.getAs[String]("transaction_hash"),
+      r.getAs[String]("receipt_id"))
+  }
+
+  /** Provenance ordering: (block_timestamp, index_in_chunk, receipt_id) —
+    * the reference's comparison (TokenBalance.java:300-306) plus the
+    * deterministic receipt_id tiebreaker used throughout this repo.
+    */
+  def newer(a: BalanceRow, b: BalanceRow): Boolean = {
+    val byTs = a.blockTimestamp.compareTo(b.blockTimestamp)
+    if (byTs != 0) byTs > 0
+    else if (a.indexInChunk != b.indexInChunk) a.indexInChunk > b.indexInChunk
+    else a.receiptId.compareTo(b.receiptId) > 0
+  }
+
+  /** Merge an incoming delta into the stored row: sum balances, keep the
+    * provenance of the newer event. Commutative + associative.
+    */
+  def merge(stored: BalanceRow, delta: BalanceRow): BalanceRow = {
+    val prov = if (newer(delta, stored)) delta else stored
+    prov.copy(balance = stored.balance.add(delta.balance))
+  }
+
+  /** The PostgreSQL upsert statement implementing [[merge]] server-side
+    * (positional parameters in [[columns]] order).
+    */
+  val columns: Seq[String] = Seq("account", "balance", "block_timestamp",
+    "block_hash", "chunk_hash", "index_in_chunk", "transaction_hash", "receipt_id")
+
+  def upsertSql(table: String): String = {
+    val provCols = columns.drop(2)
+    val newerPred =
+      s"""(EXCLUDED.block_timestamp, EXCLUDED.index_in_chunk, EXCLUDED.receipt_id)
+          > ($table.block_timestamp, $table.index_in_chunk, $table.receipt_id)"""
+    val provSet = provCols.map(c =>
+      s"$c = CASE WHEN $newerPred THEN EXCLUDED.$c ELSE $table.$c END")
+    s"""INSERT INTO $table (${columns.mkString(", ")})
+        VALUES (${columns.map(_ => "?").mkString(", ")})
+        ON CONFLICT (account) DO UPDATE SET
+          balance = $table.balance + EXCLUDED.balance,
+          ${provSet.mkString(",\n          ")}"""
+  }
+
+  /** JDBC executor for one micro-batch of deltas: per-partition connections,
+    * statement batching. Used from `foreachBatch`; `connect` must be a
+    * serializable factory (driver-class + URL captured by value).
+    */
+  def upsertBatchJdbc(batch: DataFrame, table: String,
+                      connect: () => Connection, batchSize: Int = 500): Unit = {
+    val sql = upsertSql(table)
+    batch.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            val b = BalanceRow.fromRow(r)
+            st.setString(1, b.account)
+            st.setBigDecimal(2, b.balance)
+            st.setBigDecimal(3, b.blockTimestamp)
+            st.setString(4, b.blockHash)
+            st.setString(5, b.chunkHash)
+            st.setInt(6, b.indexInChunk)
+            st.setString(7, b.transactionHash)
+            st.setString(8, b.receiptId)
+            st.addBatch()
+            n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** In-memory reference implementation of the same merge — the unit-test
+    * double for the JDBC sink and the state carrier for local streaming runs.
+    */
+  final class MemoryStore {
+    private val rows = scala.collection.mutable.HashMap.empty[String, BalanceRow]
+    def upsertAll(batch: Iterable[BalanceRow]): Unit = synchronized {
+      batch.foreach { d =>
+        rows.update(d.account, rows.get(d.account).map(merge(_, d)).getOrElse(d))
+      }
+    }
+    def snapshot: Map[String, BalanceRow] = synchronized(rows.toMap)
+    def clear(): Unit = synchronized(rows.clear())
+  }
+}

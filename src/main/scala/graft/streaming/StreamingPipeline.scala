@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TokenPipeline
+import graft.sinks.BalanceUpsert
+
+/** Structured-Streaming execution of the token pipeline — the reference's
+  * actual execution model (reference: TokenBalance.java:92-122,279-333).
+  *
+  * The pipeline stages in [[TokenPipeline]] are pure `DataFrame => DataFrame`
+  * and dispatch on `isStreaming` only inside [[graft.operators.Dedup]], so the
+  * SAME plan runs in batch (backfill/replay) and streaming; the parity suite
+  * asserts stream ≡ batch on the fixture feed. Under streaming:
+  *
+  *   - dedup (#3) becomes `withWatermark` + `dropDuplicatesWithinWatermark`
+  *     (keep-first, bounded state — the RocksDB window store analogue);
+  *   - the two ±2 s joins (#4, #5) become watermarked stream-stream interval
+  *     joins with bounded join state;
+  *   - the balance fold (#13/#14) cannot be an unbounded streaming aggregate
+  *     after a stream-stream join in one plan (unsupported combination), so it
+  *     runs as the Spark-idiomatic equivalent of the reference's
+  *     KTable→JDBC-upsert pair: per micro-batch, aggregate the batch's
+  *     transfers into per-account deltas and merge them into the idempotent
+  *     upsert sink ([[BalanceUpsert]]) — the running state lives in the sink,
+  *     exactly where the reference's Postgres table ends up.
+  *
+  * Reset/replay (#17): wipe `checkpointLocation` and the sink, restart from
+  * earliest — deterministic replay is asserted by the parity suite.
+  */
+object StreamingPipeline {
+
+  /** Decode a raw `value: STRING` JSON feed (Kafka-shaped; the offline serde
+    * stand-in for `from_avro`) into typed CDC columns.
+    */
+  def parseJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value"), schema).as("r")).select("r.*")
+
+  /** The transfer stream: identical call as batch — stages self-dispatch. */
+  def transfers(receipts: DataFrame, outcomes: DataFrame, actions: DataFrame,
+                cfg: TokenPipeline.Config): DataFrame =
+    TokenPipeline.transfersFromRaw(receipts, outcomes, actions, cfg)
+
+  /** Balance changelog → in-memory store (local runs / tests). Per-batch
+    * deltas via the same `TokenPipeline.balances` aggregate, merged by
+    * [[BalanceUpsert.merge]]. `collect` is safe here: deltas are O(#accounts
+    * touched per micro-batch), already aggregated.
+    */
+  def balancesToStore(transferStream: DataFrame, store: BalanceUpsert.MemoryStore,
+                      checkpointDir: String): StreamingQuery =
+    transferStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        store.upsertAll(
+          TokenPipeline.balances(batch).collect().toSeq.map(BalanceUpsert.BalanceRow.fromRow))
+      }
+      .start()
+
+  /** Balance changelog → JDBC upsert (deployment path; same merge, in SQL). */
+  def balancesToJdbc(transferStream: DataFrame, table: String,
+                     connect: () => java.sql.Connection,
+                     checkpointDir: String): StreamingQuery =
+    transferStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        BalanceUpsert.upsertBatchJdbc(TokenPipeline.balances(batch), table, connect)
+      }
+      .start()
+}

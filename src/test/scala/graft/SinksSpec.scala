@@ -1,0 +1,80 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import graft.operators.TokenPipeline
+import graft.sinks.{BalanceUpsert, KafkaFrames}
+import graft.sinks.BalanceUpsert.BalanceRow
+
+/** Sink-surface coverage: upsert merge semantics (commutativity/associativity
+  * across micro-batches), the generated ON CONFLICT statement, and the Kafka
+  * frame shape.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(acct: String, bal: Long, ts: Long, idx: Int, rid: String) =
+    BalanceRow(acct, new JBigDecimal(bal), new JBigDecimal(ts),
+      s"b-$rid", s"c-$rid", idx, s"tx-$rid", rid)
+
+  test("merge sums balances and keeps the newer provenance") {
+    val older = row("a", 100, 1000, 0, "r1")
+    val newer = row("a", -30, 2000, 0, "r2")
+    val m1 = BalanceUpsert.merge(older, newer)
+    assert(m1.balance.longValueExact() === 70L)
+    assert(m1.receiptId === "r2")
+    // arrival order must not matter
+    val m2 = BalanceUpsert.merge(newer, older)
+    assert(m2.balance.longValueExact() === 70L)
+    assert(m2.receiptId === "r2")
+  }
+
+  test("merge tie-breaks on (index_in_chunk, receipt_id) at equal timestamps") {
+    val a = row("a", 1, 1000, 0, "r1")
+    val b = row("a", 1, 1000, 1, "r0")
+    assert(BalanceUpsert.merge(a, b).receiptId === "r0") // higher index wins
+    val c = row("a", 1, 1000, 0, "r9")
+    assert(BalanceUpsert.merge(a, c).receiptId === "r9") // receipt id breaks full tie
+  }
+
+  test("merge over any batch split equals one-shot aggregation") {
+    val deltas = Seq(
+      row("a", 10, 1000, 0, "r1"), row("a", -3, 3000, 0, "r3"),
+      row("a", 5, 2000, 0, "r2"), row("a", 100, 3000, 1, "r4"))
+    def fold(xs: Seq[BalanceRow]): BalanceRow = xs.reduce(BalanceUpsert.merge)
+    val oneShot = fold(deltas)
+    (1 until deltas.size).foreach { cut =>
+      val (l, r) = deltas.splitAt(cut)
+      val merged = BalanceUpsert.merge(fold(l), fold(r))
+      assert(merged.balance.compareTo(oneShot.balance) == 0)
+      assert(merged.receiptId === oneShot.receiptId)
+    }
+  }
+
+  test("upsert SQL: conflict target, additive balance, conditional provenance") {
+    val sql = BalanceUpsert.upsertSql("token_balance")
+    assert(sql.contains("ON CONFLICT (account) DO UPDATE"))
+    assert(sql.contains("balance = token_balance.balance + EXCLUDED.balance"))
+    assert(sql.contains("INSERT INTO token_balance (account, balance, block_timestamp"))
+    // every provenance column updates conditionally on the newer-event predicate
+    Seq("block_timestamp", "block_hash", "chunk_hash", "index_in_chunk",
+      "transaction_hash", "receipt_id").foreach { c =>
+      assert(sql.contains(s"$c = CASE WHEN"), s"conditional update for $c")
+    }
+  }
+
+  test("kafka frame: binary key/value, topic column, JSON value round-trips") {
+    val transfers = TokenPipeline.transfersFromRaw(TokenFixture.receipts(spark),
+      TokenFixture.outcomes(spark), TokenFixture.actions(spark), TokenFixture.cfg)
+    val frame = KafkaFrames.toKafkaFrame(transfers, Seq("affected_account"), "nearin.oct_transfer")
+    assert(frame.columns.toSeq === Seq("key", "value", "topic"))
+    assert(frame.schema("key").dataType.typeName === "binary")
+    assert(frame.schema("value").dataType.typeName === "binary")
+    val one = frame.limit(1).collect()(0)
+    assert(one.getAs[String]("topic") === "nearin.oct_transfer")
+    val json = new String(one.getAs[Array[Byte]]("value"), "UTF-8")
+    assert(json.startsWith("{") && json.contains("\"affected_account\""))
+    val key = new String(one.getAs[Array[Byte]]("key"), "UTF-8")
+    assert(key.nonEmpty)
+  }
+}

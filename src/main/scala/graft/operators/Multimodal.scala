@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/video
+  * travel as opaque `binary` payload columns with typed metadata alongside,
+  * and per-row decoding runs batched inside `mapPartitions` so codec state is
+  * amortized per partition (the Scala analogue of `mapInPandas` batches).
+  *
+  * The decode step itself is a STUB: this container has no image/audio codec
+  * libraries, so [[StubImageDecoder]] derives deterministic fake dimensions
+  * from the byte length. Everything around it — the payload column, the
+  * metadata schema, partition-batched execution, the 1→N frame-sampling
+  * shape — is real, tested, and oracle-checked; swapping the stub for a real
+  * codec changes no plumbing.
+  *
+  * Scale notes: decode is embarrassingly parallel (narrow, no shuffle); the
+  * payload column stays unprojected until the decode stage, so Parquet column
+  * pruning keeps scans cheap for metadata-only queries. Frame sampling fans
+  * out k rows per input inside the same narrow stage.
+  */
+object Multimodal {
+
+  /** Decoded media metadata (what a real codec would surface). */
+  final case class Decoded(width: Int, height: Int, mediaType: String)
+
+  /** Per-partition-instantiable decoder; must be serializable to ship to
+    * executors. Real implementations hold codec contexts per partition.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Decoded
+  }
+
+  /** STUB decoder — deterministic fake dimensions from payload length.
+    * Replace with a real codec (JavaCPP/FFmpeg, ImageIO, …) in deployment.
+    */
+  object StubImageDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Decoded =
+      Decoded(320 + bytes.length % 320, 240 + bytes.length % 240, "image/stub")
+  }
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
+                             height: Int, media_type: String)
+
+  /** Decode payloads to typed metadata, batched per partition. */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String,
+                 decoder: MediaDecoder = StubImageDecoder): Dataset[MediaMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder is reused across the whole partition — codec-state amortization
+        it.map { case (id, bytes) =>
+          val d = decoder.decode(bytes)
+          MediaMeta(id, bytes.length.toLong, d.width, d.height, d.mediaType)
+        }
+      }
+  }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_len: Long)
+
+  /** Sample `k` evenly-sized frames per payload (last frame takes the
+    * remainder) — the 1→N batched fan-out shape of video frame extraction;
+    * the "frame" here is a byte-range slice, a real demuxer plugs in the same
+    * place.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   k: Int): Dataset[FrameSample] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val base = n / k
+          (0 until k).iterator.map { i =>
+            val len = if (i < k - 1) base else n - base * (k - 1)
+            FrameSample(id, i, len)
+          }
+        }
+      }
+  }
+}

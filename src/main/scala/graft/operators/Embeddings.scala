@@ -37,14 +37,18 @@ object Embeddings {
 
   /** Exact brute-force cosine top-k of `vectors` for each row of `queries`
     * (self-matches excluded). Queries are broadcast — they are the small side.
+    * Norms are computed once per row, not once per pair (same doubles, ~3×
+    * less arithmetic than inlining `cosine`).
     */
   def knnExact(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_norm"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"),
+      l2Norm(col("embedding")).as("v_norm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("score", dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -54,10 +58,12 @@ object Embeddings {
     * the vectors against broadcast centroids; argmax by (score, -cent_id).
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    vectors.select(col("vec_id"), col("embedding"))
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
       .crossJoin(broadcast(c))
-      .withColumn("score", cosine(col("embedding"), col("c_emb")))
+      .withColumn("score",
+        dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"), struct(col("score"), -col("cent_id"))).as("cent_id"))
   }
@@ -69,25 +75,30 @@ object Embeddings {
               nProbe: Int, k: Int): DataFrame = {
     val centroids = vectors.filter(col("vec_id") < numCentroids)
     val assigned = ivfAssign(vectors, centroids)
-    val members = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
+    val members = vectors.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
-    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("c_score").desc, col("cent_id").asc)
     val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_norm"))
       .crossJoin(broadcast(c))
-      .withColumn("c_score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("c_score",
+        dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nProbe)
-      .select("query_id", "q_emb", "cent_id")
+      .select("query_id", "q_emb", "q_norm", "cent_id")
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     members.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("score",
+        dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")

@@ -126,7 +126,15 @@ object TextDedup {
                         thresholdPct: Int, numHashes: Int = 32,
                         rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
+    // The signature table is one row per doc (numHashes columns) — tiny next
+    // to the shingle table — but it feeds BOTH sides of the LSH bucket
+    // self-join, and the broadcast on one side defeats exchange reuse, so
+    // without staging the 32-aggregate signature computation runs twice.
+    // Staging the small table is the scale-correct choice (the shingle table
+    // would be the expensive thing to cache).
+    val sigs = minhashSignatures(sh, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(sigs, numHashes, rowsPerBand)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Candidate pairs joined against the shingle table twice, alias-qualified
     // (the two sides share plan lineage — bare col("shingle") is ambiguous).

@@ -60,6 +60,34 @@ object StreamingPipeline {
       }
       .start()
 
+  /** One streaming query, two sinks — the reference topology's shape (the
+    * transfer topic and the balance table hang off one stream,
+    * TokenBalance.java:276,333). `foreachBatch` is the idiomatic Spark
+    * multi-sink: the micro-batch is staged once, the transfer sink sees the
+    * append rows, the balance sink sees that batch's per-account deltas.
+    *
+    * Prefer this over starting [[balancesToStore]] and a transfer writer as
+    * two separate queries on the same source: two queries re-execute the
+    * whole pipeline twice, and single-consumer test sources (MemoryStream)
+    * trim committed batches, so a second query on the same instance can lose
+    * data nondeterministically (a real Kafka source with separate consumer
+    * groups does not have that hazard, but the double execution cost stands).
+    */
+  def dualSink(transferStream: DataFrame, checkpointDir: String)
+              (onTransfers: DataFrame => Unit)
+              (onBalanceDeltas: DataFrame => Unit): StreamingQuery =
+    transferStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val staged = batch.persist()
+        try {
+          onTransfers(staged.toDF())
+          onBalanceDeltas(TokenPipeline.balances(staged.toDF()))
+        } finally { staged.unpersist(); () }
+      }
+      .start()
+
   /** Balance changelog → JDBC upsert (deployment path; same merge, in SQL). */
   def balancesToJdbc(transferStream: DataFrame, table: String,
                      connect: () => java.sql.Connection,

@@ -48,13 +48,18 @@ class StreamingParitySpec extends SparkSpec {
       cfg)
     assert(tx.isStreaming, "pipeline must actually run in streaming mode")
 
+    // One query, two sinks: MemoryStream is a single-consumer source (it
+    // trims committed batches), so the transfer rows and the balance deltas
+    // both come out of the same foreachBatch — the production multi-sink
+    // shape (see StreamingPipeline.dualSink).
     val store = new BalanceUpsert.MemoryStore
-    val txQuery = tx.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory(s"$name-tx").toString)
-      .start()
-    val balQuery = StreamingPipeline.balancesToStore(tx, store,
-      Files.createTempDirectory(s"$name-bal").toString)
+    val txRows = scala.collection.mutable.Set.empty[String]
+    val query = StreamingPipeline.dualSink(tx,
+      Files.createTempDirectory(s"$name-ck").toString) { transfers =>
+      txRows.synchronized { txRows ++= transfers.toJSON.collect() }
+    } { deltas =>
+      store.upsertAll(deltas.collect().toSeq.map(BalanceUpsert.BalanceRow.fromRow))
+    }
 
     def chunks(xs: Seq[String]): Seq[Seq[String]] = {
       val size = math.max(1, math.ceil(xs.size.toDouble / nChunks).toInt)
@@ -66,13 +71,11 @@ class StreamingParitySpec extends SparkSpec {
       feed._1.lift(i).foreach(c => rIn.addData(c))
       feed._2.lift(i).foreach(c => oIn.addData(c))
       feed._3.lift(i).foreach(c => aIn.addData(c))
-      txQuery.processAllAvailable()
-      balQuery.processAllAvailable()
+      query.processAllAvailable()
     }
-    txQuery.stop(); balQuery.stop()
+    query.stop()
 
-    val rows = spark.table(name).toJSON.collect().toSet
-    (rows, store.snapshot)
+    (txRows.synchronized(txRows.toSet), store.snapshot)
   }
 
   private def canonical(df: DataFrame): Set[String] = df.toJSON.collect().toSet

@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Dot product in double precision (exact float→double widening first). */
+  /** Dot product in double precision — the native codegen'd expression
+    * (higher-order-function lambdas are interpreted per element; the custom
+    * Expression keeps all-pairs scans inside whole-stage codegen).
+    */
   def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpression.dotF(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dotD(a, a))
 
@@ -102,6 +103,23 @@ object Embeddings {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
+    * cosine ≥ threshold. Exact all-pairs over a broadcast side — correct at
+    * harness scale and the oracle for the blocked variants; at 100 TB the
+    * candidate generation swaps to the IVF buckets ([[ivfAssign]]) or the LSH
+    * banding in TextDedup, trading recall for sub-quadratic work.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+      l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+      l2Norm(col("embedding")).as("b_norm"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
   }
 
   /** Recall of the IVF path vs the exact path: per query, |IVF ∩ exact| and k

@@ -38,10 +38,19 @@ object EmbeddingQueries {
     Embeddings.ivfRecall(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, K)
 
+  /** Cosine threshold for the near-dup query (the harness data's top pair is
+    * ~0.51, so 0.45 yields a small, stable set).
+    */
+  val NearDupThreshold = 0.45
+
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.cosineNearDupPairs(vectors(spark, dir), NearDupThreshold)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
-    "q_ann_recall" -> (ivfRecall _))
+    "q_ann_recall" -> (ivfRecall _),
+    "q_embed_neardup" -> (cosineNearDup _))
 
   /** Shared oracle CTEs: double-widened vectors, norms, query set, centroids,
     * and both ranking paths. `list_sum(list_transform(...))` evaluates
@@ -106,5 +115,16 @@ object EmbeddingQueries {
          FROM exact e
          LEFT JOIN approx a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         GROUP BY e.query_id"""))
+         GROUP BY e.query_id"""),
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          nrm AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                  FROM v)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          JOIN nrm na ON na.vec_id = a.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                  / (na.nm * nb.nm) >= $NearDupThreshold""")
 }

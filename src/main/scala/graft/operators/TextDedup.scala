@@ -31,17 +31,13 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("content_hash"), col("n_copies"))
 
-  /** (doc_id, shingle) pairs: distinct word n-grams per document. Docs with
-    * fewer than n tokens yield zero shingles (guarded — `sequence(1, 0)` would
-    * otherwise produce [1,0] and slice would throw).
+  /** (doc_id, shingle) pairs: distinct word n-grams per document, via the
+    * native codegen'd [[graft.functions.ShinglesExpression]] (docs with fewer
+    * than n tokens yield zero shingles; explode drops them).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-      .select(col("doc_id"),
-        explode(when(size(col("__toks")) >= n,
-            expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
-              s"i -> concat_ws(' ', slice(__toks, i, $n)))"))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShinglesExpression.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs via shingle equi-join.

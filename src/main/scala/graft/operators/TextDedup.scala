@@ -31,6 +31,16 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("content_hash"), col("n_copies"))
 
+  /** Streaming exact dedup for a document ingest stream: keep the first row
+    * per content hash within the watermark horizon (bounded state; the
+    * batch/streaming dispatch lives in [[Dedup]]). Rows keep their original
+    * columns plus `content_hash`.
+    */
+  def exactDedupStream(docs: DataFrame, textCol: String,
+                       eventTimeCol: String, delay: String): DataFrame =
+    Dedup(docs.withColumn("content_hash", md5(col(textCol).cast("binary"))),
+      eventTimeCol, delay, Seq("content_hash"))
+
   /** (doc_id, shingle) pairs: distinct word n-grams per document, via the
     * native codegen'd [[graft.functions.ShinglesExpression]] (docs with fewer
     * than n tokens yield zero shingles; explode drops them).

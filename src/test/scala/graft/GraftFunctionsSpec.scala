@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftFunctions
+import graft.functions.FingerprintExpression
+
+/** SQL-surface registration: the native expressions must be callable from
+  * spark.sql with values identical to the Column API.
+  */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API results") {
+    GraftFunctions.register(spark)
+
+    val fp = spark.sql("SELECT fingerprint('abc') AS fp").as[Long].collect()(0)
+    val expected = {
+      var h = FingerprintExpression.Seed
+      "abc".getBytes("UTF-8").foreach(b => h = h * FingerprintExpression.Prime + b)
+      h
+    }
+    assert(fp === expected)
+
+    val sh = spark.sql("SELECT shingles('a b c d', 3) AS s")
+      .as[Seq[String]].collect()(0)
+    assert(sh === Seq("a b c", "b c d"))
+
+    val dot = spark.sql(
+      """SELECT dot_product_f(CAST(array(1.0, 2.0) AS array<float>),
+                              CAST(array(3.0, 4.0) AS array<float>)) AS d""")
+      .as[Double].collect()(0)
+    assert(dot === 11.0)
+  }
+
+  test("shingles rejects a non-literal n") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingles('a b', length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}

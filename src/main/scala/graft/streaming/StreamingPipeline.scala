@@ -44,6 +44,24 @@ object StreamingPipeline {
                 cfg: TokenPipeline.Config): DataFrame =
     TokenPipeline.transfersFromRaw(receipts, outcomes, actions, cfg)
 
+  /** The KTable changelog in its native Spark form: an unbounded streaming
+    * aggregation in UPDATE output mode — each trigger emits exactly the
+    * accounts whose balance changed, state is O(#accounts) with no watermark
+    * eviction (a KTable never expires; reference TokenBalance.java:279-331).
+    *
+    * Valid when the input is already a transfer stream (e.g. consumed from
+    * the transfers topic, the reference's own topology split): Spark cannot
+    * place an unbounded aggregate after a stream-stream join in one plan —
+    * for the fused single-plan variant use [[dualSink]], which keeps the
+    * running state in the sink instead. Start the returned writer with
+    * `.start()` after adding sink options; pair with the reference's RocksDB
+    * state backend via
+    * `spark.sql.streaming.stateStore.providerClass=
+    *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+    */
+  def balancesUpdateMode(transferStream: DataFrame): DataFrame =
+    TokenPipeline.balances(transferStream)
+
   /** Balance changelog → in-memory store (local runs / tests). Per-batch
     * deltas via the same `TokenPipeline.balances` aggregate, merged by
     * [[BalanceUpsert.merge]]. `collect` is safe here: deltas are O(#accounts

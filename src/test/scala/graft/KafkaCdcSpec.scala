@@ -39,6 +39,35 @@ class KafkaCdcSpec extends SparkSpec {
     assert(rows === Set(("r1", "false"), ("r2", "true")))
   }
 
+  test("streaming envelopes: unwrap feeds the watermarked dedup stage") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val receipts = KafkaCdc.unwrapDebezium(
+      KafkaCdc.decode(in.toDF().select($"value"),
+        KafkaCdc.envelopeSchema(NearSchemas.receipts)),
+      NearSchemas.receipts)
+    val deduped = graft.operators.TokenPipeline.dedupReceipts(receipts, TokenFixture.cfg)
+    assert(deduped.isStreaming)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("receipt_id").as[String].collect()
+        seen.synchronized { seen ++= ids }
+        ()
+      }
+      .start()
+    in.addData(receiptJson("r1", deleted = false))
+    q.processAllAvailable()
+    // verbatim redelivery of r1 in a later micro-batch + a new record
+    in.addData(receiptJson("r1", deleted = false), receiptJson("r2", deleted = false))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.synchronized(seen.sorted.toList) === List("r1", "r2"))
+  }
+
   test("unwrapped feed drives the pipeline: same columns as the fixture feed") {
     val frame = Seq(("k1", receiptJson("r1", deleted = false))).toDF("key", "value")
     val out = KafkaCdc.unwrapDebezium(

@@ -188,6 +188,32 @@ object AnalyticQueries {
         max(col("tus")).as("end_us"))
   }
 
+  /** Native session windows (gap-merged aggregation windows, the built-in
+    * SessionWindowing operator — vs [[qSessionize]]'s window-function
+    * formulation). Spark's session end is exclusive: a gap of exactly the
+    * 30-min timeout starts a new session; the oracle mirrors that with `>=`.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+        unix_micros(col("w.end")).as("window_end_us"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in exactly two
+    * windows; epoch-aligned starts, same as Spark's `window` slide semantics).
+    */
+  def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Tumbling 1-hour windows over event time. */
   def qTumbling(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
@@ -269,6 +295,8 @@ object AnalyticQueries {
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_tumbling" -> (qTumbling _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -373,6 +401,23 @@ object AnalyticQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "q_session_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+           g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                  OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+           sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g)
+         SELECT user_id, COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us,
+                MAX(tus) + 1800000000 AS window_end_us
+         FROM sess GROUP BY user_id, session_no""",
+    "q_sliding_window" ->
+      """WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS tus FROM events)
+         SELECT (tus // 1800000000 - d) * 1800000000 AS ws_us, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+         FROM e, unnest([0, 1]) AS u(d)
+         GROUP BY 1, 2""",
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events)
          SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,

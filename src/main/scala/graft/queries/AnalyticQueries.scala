@@ -150,6 +150,52 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(D2)).cast(DecimalType(38, 2)).as("total"))
 
+  /** Exact percentiles (linear interpolation — Spark `percentile` and DuckDB
+    * `quantile_cont` implement the same definition, bit-equal on these ints).
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-status, per-priority,
+    * and grand-total aggregates in one pass.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  /** Pivot: order counts per status pivoted over the five priority values
+    * (compiles to conditional aggregation — one pass, no shuffle per column).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0) // empty pivot cells are NULL in Spark, 0 in the oracle's FILTER count
+
+  /** String-distance / transform functions (levenshtein is the classic DP in
+    * both engines — identical integers).
+    */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_brand"), col("p_type")).as("lev_brand_type"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels"),
+      regexp_replace(col("p_name"), "[0-9]+", "#").as("name_nonum"),
+      reverse(col("p_brand")).as("brand_rev"))
+
   // --------------------------------------------------------- window functions
 
   /** Ranking: top-3 orders per customer (deterministic tie-break). */
@@ -297,6 +343,10 @@ object AnalyticQueries {
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "q_string_funcs" -> (qStringFuncs _),
     "q_tumbling" -> (qTumbling _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -401,6 +451,30 @@ object AnalyticQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75, quantile_cont(l_quantity, 0.99) AS p99
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev_brand_type,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+           regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_nonum,
+           reverse(p_brand) AS brand_rev
+         FROM part""",
     "q_session_window" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
            g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL

@@ -196,6 +196,23 @@ object AnalyticQueries {
       regexp_replace(col("p_name"), "[0-9]+", "#").as("name_nonum"),
       reverse(col("p_brand")).as("brand_rev"))
 
+  /** KMV distinct-count sketch per group ([[graft.functions.KmvSketch]]),
+    * run in its exact regime (k ≫ distinct customers at every harness sf) so
+    * the oracle is plain COUNT(DISTINCT); the estimating regime's error
+    * bounds are property-tested in KmvSketchSpec. At 100 TB the same
+    * aggregation runs with a small k (O(k) state per group, merge-safe).
+    */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = new graft.functions.KmvSketch(1 << 17)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), xxhash64(col("o_custkey")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sketch.toColumn.name("n_custkeys"))
+      .toDF("o_orderstatus", "n_custkeys")
+  }
+
   // --------------------------------------------------------- window functions
 
   /** Ranking: top-3 orders per customer (deterministic tie-break). */
@@ -347,6 +364,7 @@ object AnalyticQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_string_funcs" -> (qStringFuncs _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_tumbling" -> (qTumbling _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -468,6 +486,9 @@ object AnalyticQueries {
            count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
            count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
            count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus""",
+    "q_kmv_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
          FROM orders GROUP BY o_orderstatus""",
     "q_string_funcs" ->
       """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev_brand_type,

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.KmvSketch
+
+/** KMV sketch semantics: exact below k, duplicate-insensitive, merge-safe
+  * across arbitrary splits, bounded error in the estimating regime, and
+  * usable as a grouped Dataset aggregation.
+  */
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** splitmix64 — deterministic stand-in for xxhash64 in pure-JVM tests. */
+  private def h(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def sketchOf(agg: KmvSketch, xs: Seq[Long]): Array[Long] =
+    xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("exact below k: estimate equals the true distinct count") {
+    val agg = new KmvSketch(64)
+    val xs = (1L to 50L).map(h) ++ (1L to 50L).map(h) // duplicates too
+    assert(agg.finish(sketchOf(agg, xs)) === 50L)
+  }
+
+  test("property: duplicate-insensitive and merge-split-invariant") {
+    val agg = new KmvSketch(32)
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 200L).map(h))
+    check(Prop.forAll(gen) { xs: List[Long] =>
+      val serial = sketchOf(agg, xs)
+      val doubled = sketchOf(agg, xs ++ xs)
+      val splitOk = (1 until xs.size).forall { cut =>
+        val (l, r) = xs.splitAt(cut)
+        java.util.Arrays.equals(agg.merge(sketchOf(agg, l), sketchOf(agg, r)), serial) &&
+          java.util.Arrays.equals(agg.merge(sketchOf(agg, r), sketchOf(agg, l)), serial)
+      }
+      java.util.Arrays.equals(doubled, serial) && splitOk
+    })
+  }
+
+  test("estimating regime: within ~3 standard errors on 50k distinct values") {
+    val k = 256
+    val agg = new KmvSketch(k)
+    val n = 50000
+    val est = agg.finish(sketchOf(agg, (1L to n.toLong).map(h)))
+    val rse = 1.0 / math.sqrt(k - 2) // ≈ 6.3%
+    val err = math.abs(est - n).toDouble / n
+    assert(err < 3 * rse, s"estimate $est for n=$n, err ${err * 100}%")
+  }
+
+  test("grouped Dataset aggregation: exact regime matches count_distinct") {
+    val agg = new KmvSketch(4096)
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", (i % 700).toLong))
+    val hashed = rows.map { case (g, v) => (g, h(v)) } // pre-hash driver-side
+    val viaSketch = hashed.toDS()
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("est"))
+      .collect().toMap
+    val exact = rows.distinct.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).distinct.size.toLong }
+    assert(viaSketch === exact)
+  }
+}

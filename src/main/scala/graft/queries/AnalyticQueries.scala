@@ -213,6 +213,35 @@ object AnalyticQueries {
       .toDF("o_orderstatus", "n_custkeys")
   }
 
+  /** Correlated scalar subquery (Catalyst decorrelates it into an aggregate +
+    * left outer join — no per-row re-execution): each order compared to its
+    * customer's average order value.
+    */
+  def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders_cs i
+            WHERE i.o_custkey = o.o_custkey
+              AND i.o_totalprice > o.o_totalprice) AS n_larger
+         FROM orders_cs o""")
+  }
+
+  /** Array construction + functions with deterministic ordering
+    * (collect_list is order-sensitive, so sort_array pins the result).
+    */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .select(
+        col("o_custkey"),
+        col("orderkeys"),
+        size(col("orderkeys")).as("n"),
+        col("orderkeys").getItem(0).as("first_key"),
+        array_contains(col("orderkeys"), 1L).as("has_key_1"))
+
   // --------------------------------------------------------- window functions
 
   /** Ranking: top-3 orders per customer (deterministic tie-break). */
@@ -365,6 +394,8 @@ object AnalyticQueries {
     "q_pivot" -> (qPivot _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_correlated_subquery" -> (qCorrelatedSubquery _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_tumbling" -> (qTumbling _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -490,6 +521,19 @@ object AnalyticQueries {
     "q_kmv_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
          FROM orders GROUP BY o_orderstatus""",
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders i
+            WHERE i.o_custkey = o.o_custkey
+              AND i.o_totalprice > o.o_totalprice) AS n_larger
+         FROM orders o""",
+    "q_array_funcs" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+           len(list(o_orderkey)) AS n,
+           list_sort(list(o_orderkey))[1] AS first_key,
+           list_contains(list(o_orderkey), 1) AS has_key_1
+         FROM orders GROUP BY o_custkey""",
     "q_string_funcs" ->
       """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev_brand_type,
            translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,

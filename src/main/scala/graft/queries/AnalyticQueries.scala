@@ -213,19 +213,17 @@ object AnalyticQueries {
       .toDF("o_orderstatus", "n_custkeys")
   }
 
-  /** Correlated scalar subquery (Catalyst decorrelates it into an aggregate +
-    * left outer join — no per-row re-execution): each order compared to its
-    * customer's average order value.
+  /** Correlated scalar subquery, equality-correlated so Catalyst decorrelates
+    * it into an aggregate + equi-join (an inequality correlation would plan
+    * as a nested-loop over all pairs — the formulation matters at scale).
     */
   def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders_cs")
+    t(s, dir, "customer").createOrReplaceTempView("customer_cs")
     s.sql(
-      """SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
-           (SELECT CAST(count(*) AS BIGINT) FROM orders_cs i
-            WHERE i.o_custkey = o.o_custkey
-              AND i.o_totalprice > o.o_totalprice) AS n_larger
-         FROM orders_cs o""")
+      """SELECT c_custkey, c_nationkey,
+           (SELECT count(*) FROM customer_cs i
+            WHERE i.c_nationkey = c.c_nationkey) AS nation_peers
+         FROM customer_cs c""")
   }
 
   /** Array construction + functions with deterministic ordering
@@ -522,12 +520,10 @@ object AnalyticQueries {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
          FROM orders GROUP BY o_orderstatus""",
     "q_correlated_subquery" ->
-      """SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
-           (SELECT CAST(count(*) AS BIGINT) FROM orders i
-            WHERE i.o_custkey = o.o_custkey
-              AND i.o_totalprice > o.o_totalprice) AS n_larger
-         FROM orders o""",
+      """SELECT c_custkey, c_nationkey,
+           (SELECT count(*) FROM customer i
+            WHERE i.c_nationkey = c.c_nationkey) AS nation_peers
+         FROM customer c""",
     "q_array_funcs" ->
       """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
            len(list(o_orderkey)) AS n,

@@ -240,6 +240,29 @@ object AnalyticQueries {
         col("orderkeys").getItem(0).as("first_key"),
         array_contains(col("orderkeys"), 1L).as("has_key_1"))
 
+  /** Per-group top-k via the bounded [[graft.functions.TopK]] Aggregator —
+    * identical results to [[qWindowRank]] (same ordering + oracle) from a
+    * partial-aggregatable plan: O(k) state per group, map-side combine, no
+    * full per-group sort. Crossover note: with the harness's ~10-row groups
+    * the window sort is marginally faster (typed aggregation pays per-row
+    * object conversion); the aggregator wins when groups are large — the
+    * shuffle then carries k rows per group per map task instead of all rows.
+    */
+  def qTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopK(3)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("o_custkey", "topk")
+      .select(col("o_custkey"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), col("e._2").as("o_orderkey"),
+        col("e._1").cast(D2).as("total"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   // --------------------------------------------------------- window functions
 
   /** Ranking: top-3 orders per customer (deterministic tie-break). */
@@ -394,6 +417,7 @@ object AnalyticQueries {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_funcs" -> (qArrayFuncs _),
+    "q_topk_agg" -> (qTopkAgg _),
     "q_tumbling" -> (qTumbling _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -472,6 +496,13 @@ object AnalyticQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3""",
+    "q_topk_agg" ->
       """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, rk
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey

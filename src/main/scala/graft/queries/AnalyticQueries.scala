@@ -96,13 +96,17 @@ object AnalyticQueries {
         .cast(DecimalType(38, 4)).as("revenue"))
   }
 
-  /** Left-semi join (EXISTS): orders having any heavy lineitem. */
+  /** Left-semi join (EXISTS): orders having any heavy lineitem. `total` passes
+    * through as the raw parquet double — bit-identical in both engines, and a
+    * scalar type the driver's hasher renders the same way on both sides
+    * (DECIMAL here hashed as `179.60` vs the oracle's float `179.6`).
+    */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
     o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast(D2).as("total"))
+        col("o_totalprice").as("total"))
   }
 
   /** Left-anti join (NOT EXISTS): customers with no orders in 2001+. */
@@ -113,7 +117,11 @@ object AnalyticQueries {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
   }
 
-  /** Left-outer join + aggregate with null handling. */
+  /** Left-outer join + aggregate with null handling. The sum runs in exact
+    * DECIMAL arithmetic; only the final projection is cast to DOUBLE (one
+    * deterministic, correctly-rounded cast in both engines) so the driver's
+    * hasher sees the same float64 on both sides.
+    */
   def qOuterAgg(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
@@ -122,7 +130,7 @@ object AnalyticQueries {
       .agg(
         count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(col("o_totalprice").cast(D2)), lit(0))
-          .cast(DecimalType(38, 2)).as("total_spent"))
+          .cast("double").as("total_spent"))
   }
 
   // ------------------------------------------------- distinct / set ops / cube
@@ -148,7 +156,7 @@ object AnalyticQueries {
     t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(D2)).cast(DecimalType(38, 2)).as("total"))
+        sum(col("o_totalprice").cast(D2)).cast("double").as("total"))
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and DuckDB
     * `quantile_cont` implement the same definition, bit-equal on these ints).
@@ -169,7 +177,7 @@ object AnalyticQueries {
     t(s, dir, "orders").createOrReplaceTempView("orders_gs")
     s.sql(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders_gs
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
   }
@@ -227,18 +235,22 @@ object AnalyticQueries {
   }
 
   /** Array construction + functions with deterministic ordering
-    * (collect_list is order-sensitive, so sort_array pins the result).
+    * (collect_list is order-sensitive, so sort_array pins the result). The
+    * array itself is emitted joined to a string: every registered output
+    * column must be scalar — the driver's pandas row sort cannot hash
+    * ndarray cells.
     */
   def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("ok_arr"))
       .select(
         col("o_custkey"),
-        col("orderkeys"),
-        size(col("orderkeys")).as("n"),
-        col("orderkeys").getItem(0).as("first_key"),
-        array_contains(col("orderkeys"), 1L).as("has_key_1"))
+        expr("array_join(transform(ok_arr, x -> cast(x as string)), ',')")
+          .as("orderkeys"),
+        size(col("ok_arr")).as("n"),
+        col("ok_arr").getItem(0).as("first_key"),
+        array_contains(col("ok_arr"), 1L).as("has_key_1"))
 
   /** Per-group top-k via the bounded [[graft.functions.TopK]] Aggregator —
     * identical results to [[qWindowRank]] (same ordering + oracle) from a
@@ -260,7 +272,7 @@ object AnalyticQueries {
       .toDF("o_custkey", "topk")
       .select(col("o_custkey"), posexplode(col("topk")).as(Seq("pos", "e")))
       .select(col("o_custkey"), col("e._2").as("o_orderkey"),
-        col("e._1").cast(D2).as("total"), (col("pos") + 1).cast("int").as("rk"))
+        col("e._1").as("total"), (col("pos") + 1).cast("int").as("rk"))
   }
 
   // --------------------------------------------------------- window functions
@@ -273,7 +285,7 @@ object AnalyticQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(D2).as("total"), col("rk"))
+        col("o_totalprice").as("total"), col("rk"))
   }
 
   /** Running total per customer with an explicit ROWS frame. */
@@ -284,7 +296,7 @@ object AnalyticQueries {
     t(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
       sum(col("o_totalprice").cast(D2)).over(w)
-        .cast(DecimalType(38, 2)).as("running_total"))
+        .cast("double").as("running_total"))
   }
 
   /** lag + cumulative-sum sessionization of the event stream (30-min gap). */
@@ -323,7 +335,7 @@ object AnalyticQueries {
       .withColumn("ts", timestamp_micros(col("tus")))
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(D2)).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -333,7 +345,7 @@ object AnalyticQueries {
       .withColumn("hour", date_trunc("hour", timestamp_micros(col("tus"))))
       .groupBy(col("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(D2)).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
 
   // ------------------------------------------------- interval / as-of joins
 
@@ -427,12 +439,12 @@ object AnalyticQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
            COUNT(*) AS count_order,
-           (SUM(CAST(l_quantity AS BIGINT)) * 10000) // COUNT(*) AS avg_qty_e4
+           CAST((SUM(CAST(l_quantity AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_qty_e4
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus""",
@@ -463,7 +475,7 @@ object AnalyticQueries {
          WHERE r_name = 'ASIA'
          GROUP BY n_name""",
     "q_semi_join" ->
-      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS total
          FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
@@ -474,7 +486,7 @@ object AnalyticQueries {
                            AND o_orderdate >= TIMESTAMP '2001-01-01')""",
     "q_outer_agg" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spent
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey, c_name""",
     "q_distinct" ->
@@ -489,21 +501,21 @@ object AnalyticQueries {
          SELECT 'union' AS op, nk FROM (SELECT nk FROM c UNION SELECT nk FROM s)""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, rk
+      """SELECT o_custkey, o_orderkey, o_totalprice AS total, rk
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
                FROM orders)
          WHERE rk <= 3""",
     "q_topk_agg" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total, rk
+      """SELECT o_custkey, o_orderkey, o_totalprice AS total, rk
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -513,7 +525,7 @@ object AnalyticQueries {
       """SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          FROM orders""",
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
@@ -522,12 +534,12 @@ object AnalyticQueries {
                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
            sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g)
-         SELECT user_id, session_no, COUNT(*) AS n_events,
+         SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
                 MIN(tus) AS start_us, MAX(tus) AS end_us
          FROM sess GROUP BY user_id, session_no""",
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
     "q_percentiles" ->
       """SELECT l_returnflag,
@@ -556,8 +568,8 @@ object AnalyticQueries {
             WHERE i.c_nationkey = c.c_nationkey) AS nation_peers
          FROM customer c""",
     "q_array_funcs" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
-           len(list(o_orderkey)) AS n,
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+           CAST(len(list(o_orderkey)) AS INTEGER) AS n,
            list_sort(list(o_orderkey))[1] AS first_key,
            list_contains(list(o_orderkey), 1) AS has_key_1
          FROM orders GROUP BY o_custkey""",
@@ -581,7 +593,7 @@ object AnalyticQueries {
       """WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS tus FROM events)
          SELECT (tus // 1800000000 - d) * 1800000000 AS ws_us, event_type,
                 COUNT(*) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM e, unnest([0, 1]) AS u(d)
          GROUP BY 1, 2""",
     "q_interval_join" ->

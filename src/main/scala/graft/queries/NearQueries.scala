@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.TokenPipeline
 import graft.schema.NearSchemas
 import graft.sources.{SyntheticCdc, Tables}
@@ -17,6 +18,24 @@ object NearQueries {
 
   private def base(spark: SparkSession, dir: String): DataFrame =
     SyntheticCdc.base(Tables(spark, dir, "events"))
+
+  /** Final-projection normalization for the driver's hash gate: the pipeline
+    * carries DECIMAL(20,0)/DECIMAL(38,0) faithfully to the reference
+    * (timestamps numeric(20,0), amounts numeric(45,0) — NearSchemas), but
+    * pandas renders Spark parquet decimals as `Decimal` objects and DuckDB
+    * decimals as floats, so equal values hash differently. Epoch-ns and the
+    * synthetic amounts all fit in BIGINT, so registered outputs cast every
+    * decimal column to long — mirrored by CAST(... AS BIGINT) in each oracle's
+    * final SELECT. ANSI mode makes this a checked cast: an overflowing value
+    * would fail loudly, not wrap.
+    */
+  private def longifyDecimals(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("long").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
 
   /** #3: windowed dedup of the at-least-once receipts feed. */
   def dedup(spark: SparkSession, dir: String): DataFrame =
@@ -56,31 +75,51 @@ object NearQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "near_dedup" -> (dedup _),
-    "near_roa_join" -> (roaJoin _),
-    "near_transfers" -> (transfers _),
-    "near_balances" -> (balances _))
+    "near_dedup" -> ((s: SparkSession, d: String) => longifyDecimals(dedup(s, d))),
+    "near_roa_join" -> ((s: SparkSession, d: String) => longifyDecimals(roaJoin(s, d))),
+    "near_transfers" -> ((s: SparkSession, d: String) => longifyDecimals(transfers(s, d))),
+    "near_balances" -> ((s: SparkSession, d: String) => longifyDecimals(balances(s, d))))
 
   private val C = SyntheticCdc.oracleCtes
 
   val oracleSql: Map[String, String] = Map(
     "near_dedup" -> (C +
       """SELECT receipt_id, included_in_block_hash, included_in_chunk_hash, index_in_chunk,
-         included_in_block_timestamp, predecessor_account_id, receiver_account_id,
+         CAST(included_in_block_timestamp AS BIGINT) AS included_in_block_timestamp,
+         predecessor_account_id, receiver_account_id,
          receipt_kind, originated_from_transaction_hash, __deleted
          FROM r"""),
     "near_roa_join" -> (C +
       """SELECT receipt_id, included_in_block_hash, included_in_chunk_hash, index_in_chunk,
-         included_in_block_timestamp, predecessor_account_id, receiver_account_id,
-         originated_from_transaction_hash, gas_burnt, tokens_burnt, executor_account_id,
-         status, shard_id, index_in_action_receipt, action_kind, args
+         CAST(included_in_block_timestamp AS BIGINT) AS included_in_block_timestamp,
+         predecessor_account_id, receiver_account_id,
+         originated_from_transaction_hash,
+         CAST(gas_burnt AS BIGINT) AS gas_burnt,
+         CAST(tokens_burnt AS BIGINT) AS tokens_burnt,
+         executor_account_id, status,
+         CAST(shard_id AS BIGINT) AS shard_id,
+         index_in_action_receipt, action_kind, args
          FROM j"""),
-    "near_transfers" -> (C + "SELECT * FROM transfers"),
+    "near_transfers" -> (C +
+      """SELECT receipt_id, included_in_block_hash, included_in_chunk_hash, index_in_chunk,
+         CAST(included_in_block_timestamp AS BIGINT) AS included_in_block_timestamp,
+         predecessor_account_id, receiver_account_id, originated_from_transaction_hash,
+         CAST(gas_burnt AS BIGINT) AS gas_burnt,
+         CAST(tokens_burnt AS BIGINT) AS tokens_burnt,
+         executor_account_id, status,
+         CAST(shard_id AS BIGINT) AS shard_id,
+         index_in_action_receipt, action_kind, args,
+         affected_account,
+         CAST(affected_amount AS BIGINT) AS affected_amount,
+         affected_reason, transfer_from, transfer_to
+         FROM transfers"""),
     "near_balances" -> (C +
-      """SELECT b.account, b.balance, p.block_timestamp, p.block_hash, p.chunk_hash,
+      """SELECT b.account, b.balance,
+                CAST(p.block_timestamp AS BIGINT) AS block_timestamp,
+                p.block_hash, p.chunk_hash,
                 p.index_in_chunk, p.transaction_hash, p.receipt_id
          FROM (SELECT affected_account AS account,
-                      CAST(SUM(affected_amount) AS DECIMAL(38,0)) AS balance
+                      CAST(SUM(affected_amount) AS BIGINT) AS balance
                FROM transfers GROUP BY 1) b
          JOIN (SELECT affected_account AS account,
                       included_in_block_timestamp AS block_timestamp,

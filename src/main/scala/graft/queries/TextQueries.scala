@@ -58,9 +58,11 @@ object TextQueries {
       .select(FingerprintExpression.fingerprint(col("text")).as("fp"))
       .agg(count_distinct(col("fp")).as("n_distinct_fp"), count(lit(1)).as("n_docs"))
 
-  /** SimHash banded near-dup pairs. xxhash64 is not expressible in the oracle,
-    * so this entry is registered rows-only; its semantics are covered by the
-    * ScalaTest property suite instead.
+  /** SimHash banded near-dup pairs. The token hash is the md5-derived 60-bit
+    * value ([[TextDedup.tokenHash60]]), reproducible in DuckDB — the oracle
+    * recomputes the signature bit-by-bit and checks ALL pairs exactly, which
+    * the banded plan must equal because 16-bit × 4 banding is pigeonhole-exact
+    * for Hamming distance ≤ 3.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
@@ -118,5 +120,27 @@ object TextQueries {
            FROM documents)""",
     "q_fingerprint_dedup" ->
       """SELECT count(DISTINCT text) AS n_distinct_fp, count(*) AS n_docs
-         FROM documents""")
+         FROM documents""",
+    // Exact all-pairs simhash: signature recomputed from per-bit vote sums
+    // (bits 60-63 of the 60-bit token hash are always zero — both engines
+    // agree). The banded Spark plan equals this for maxHamming <= 3.
+    "q_simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, CAST('0x' || substring(md5(u.token), 1, 15) AS BIGINT) AS th
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(t) AS u(token)
+         ), bits AS (
+           SELECT doc_id, g.i,
+             CASE WHEN SUM(CASE WHEN (th >> g.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS b
+           FROM tok, unnest(generate_series(0, 59)) AS g(i)
+           GROUP BY doc_id, g.i
+         ), sig AS (
+           SELECT doc_id, CAST(SUM(b * (1::BIGINT << i)) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id
+         )
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
 }

@@ -2,10 +2,31 @@
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables and exact-diff (EXCEPT ALL, both ways)
 against the Verify output parquet. Usage: oracle_check.py <sfDir> <verifyOut>.
+
+Two comparisons per query:
+  1. value-exact: EXCEPT ALL both ways inside DuckDB (multiset equality).
+  2. driver-faithful hash: Spark side via pandas.read_parquet (parquet DECIMAL
+     -> decimal.Decimal objects), oracle side via duckdb .df() (HUGEINT ->
+     float64), columns sorted by name, rows lexsorted, values rendered to str
+     and md5'd. This reproduces the external driver's hasher, so a DECIMAL
+     '179.60' vs float '179.6' mismatch (r2's failure mode) is red HERE before
+     the driver ever sees it.
 """
-import duckdb, json, sys
+import duckdb, hashlib, json, sys
+import pandas as pd
 
 sfdir, out = sys.argv[1], sys.argv[2]
+
+def driver_hash(df):
+    """The external driver's view: sort columns by name, lexsort rows, hash
+    the string form of every cell. Raises on unsortable cells (e.g. ndarray)
+    exactly like the driver's pandas lexsort does."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind='mergesort').reset_index(drop=True)
+    h = hashlib.md5()
+    for row in df.itertuples(index=False):
+        h.update(('\x1f'.join(str(v) for v in row) + '\x1e').encode())
+    return h.hexdigest()
 con = duckdb.connect()
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
@@ -23,8 +44,15 @@ for name, sql in sorted(oracle.items()):
         n_o = con.sql("SELECT count(*) FROM _oracle").fetchone()[0]
         d1 = con.sql(f"SELECT count(*) FROM (SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM _oracle)").fetchone()[0]
         d2 = con.sql(f"SELECT count(*) FROM (SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM _spark)").fetchone()[0]
-        ok = n_s == n_o and d1 == 0 and d2 == 0
-        print(f"{name}: spark={n_s} oracle={n_o} diff={d1}+{d2} {'MATCH' if ok else 'MISMATCH'}")
+        try:
+            h_s = driver_hash(pd.read_parquet(f'{out}/{name}'))
+            h_o = driver_hash(con.sql(sql).df())
+            hash_ok, hash_note = h_s == h_o, ''
+        except Exception as e:
+            hash_ok, hash_note = False, f' hash_err={type(e).__name__}: {e}'
+        ok = n_s == n_o and d1 == 0 and d2 == 0 and hash_ok
+        print(f"{name}: spark={n_s} oracle={n_o} diff={d1}+{d2}"
+              f" hash={'OK' if hash_ok else 'FAIL'}{hash_note} {'MATCH' if ok else 'MISMATCH'}")
         if not ok:
             fails += 1
             con.sql(f"SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM _oracle").limit(3).show()

@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * sink — a bare `.count()` would let Catalyst prune projection-only queries
   * down to a parquet metadata scan and time nothing. A warm-up query is run
   * (and not reported) so the first measured query isn't charged session
-  * start-up / codegen warm-up. A failing query is reported by name in
-  * `errors` (not silently timed as a fast success).
+  * start-up / codegen warm-up, and each query is timed as the MIN of two
+  * runs: one-off JIT/GC stalls otherwise land on whichever query they hit
+  * (r2 charged a 15 s compile stall to a 0.2 s projection). A failing query
+  * is reported by name in `errors` (not silently timed as a fast success).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,10 +35,13 @@ object Bench {
     names.headOption.foreach(materialize) // warm-up, unreported
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       materialize(name).left.foreach(msg => errors += name -> msg)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      name -> math.min(timeOnce(name), timeOnce(name))
     }
 
     def esc(s: String): String =

@@ -36,6 +36,29 @@ object Embeddings {
 
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Rank scored (query_id, score, neighbor_id) candidates into per-query
+    * top-k via the bounded [[graft.functions.TopK]] Aggregator. The
+    * `row_number()` window alternative shuffles and fully SORTS every
+    * candidate of every query; this carries O(k) state per query with
+    * map-side combine, so the shuffle moves k rows per query per map task
+    * instead of the whole candidate set — the difference between a sort of n
+    * rows per query and a single heap pass at a 100 TB corpus. Ordering
+    * (score DESC, neighbor_id ASC) matches the window form exactly.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val agg = new graft.functions.TopK(k)
+    scored.select(col("query_id"), col("score"), col("neighbor_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact brute-force cosine top-k of `vectors` for each row of `queries`
     * (self-matches excluded). Queries are broadcast — they are the small side.
     * Norms are computed once per row, not once per pair (same doubles, ~3×
@@ -46,13 +69,9 @@ object Embeddings {
       l2Norm(col("embedding")).as("q_norm"))
     val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"),
       l2Norm(col("embedding")).as("v_norm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Per-vector nearest-centroid assignment (IVF "index build"): one pass over
@@ -94,15 +113,14 @@ object Embeddings {
       .filter(col("c_rank") <= nProbe)
       .select("query_id", "q_emb", "q_norm", "cent_id")
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    members.join(broadcast(probes), Seq("cent_id"))
+    // Final ranking over the probed buckets via the bounded aggregator; the
+    // probe-selection window above stays a window — it ranks only
+    // numCentroids candidates per query on the broadcast side.
+    val scored = members.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
@@ -120,6 +138,67 @@ object Embeddings {
       .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
         >= threshold)
       .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Multi-probe centroid assignment: each vector lands in its `nAssign`
+    * nearest centroid buckets (vs [[ivfAssign]]'s single argmax). Used as
+    * BLOCKING for near-dup candidate generation — two vectors become a
+    * candidate pair when their probe sets intersect, so widening `nAssign`
+    * trades work for recall. The per-vector window ranks only the
+    * `numCentroids` broadcast candidates, not the corpus.
+    */
+  def ivfMultiAssign(vectors: DataFrame, centroids: DataFrame, nAssign: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cent_id").asc)
+    vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
+      .crossJoin(broadcast(c))
+      .withColumn("score",
+        dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nAssign)
+      .select("vec_id", "cent_id")
+  }
+
+  /** Bucketed embedding near-dup pairs — the 100 TB path, mirroring the
+    * MinHash/LSH shape: candidate pairs are generated by a bucket-local
+    * self-join on the multi-probe centroid assignment (sub-quadratic when
+    * buckets are balanced; a hot bucket is the skew caveat — cap bucket size
+    * or salt), deduped, then verified by the EXACT cosine — so precision is
+    * exact and only recall depends on the blocking. [[cosineNearDupPairs]]
+    * (exact all-pairs) is its recall baseline, measured by
+    * [[ivfNearDupRecall]].
+    */
+  def ivfNearDupPairs(vectors: DataFrame, numCentroids: Int, nAssign: Int,
+                      threshold: Double): DataFrame = {
+    val centroids = vectors.filter(col("vec_id") < numCentroids)
+    val asg = ivfMultiAssign(vectors, centroids, nAssign)
+    val cands = asg.alias("x")
+      .join(asg.alias("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+      l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+      l2Norm(col("embedding")).as("b_norm"))
+    cands.join(a, "vec_a").join(b, "vec_b")
+      .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Pair recall of the bucketed near-dup path vs the exact all-pairs path:
+    * one row of integers (|bucketed ∩ exact|, |exact|).
+    */
+  def ivfNearDupRecall(vectors: DataFrame, numCentroids: Int, nAssign: Int,
+                       threshold: Double): DataFrame = {
+    val exact = cosineNearDupPairs(vectors, threshold)
+    val blocked = ivfNearDupPairs(vectors, numCentroids, nAssign, threshold)
+    exact.alias("e")
+      .join(blocked.alias("l"),
+        col("e.vec_a") === col("l.vec_a") && col("e.vec_b") === col("l.vec_b"), "left")
+      .agg(count(col("l.vec_a")).as("hits"), count(lit(1)).as("total"))
   }
 
   /** Recall of the IVF path vs the exact path: per query, |IVF ∩ exact| and k

@@ -46,11 +46,26 @@ object EmbeddingQueries {
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Embeddings.cosineNearDupPairs(vectors(spark, dir), NearDupThreshold)
 
+  /** Probe width for the bucketed near-dup blocking (top-4 of 16 centroid
+    * buckets per vector).
+    */
+  val NearDupAssign = 4
+
+  def ivfNearDup(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfNearDupPairs(vectors(spark, dir), NumCentroids, NearDupAssign,
+      NearDupThreshold)
+
+  def ivfNearDupRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfNearDupRecall(vectors(spark, dir), NumCentroids, NearDupAssign,
+      NearDupThreshold)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
     "q_ann_recall" -> (ivfRecall _),
-    "q_embed_neardup" -> (cosineNearDup _))
+    "q_embed_neardup" -> (cosineNearDup _),
+    "q_embed_neardup_ivf" -> (ivfNearDup _),
+    "q_embed_neardup_recall" -> (ivfNearDupRecall _))
 
   /** Shared oracle CTEs: double-widened vectors, norms, query set, centroids,
     * and both ranking paths. `list_sum(list_transform(...))` evaluates
@@ -126,5 +141,55 @@ object EmbeddingQueries {
           JOIN nrm na ON na.vec_id = a.vec_id
           JOIN nrm nb ON nb.vec_id = b.vec_id
           WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
-                  / (na.nm * nb.nm) >= $NearDupThreshold""")
+                  / (na.nm * nb.nm) >= $NearDupThreshold""",
+    "q_embed_neardup_ivf" -> (nearDupBase +
+      "SELECT vec_a, vec_b FROM blocked_pairs"),
+    "q_embed_neardup_recall" -> (nearDupBase +
+      """SELECT count(l.vec_a) AS hits, count(*) AS total
+         FROM exact_pairs e
+         LEFT JOIN blocked_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""))
+
+  /** Shared CTEs for the bucketed near-dup oracle: the blocking (top-NAssign
+    * centroid buckets per vector, bucket-local candidate self-join, exact
+    * cosine verify) is mirrored operation-for-operation, so the oracle checks
+    * the bucketed SEMANTICS; `exact_pairs` is the all-pairs baseline the
+    * recall query scores against.
+    */
+  private lazy val nearDupBase =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS (SELECT vec_id,
+                  sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                FROM v),
+        c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
+        massign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM v CROSS JOIN c
+            JOIN nrm nv ON nv.vec_id = v.vec_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn <= $NearDupAssign),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM massign x JOIN massign y
+            ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id),
+        blocked_pairs AS (
+          SELECT c.vec_a, c.vec_b
+          FROM cand c
+          JOIN v a ON a.vec_id = c.vec_a
+          JOIN v b ON b.vec_id = c.vec_b
+          JOIN nrm na ON na.vec_id = c.vec_a
+          JOIN nrm nb ON nb.vec_id = c.vec_b
+          WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                  / (na.nm * nb.nm) >= $NearDupThreshold),
+        exact_pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          JOIN nrm na ON na.vec_id = a.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                  / (na.nm * nb.nm) >= $NearDupThreshold)
+     """
 }

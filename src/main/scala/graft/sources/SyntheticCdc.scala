@@ -88,12 +88,19 @@ object SyntheticCdc {
     * oracle can produce the identical bytes (the string is itself an output
     * column of `token_transfer`).
     */
+  private def argsJson(method: Column, inner: Column): Column =
+    concat(lit("{\"gas\": "), s(col("k")),
+      lit(", \"deposit\": \"0\", \"method_name\": \""), method,
+      lit("\", \"args_json\": {"), inner, lit("}}"))
+
+  private def mintInner(account: Column, amount: Column): Column = concat(
+    lit("\"account_id\": \""), account, lit("\", \"amount\": \""), amount, lit("\""))
+
   private def argsCol(method: Column, account: Column, amount: Column): Column = {
     val inner =
       when(method === "new", concat(
         lit("\"owner_id\": \""), account, lit("\", \"total_supply\": \""), amount, lit("\"")))
-      .when(method === "mint", concat(
-        lit("\"account_id\": \""), account, lit("\", \"amount\": \""), amount, lit("\"")))
+      .when(method === "mint", mintInner(account, amount))
       .when(method === "withdraw", concat(
         lit("\"amount\": \""), amount, lit("\", \"recipient\": \""), account, lit("\"")))
       .when(method === "ft_resolve_transfer", concat(
@@ -101,18 +108,15 @@ object SyntheticCdc {
         lit("\", \"amount\": \""), amount, lit("\"")))
       .otherwise(concat( // ft_transfer and ft_transfer_call
         lit("\"receiver_id\": \""), account, lit("\", \"amount\": \""), amount, lit("\"")))
-    concat(lit("{\"gas\": "), s(col("k")),
-      lit(", \"deposit\": \"0\", \"method_name\": \""), method,
-      lit("\", \"args_json\": {"), inner, lit("}}"))
+    argsJson(method, inner)
   }
 
-  private def actionSelect(b: DataFrame, index: Int, method: Column,
-                           account: Column, amount: Column): DataFrame = b.select(
+  private def actionSelect(b: DataFrame, index: Int, argsC: Column): DataFrame = b.select(
     concat(lit("r"), s(col("event_id"))).as("receipt_id"),
     lit(index).as("index_in_action_receipt"),
     when(col("event_type") === "signup", lit("TRANSFER"))
       .otherwise(lit("FUNCTION_CALL")).as("action_kind"),
-    argsCol(method, account, amount).as("args"),
+    argsC.as("args"),
     concat(lit("user"), s(col("user_id"))).as("receipt_predecessor_account_id"),
     when(col("event_type") === "view", lit("other.token"))
       .otherwise(lit(TokenAddress)).as("receipt_receiver_account_id"),
@@ -125,10 +129,13 @@ object SyntheticCdc {
     * reference up.sql:365-366).
     */
   def actions(b: DataFrame): DataFrame = {
-    val a0 = actionSelect(b, 0, methodCol, cpCol, amtCol)
+    val a0 = actionSelect(b, 0, argsCol(methodCol, cpCol, amtCol))
+    // The secondary action's method is statically 'mint', so its args are
+    // built directly — dispatching argsCol on lit("mint") would evaluate
+    // trivially-true literal comparisons (warning flood in the bench log).
     val a1 = actionSelect(
       b.filter(col("k") % 6 === 0 && col("event_type").isin("purchase", "click")),
-      1, lit("mint"), cp2Col, s(col("k") + 1))
+      1, argsJson(lit("mint"), mintInner(cp2Col, s(col("k") + 1))))
     a0.unionByName(a1)
   }
 

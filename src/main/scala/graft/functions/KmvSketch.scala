@@ -14,59 +14,100 @@ import org.apache.spark.sql.expressions.Aggregator
   * sketch is EXACT (it simply holds them all) — the oracle-checkable regime;
   * the estimating regime is property-tested.
   *
-  * Merge = union of two sorted distinct arrays keeping the k smallest —
+  * Merge = union of two sketches keeping the k smallest distinct values —
   * commutative, associative, duplicate-insensitive — so map-side combine and
   * arbitrary partitioning are safe, and the result is deterministic for a
   * deterministic hash (xxhash64), unlike sampling-based estimators.
   *
-  * Buffer is a sorted `Array[Long]` (binary encoder territory; ≤ k elements),
-  * O(k) memory per group.
+  * Buffer layout: `[n, s, e_0 … e_{n-1}, <spare capacity>]` — n entries at
+  * offsets 2.., the first s of which are a sorted distinct prefix (s == n
+  * right after compaction); inserts append unsorted past the prefix in O(1)
+  * and a sort/dedup/truncate compaction runs only when capacity is exhausted
+  * (capacity grows toward 2k), so a group approaching saturation pays
+  * amortized O(log k) per insert instead of the former O(k) array copy —
+  * O(n·k) over a hot group at 100 TB was the scale bug. A saturated sorted
+  * prefix also short-circuits inserts above the current k-th min without
+  * touching the buffer.
   */
 final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] with Serializable {
   require(k >= 8, "k must be >= 8")
 
-  def zero: Array[Long] = Array.emptyLongArray
+  private val Header = 2
 
-  /** Insert preserving sorted-unsigned order and distinctness, capped at k. */
+  def zero: Array[Long] = new Array[Long](Header + 16) // n = 0, s = 0
+
+  /** Canonical content: sorted distinct entries, truncated to the k smallest
+    * (sign-flipped domain). Exposed for specs/inspection.
+    */
+  def canonical(buf: Array[Long]): Array[Long] = {
+    val n = buf(0).toInt
+    val arr = Arrays.copyOfRange(buf, Header, Header + n)
+    Arrays.sort(arr)
+    var o = 0
+    var i = 0
+    while (i < arr.length) {
+      if (o == 0 || arr(i) != arr(o - 1)) { arr(o) = arr(i); o += 1 }
+      i += 1
+    }
+    if (math.min(o, k) == arr.length) arr else Arrays.copyOf(arr, math.min(o, k))
+  }
+
+  /** Pack a sorted distinct array into buffer form with `spare` append slots. */
+  private def pack(sorted: Array[Long], spare: Int): Array[Long] = {
+    val out = new Array[Long](Header + sorted.length + spare)
+    out(0) = sorted.length
+    out(1) = sorted.length
+    System.arraycopy(sorted, 0, out, Header, sorted.length)
+    out
+  }
+
+  /** O(1) append; compaction (amortized) only when the buffer is full. */
   def reduce(buf: Array[Long], hash: Long): Array[Long] = {
     val key = hash ^ Long.MinValue // flip sign bit: signed order == unsigned order
-    val pos = Arrays.binarySearch(buf, key)
-    if (pos >= 0) buf // duplicate hash — sketch unchanged
-    else {
-      val ins = -pos - 1
-      if (ins >= k) buf // larger than current k-th min: ignore
+    val n = buf(0).toInt
+    val s = buf(1).toInt
+    if (s >= k && key >= buf(Header + s - 1)) buf // ≥ current k-th min: no-op
+    else if (Header + n < buf.length) {
+      buf(Header + n) = key
+      buf(0) = n + 1
+      buf
+    } else {
+      val c = canonical(buf)
+      if (c.length >= k && key >= c(k - 1)) pack(c, math.max(16, k))
       else {
-        val n = math.min(buf.length + 1, k)
-        val out = new Array[Long](n)
-        System.arraycopy(buf, 0, out, 0, ins)
-        out(ins) = key
-        System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+        val out = pack(c, math.min(k, math.max(16, c.length)))
+        out(Header + c.length) = key
+        out(0) = c.length + 1
         out
       }
     }
   }
 
   def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-    val out = new Array[Long](math.min(x.length + y.length, k))
+    val a = canonical(x)
+    val b = canonical(y)
+    val out = new Array[Long](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var o = 0
     var last = 0L; var hasLast = false
-    while (o < out.length && (i < x.length || j < y.length)) {
+    while (o < out.length && (i < a.length || j < b.length)) {
       val v =
-        if (j >= y.length || (i < x.length && x(i) <= y(j))) { val v = x(i); i += 1; v }
-        else { val v = y(j); j += 1; v }
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val v = a(i); i += 1; v }
+        else { val v = b(j); j += 1; v }
       if (!hasLast || v != last) { out(o) = v; o += 1; last = v; hasLast = true }
     }
-    if (o == out.length) out else Arrays.copyOf(out, o)
+    pack(if (o == out.length) out else Arrays.copyOf(out, o), 0)
   }
 
-  def finish(buf: Array[Long]): Long =
-    if (buf.length < k) buf.length.toLong // exact regime
+  def finish(buf: Array[Long]): Long = {
+    val c = canonical(buf)
+    if (c.length < k) c.length.toLong // exact regime
     else {
-      // buf holds sign-flipped hashes, so (v - Long.MinValue) over the double
+      // c holds sign-flipped hashes, so (v - Long.MinValue) over the double
       // line is the unsigned hash value; divide by 2^64 for the fraction.
-      val frac = (buf(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      val frac = (c(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
       math.round((k - 1).toDouble / math.max(frac, Double.MinPositiveValue))
     }
+  }
 
   def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

@@ -52,7 +52,10 @@ object Dedup {
     * sighting's epoch-µs; first sight emits the row and arms the timeout at
     * sighting + window; every sighting (including duplicates) re-arms it.
     * State is evicted by the timeout, i.e. bounded like the reference's
-    * windowed store.
+    * windowed store; a record arriving past the refreshed TTL (by its own
+    * event time, or with the watermark already past the TTL) is treated as
+    * new even when the timeout hasn't fired yet — timeouts only run after a
+    * batch's input rows, so eviction alone would miss the same-batch case.
     *
     * `eventTimeCol` must be a TimestampType column; the input is watermarked
     * here with `delay`. Default [[apply]] stays on the built-in (cheaper
@@ -74,14 +77,27 @@ object Dedup {
         state.remove()
         Iterator.empty
       } else {
+        val watermark = state.getCurrentWatermarkMs()
+        // TTL-lapse edge: input rows are processed BEFORE event-time timeouts
+        // fire within a micro-batch, so a key whose refreshed TTL already
+        // passed the watermark may still carry state here — it is logically
+        // evicted and its next record must count as new, not as a duplicate.
+        var last: Option[Long] = state.getOption.filter(_ + windowMs >= watermark)
         // order within the batch by event time for a deterministic "first"
         val sorted = rows.toSeq.sortBy(_.getTimestamp(timeIdx).getTime)
-        val isNew = !state.exists
-        val latestMs = sorted.map(_.getTimestamp(timeIdx).getTime).max
-        val refreshed = math.max(state.getOption.getOrElse(Long.MinValue), latestMs)
-        state.update(refreshed)
-        state.setTimeoutTimestamp(refreshed + windowMs)
-        if (isNew) Iterator.single(sorted.head) else Iterator.empty
+        val out = Seq.newBuilder[Row]
+        sorted.foreach { r =>
+          val et = r.getTimestamp(timeIdx).getTime
+          // Reference parity (TokenBalance.java:405-415): a record is a
+          // duplicate only while the last sighting lies within the window of
+          // the record's own event time — beyond `last + window` the sighting
+          // no longer masks it, even if eviction hasn't fired yet.
+          if (!last.exists(et <= _ + windowMs)) out += r
+          last = Some(last.fold(et)(math.max(_, et)))
+        }
+        state.update(last.get)
+        state.setTimeoutTimestamp(math.max(last.get + windowMs, watermark + 1))
+        out.result().iterator
       }
     }
 

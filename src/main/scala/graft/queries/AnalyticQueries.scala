@@ -121,6 +121,13 @@ object AnalyticQueries {
     * DECIMAL arithmetic; only the final projection is cast to DOUBLE (one
     * deterministic, correctly-rounded cast in both engines) so the driver's
     * hasher sees the same float64 on both sides.
+    *
+    * Bound on the pattern (here and in q_cube/q_running/q_tumbling/q_sliding):
+    * bit-equality holds while the UNSCALED decimal sum stays below 2^53 —
+    * beyond that DuckDB's hugeint→double→÷10^scale double-rounds where
+    * Spark's BigDecimal.doubleValue rounds once, so a 1-ulp skew is possible.
+    * sf0.1 sums are ~10^9 unscaled, 6 orders below the bound; a much larger
+    * sf oracle run tripping this is a hasher artifact, not a wrong answer.
     */
   def qOuterAgg(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")

@@ -55,4 +55,46 @@ class DedupRefreshTtlSpec extends SparkSpec {
       s"A must emit exactly at t=0 and t=36; got $got")
     assert(got.count(_._1 == "W") === 1 && got.count(_._1 == "W2") === 1)
   }
+
+  /** The same-batch TTL-lapse edge: input rows are processed before event-time
+    * timeouts fire, so a record straddling the eviction boundary must be
+    * recognized as new by comparing against the stored TTL, not by waiting for
+    * eviction. Here B's TTL (t=0..10) has lapsed by the time B re-arrives at
+    * t=12 — in the SAME micro-batch that advances the watermark — and the
+    * reference (TokenBalance.java:405-415) treats it as new: the last sighting
+    * is outside the window of the record's own event time.
+    */
+  test("same-batch TTL lapse: record past the refreshed TTL is new before eviction fires") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val out = Dedup.withRefreshTtl(
+      in.toDF().toDF("id", "ts"), "ts", "5 seconds",
+      windowMs = 10000L, idCols = Seq("id"))
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ttl-ck2").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect().map(r =>
+          (r.getString(0), r.getTimestamp(1).getTime))
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }
+      .start()
+
+    def feed(rows: (String, Timestamp)*): Unit = { in.addData(rows); q.processAllAvailable() }
+
+    feed("B" -> ts(0))                  // new -> emitted; TTL armed to t=10
+    feed("B" -> ts(4))                  // dup -> dropped (within TTL)
+    // One micro-batch containing both the watermark-advancer and the
+    // redelivery: B's state still exists (no timeout has fired), but t=15 is
+    // past the refreshed TTL t=14 -> must emit as new.
+    feed("W" -> ts(25), "B" -> ts(15))
+    q.stop()
+
+    val got = emitted.synchronized(emitted.toList)
+    val bEmits = got.filter(_._1 == "B").map(_._2).sorted
+    assert(bEmits === List(ts(0).getTime, ts(15).getTime),
+      s"B must emit at t=0 and (same-batch lapse) t=15; got $got")
+  }
 }

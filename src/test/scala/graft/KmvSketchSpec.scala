@@ -33,19 +33,41 @@ class KmvSketchSpec extends SparkSpec {
     assert(agg.finish(sketchOf(agg, xs)) === 50L)
   }
 
+  /** Buffers are now an append-log with lazy compaction, so equality is on
+    * [[KmvSketch.canonical]] content (sorted distinct k-min set), not raw
+    * buffer bytes — the canonical form is what merge/finish consume.
+    */
   test("property: duplicate-insensitive and merge-split-invariant") {
     val agg = new KmvSketch(32)
+    def eq(a: Array[Long], b: Array[Long]): Boolean =
+      java.util.Arrays.equals(agg.canonical(a), agg.canonical(b))
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 200L).map(h))
     check(Prop.forAll(gen) { xs: List[Long] =>
       val serial = sketchOf(agg, xs)
       val doubled = sketchOf(agg, xs ++ xs)
       val splitOk = (1 until xs.size).forall { cut =>
         val (l, r) = xs.splitAt(cut)
-        java.util.Arrays.equals(agg.merge(sketchOf(agg, l), sketchOf(agg, r)), serial) &&
-          java.util.Arrays.equals(agg.merge(sketchOf(agg, r), sketchOf(agg, l)), serial)
+        eq(agg.merge(sketchOf(agg, l), sketchOf(agg, r)), serial) &&
+          eq(agg.merge(sketchOf(agg, r), sketchOf(agg, l)), serial)
       }
-      java.util.Arrays.equals(doubled, serial) && splitOk
+      eq(doubled, serial) && splitOk
     })
+  }
+
+  /** The compaction bound: between compactions every insert is an O(1) append
+    * (or an O(1) reject against the saturated prefix); a compaction sorts at
+    * most k + spare ≈ 2k entries and runs at most once per `spare` appends, so
+    * inserts are amortized O(log k). Asserted indirectly: buffers never exceed
+    * 2k + header slots even under heavy duplicate pressure.
+    */
+  test("buffer stays bounded at ~2k under sustained inserts") {
+    val k = 64
+    val agg = new KmvSketch(k)
+    var buf = agg.zero
+    (1L to 10000L).foreach(v => buf = agg.reduce(buf, h(v % 997)))
+    assert(buf.length <= 2 * k + 2, s"buffer grew to ${buf.length}")
+    val est = agg.finish(buf) // estimating regime: 997 distinct, ±3σ ≈ ±38%
+    assert(est > 600 && est < 1400, s"estimate $est for 997 distinct")
   }
 
   test("estimating regime: within ~3 standard errors on 50k distinct values") {

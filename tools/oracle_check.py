@@ -37,7 +37,9 @@ fails = 0
 for name, sql in sorted(oracle.items()):
     try:
         con.sql(f"CREATE OR REPLACE VIEW _spark AS SELECT * FROM '{out}/{name}/*.parquet'")
-        con.sql(f"CREATE OR REPLACE VIEW _oracle AS {sql}")
+        # temp TABLE, not view: the oracle SQL (expensive for the all-pairs
+        # queries) executes once; EXCEPTs and the hash reuse the materialization
+        con.sql(f"CREATE OR REPLACE TEMP TABLE _oracle AS {sql}")
         cols = ', '.join(f'"{c}"' for c in sorted(
             r[0] for r in con.sql("DESCRIBE _spark").fetchall()))
         n_s = con.sql("SELECT count(*) FROM _spark").fetchone()[0]
@@ -46,7 +48,7 @@ for name, sql in sorted(oracle.items()):
         d2 = con.sql(f"SELECT count(*) FROM (SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM _spark)").fetchone()[0]
         try:
             h_s = driver_hash(pd.read_parquet(f'{out}/{name}'))
-            h_o = driver_hash(con.sql(sql).df())
+            h_o = driver_hash(con.table('_oracle').df())
             hash_ok, hash_note = h_s == h_o, ''
         except Exception as e:
             hash_ok, hash_note = False, f' hash_err={type(e).__name__}: {e}'

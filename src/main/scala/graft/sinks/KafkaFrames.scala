@@ -29,12 +29,21 @@ import org.apache.spark.sql.Row
   */
 object KafkaFrames {
 
-  /** Project a result into the Kafka sink frame. */
+  /** Project a result into the Kafka sink frame (JSON value encoding). */
   def toKafkaFrame(df: DataFrame, keyCols: Seq[String], topic: String): DataFrame =
     df.select(
       concat_ws("_", keyCols.map(col): _*).cast("binary").as("key"),
       to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"),
       lit(topic).as("topic"))
+
+  /** Avro-valued sink frame — the reference's wire format (registry-framed
+    * Avro values, Schemas.java:89-122): native `to_avro` when spark-avro is
+    * on the classpath, executable avro-core fallback otherwise. Same (key,
+    * value, topic) shape as [[toKafkaFrame]]; see [[graft.sources.AvroSerde]].
+    */
+  def toKafkaFrameAvro(df: DataFrame, keyCols: Seq[String], topic: String,
+                       registryFraming: Boolean = true, schemaId: Int = 1): DataFrame =
+    graft.sources.AvroSerde.sinkFrame(df, keyCols, topic, registryFraming, schemaId)
 
   /** Streaming writer wiring for a connected deployment (needs the
     * spark-sql-kafka package on the classpath and reachable brokers).

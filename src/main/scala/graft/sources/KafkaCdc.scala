@@ -8,15 +8,16 @@ import org.apache.spark.sql.types.StructType
   *
   * The reference consumes three Debezium-CDC topics with Avro + schema
   * registry serdes (reference: TokenBalance.java:92-114, Schemas.java:27-136,
-  * README.md:22-56). This sandbox has no broker, registry, or spark-avro
-  * module, so the adapter splits into:
+  * README.md:22-56). This sandbox has no broker or registry, so the adapter
+  * splits into:
   *
   *   - [[reader]]: the `readStream` wiring for a connected deployment
   *     (needs the spark-sql-kafka package on the classpath);
-  *   - [[decode]]: the value→columns chain, JSON in the sandbox; in a
-  *     connected deployment the `from_json` becomes
-  *     `from_avro($"value", registrySchemaJson)` — same call shape, which is
-  *     why decode takes the raw (key, value) frame and is batch-testable;
+  *   - [[decode]] / [[decodeAvro]]: the value→columns chain — JSON and
+  *     registry-framed Avro serdes with the same call shape, both
+  *     batch-testable on a raw (key, value) frame. The Avro path probes the
+  *     classpath: native `from_avro` with spark-avro present, executable
+  *     avro-core fallback without ([[AvroSerde]]);
   *   - [[unwrapDebezium]]: the envelope-normalization stage the reference
   *     gets from Connect SMTs (`ExtractNewRecordState`-style flattening,
   *     evidenced by `__deleted` in every value schema). Given raw envelopes
@@ -37,13 +38,22 @@ object KafkaCdc {
       .load()
 
   /** Decode a Kafka-shaped frame's binary/string `value` into typed columns.
-    * The serde boundary of the pipeline: swap `from_json` for `from_avro`
-    * when a schema registry is reachable.
+    * The serde boundary of the pipeline: JSON here, Avro via [[decodeAvro]] —
+    * same call shape, interchangeable per topic.
     */
   def decode(frame: DataFrame, schema: StructType): DataFrame =
     frame
       .select(from_json(col("value").cast("string"), schema).as("r"))
       .select("r.*")
+
+  /** Avro serde variant of [[decode]] — the reference's actual wire format
+    * (registry-framed Avro, Schemas.java:89-136). Dispatches to the native
+    * `from_avro` expression when the spark-avro module is on the classpath,
+    * else to the executable avro-core fallback; see [[AvroSerde]].
+    */
+  def decodeAvro(frame: DataFrame, schema: StructType,
+                 registryFraming: Boolean = true): DataFrame =
+    AvroSerde.decode(frame, schema, registryFraming)
 
   /** Debezium envelope schema for a given row schema. */
   def envelopeSchema(rowSchema: StructType): StructType =
@@ -69,11 +79,19 @@ object KafkaCdc {
   }
 
   /** Full source chain for one CDC topic in a connected deployment:
-    * read → decode envelope → normalize. In the sandbox the same chain runs
-    * from a MemoryStream/batch frame (see the spec).
+    * read → decode envelope (`serde` = "json" | "avro") → normalize. In the
+    * sandbox the same chain runs from a MemoryStream/batch frame (see the
+    * spec); "avro" matches the reference's registry-framed wire format.
     */
   def cdcStream(spark: SparkSession, brokers: String, topic: String,
-                rowSchema: StructType): DataFrame =
-    unwrapDebezium(
-      decode(reader(spark, brokers, topic), envelopeSchema(rowSchema)), rowSchema)
+                rowSchema: StructType, serde: String = "avro"): DataFrame = {
+    val raw = reader(spark, brokers, topic)
+    val env = envelopeSchema(rowSchema)
+    val decoded = serde match {
+      case "json" => decode(raw, env)
+      case "avro" => decodeAvro(raw, env)
+      case other => throw new IllegalArgumentException(s"unknown serde: $other")
+    }
+    unwrapDebezium(decoded, rowSchema)
+  }
 }

@@ -88,12 +88,40 @@ object Embeddings {
       .agg(max_by(col("cent_id"), struct(col("score"), -col("cent_id"))).as("cent_id"))
   }
 
+  /** First-C centroid choice: deterministic and DuckDB-mirrorable, which is
+    * what makes the IVF oracle queries hash-checkable. Centroid QUALITY is the
+    * price — correlated low ids can collapse buckets; [[sampledCentroids]] is
+    * the production alternative.
+    */
+  private def firstCentroids(vectors: DataFrame, numCentroids: Int): DataFrame =
+    vectors.filter(col("vec_id") < numCentroids)
+
+  /** Deterministic-seed sampled centroids — the scale-correct "training"
+    * choice: top-`numCentroids` by a seeded hash of the id. Plans as a
+    * TakeOrdered (per-partition O(C) heap + single driver merge of C·parts
+    * rows, no full sort, no extra shuffle), and the hash decorrelates the
+    * sample from id layout, so bucket balance doesn't depend on how ids were
+    * assigned. Seeded + tie-broken → reproducible run to run. Kept separate
+    * from the first-C variant the oracle queries pin down.
+    */
+  def sampledCentroids(vectors: DataFrame, numCentroids: Int, seed: Int = 17): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .limit(numCentroids)
+
   /** IVF top-k: probe the `nProbe` nearest centroids per query, exact cosine
-    * within the probed buckets only.
+    * within the probed buckets only. First-C centroids (oracle form); the
+    * centroid-parameterized form is [[ivfTopKWith]].
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-              nProbe: Int, k: Int): DataFrame = {
-    val centroids = vectors.filter(col("vec_id") < numCentroids)
+              nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(vectors, queries, firstCentroids(vectors, numCentroids), nProbe, k)
+
+  /** IVF top-k over an explicit centroid set (first-C, sampled, or externally
+    * trained k-means — anything with (vec_id, embedding)).
+    */
+  def ivfTopKWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+                  nProbe: Int, k: Int): DataFrame = {
     val assigned = ivfAssign(vectors, centroids)
     val members = vectors.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
@@ -170,8 +198,12 @@ object Embeddings {
     * [[ivfNearDupRecall]].
     */
   def ivfNearDupPairs(vectors: DataFrame, numCentroids: Int, nAssign: Int,
-                      threshold: Double): DataFrame = {
-    val centroids = vectors.filter(col("vec_id") < numCentroids)
+                      threshold: Double): DataFrame =
+    ivfNearDupPairsWith(vectors, firstCentroids(vectors, numCentroids), nAssign, threshold)
+
+  /** Bucketed near-dup pairs over an explicit centroid set. */
+  def ivfNearDupPairsWith(vectors: DataFrame, centroids: DataFrame, nAssign: Int,
+                          threshold: Double): DataFrame = {
     val asg = ivfMultiAssign(vectors, centroids, nAssign)
     val cands = asg.alias("x")
       .join(asg.alias("y"),
@@ -192,23 +224,47 @@ object Embeddings {
     * one row of integers (|bucketed ∩ exact|, |exact|).
     */
   def ivfNearDupRecall(vectors: DataFrame, numCentroids: Int, nAssign: Int,
-                       threshold: Double): DataFrame = {
-    val exact = cosineNearDupPairs(vectors, threshold)
-    val blocked = ivfNearDupPairs(vectors, numCentroids, nAssign, threshold)
+                       threshold: Double): DataFrame =
+    recallOf(cosineNearDupPairs(vectors, threshold),
+      ivfNearDupPairs(vectors, numCentroids, nAssign, threshold))
+
+  /** Pair recall of an arbitrary blocked pair set vs an exact baseline. */
+  private def recallOf(exact: DataFrame, blocked: DataFrame): DataFrame =
     exact.alias("e")
       .join(blocked.alias("l"),
         col("e.vec_a") === col("l.vec_a") && col("e.vec_b") === col("l.vec_b"), "left")
       .agg(count(col("l.vec_a")).as("hits"), count(lit(1)).as("total"))
+
+  /** Recall measured on a deterministic id-sample — the 100 TB-safe form of
+    * [[ivfNearDupRecall]]: the O(n²) exact baseline runs only on the 1/`mod`
+    * sample (cost shrinks by mod², e.g. mod=2 → 4×), while the bucketed path
+    * under measurement still runs on the FULL corpus; scored pairs are those
+    * with both endpoints sampled. `vec_id % mod` keeps the sample expressible
+    * in the DuckDB oracle (a hash-based sample would not be), and sampled
+    * recall is an unbiased estimate of full recall when blocking errors are
+    * uncorrelated with raw ids — which is exactly what id-blind centroid
+    * blocking gives.
+    */
+  def ivfNearDupRecallSampled(vectors: DataFrame, numCentroids: Int, nAssign: Int,
+                              threshold: Double, mod: Int): DataFrame = {
+    val sample = vectors.filter(pmod(col("vec_id"), lit(mod)) === 0)
+    recallOf(cosineNearDupPairs(sample, threshold),
+      ivfNearDupPairs(vectors, numCentroids, nAssign, threshold))
   }
 
   /** Recall of the IVF path vs the exact path: per query, |IVF ∩ exact| and k
     * (integers — oracle-friendly; global recall = Σhits / Σk).
     */
   def ivfRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-                nProbe: Int, k: Int): DataFrame = {
+                nProbe: Int, k: Int): DataFrame =
+    ivfRecallWith(vectors, queries, firstCentroids(vectors, numCentroids), nProbe, k)
+
+  /** KNN recall over an explicit centroid set (see [[ivfTopKWith]]). */
+  def ivfRecallWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+                    nProbe: Int, k: Int): DataFrame = {
     val exact = knnExact(vectors, queries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfTopK(vectors, queries, numCentroids, nProbe, k)
+    val approx = ivfTopKWith(vectors, queries, centroids, nProbe, k)
       .select(col("query_id"), col("neighbor_id"))
     exact.alias("e")
       .join(approx.alias("a"),

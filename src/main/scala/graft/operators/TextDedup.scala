@@ -94,15 +94,17 @@ object TextDedup {
   }
   private def perm(i: Int): (Long, Long) = (scramble(2L * i), scramble(2L * i + 1))
 
-  /** MinHash signature: numHashes min-values over the shingle hash set.
-    * One aggregation; each signature column is a partial-aggregatable `min`.
+  /** MinHash signature: numHashes min-values over the shingle hash set, plus
+    * the shingle-set size `sz` — ONE aggregation emits both (every column is a
+    * partial-aggregatable min/count), so the candidate-verify stage needs no
+    * second pass over the shingle table for sizes.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val h = pmod(xxhash64(col("shingle")), lit(P31))
     val sigCols = (0 until numHashes).map { i =>
       val (a, b) = perm(i)
       min(pmod(h * a + b, lit(P31))).as(s"mh_$i")
-    }
+    } :+ count(lit(1)).as("sz")
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -125,6 +127,12 @@ object TextDedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Previous invocation's materialized pair result — unpersisted on the next
+    * call, so a long-lived session (Verify/Bench run ~45 queries, min-of-2
+    * timed) holds at most ONE small cached pair table, not one per call.
+    */
+  @volatile private var lastMinhashOut: Option[DataFrame] = None
+
   /** MinHash-LSH near-dup pairs, exact-verified: LSH candidates (sub-quadratic)
     * → exact Jaccard check on just the candidates.
     */
@@ -132,20 +140,21 @@ object TextDedup {
                         thresholdPct: Int, numHashes: Int = 32,
                         rowsPerBand: Int = 4): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // The shingle table feeds FOUR consumers (signatures, sizes, both sides of
-    // the candidate-verify join) — uncached that is four tokenize+explode
-    // passes over the corpus, the dominant cost at scale. The signature table
-    // (one row per doc) likewise feeds both sides of the LSH bucket self-join,
+    lastMinhashOut.foreach(_.unpersist(blocking = false))
+    lastMinhashOut = None
+    // The shingle table feeds THREE consumers (signatures + both sides of the
+    // candidate-verify join) — uncached that is three tokenize+explode passes
+    // over the corpus, the dominant cost at scale. The signature table (one
+    // row per doc, and since it also carries `sz` the only source of sizes)
+    // feeds both sides of the LSH bucket self-join plus the two size lookups,
     // where a one-sided broadcast defeats exchange reuse. Both are cached for
     // the duration of this call only: the (small) pair result is materialized
-    // eagerly and the intermediates unpersisted before returning, so repeated
-    // invocations in a long-lived session (Verify/Bench run ~45 queries in one
-    // SparkSession) do not accumulate cached tables in the block manager.
+    // eagerly and the intermediates unpersisted before returning.
     val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(sh, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val cands = lshCandidatePairs(sigs, numHashes, rowsPerBand)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = sigs.select(col("doc_id"), col("sz"))
       // Candidate pairs joined against the shingle table twice, alias-qualified
       // (the two sides share plan lineage — bare col("shingle") is ambiguous).
       val inter = cands.alias("c")
@@ -161,6 +170,7 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count() // materialize while the intermediates are still cached
+      lastMinhashOut = Some(out)
       out
     } finally {
       sigs.unpersist(blocking = false)

@@ -59,13 +59,23 @@ object EmbeddingQueries {
     Embeddings.ivfNearDupRecall(vectors(spark, dir), NumCentroids, NearDupAssign,
       NearDupThreshold)
 
+  /** Id-sample modulus for the scale-safe recall variant: the exact baseline
+    * runs on the 1/2 sample (4× cheaper), the bucketed path on everything.
+    */
+  val RecallSampleMod = 2
+
+  def ivfNearDupRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfNearDupRecallSampled(vectors(spark, dir), NumCentroids,
+      NearDupAssign, NearDupThreshold, RecallSampleMod)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
     "q_ann_recall" -> (ivfRecall _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
-    "q_embed_neardup_recall" -> (ivfNearDupRecall _))
+    "q_embed_neardup_recall" -> (ivfNearDupRecall _),
+    "q_embed_neardup_recall_sampled" -> (ivfNearDupRecallSampled _))
 
   /** Shared oracle CTEs: double-widened vectors, norms, query set, centroids,
     * and both ranking paths. `list_sum(list_transform(...))` evaluates
@@ -147,7 +157,15 @@ object EmbeddingQueries {
     "q_embed_neardup_recall" -> (nearDupBase +
       """SELECT count(l.vec_a) AS hits, count(*) AS total
          FROM exact_pairs e
-         LEFT JOIN blocked_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""))
+         LEFT JOIN blocked_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    // exact_pairs restricted to both endpoints in the id-sample ≡ all-pairs
+    // over the sample (the cosine predicate is per-pair), so the oracle reuses
+    // the shared CTEs.
+    "q_embed_neardup_recall_sampled" -> (nearDupBase +
+      s"""SELECT count(l.vec_a) AS hits, count(*) AS total
+          FROM (SELECT * FROM exact_pairs
+                WHERE vec_a % $RecallSampleMod = 0 AND vec_b % $RecallSampleMod = 0) e
+          LEFT JOIN blocked_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""))
 
   /** Shared CTEs for the bucketed near-dup oracle: the blocking (top-NAssign
     * centroid buckets per vector, bucket-local candidate self-join, exact

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, col, concat, lit}
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.TokenPipeline
 import graft.schema.NearSchemas
@@ -64,6 +64,30 @@ object NearQueries {
       .select(NearSchemas.tokenTransferColumns.map(col): _*)
   }
 
+  /** The precision-45 escape hatch (SURVEY.md §1.2, §7), driver-checked: the
+    * reference's amounts are `numeric(45,0)` while Spark decimals cap at 38,
+    * so >38-digit exactness is carried as strings through
+    * [[graft.functions.BigIntSum]]. Amounts here are the synthetic transfer
+    * amounts scaled by exactly 10^25 (string concat of 25 zeros → 30-63 digit
+    * values), making per-account sums exceed any 128-bit integer while
+    * remaining DuckDB-expressible: Σ(a·10^25) = (Σa)·10^25, so the oracle is
+    * the HUGEINT head sum with the zeros re-appended as text. The aggregation
+    * itself is a merge-safe typed Aggregator (map-side combine applies) —
+    * shuffles carry one BigInteger per (partition, account), not per row.
+    */
+  def bigintSums(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = transfers(spark, dir)
+    t.filter(col("affected_amount") =!= 0)
+      .select(col("affected_account"),
+        concat(abs(col("affected_amount")).cast("string"), lit("0" * 25)).as("raw"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.BigIntSum.agg.toColumn.name("total_raw"))
+      .toDF("affected_account", "total_raw")
+  }
+
   /** #12-#14: per-account balances with argmax provenance. */
   def balances(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
@@ -78,7 +102,8 @@ object NearQueries {
     "near_dedup" -> ((s: SparkSession, d: String) => longifyDecimals(dedup(s, d))),
     "near_roa_join" -> ((s: SparkSession, d: String) => longifyDecimals(roaJoin(s, d))),
     "near_transfers" -> ((s: SparkSession, d: String) => longifyDecimals(transfers(s, d))),
-    "near_balances" -> ((s: SparkSession, d: String) => longifyDecimals(balances(s, d))))
+    "near_balances" -> ((s: SparkSession, d: String) => longifyDecimals(balances(s, d))),
+    "q_bigint_sum" -> ((s: SparkSession, d: String) => bigintSums(s, d)))
 
   private val C = SyntheticCdc.oracleCtes
 
@@ -132,5 +157,14 @@ object NearQueries {
                         ORDER BY included_in_block_timestamp DESC, index_in_chunk DESC,
                                  receipt_id DESC, index_in_action_receipt DESC) AS rn
                FROM transfers) p
-           ON b.account = p.account AND p.rn = 1"""))
+           ON b.account = p.account AND p.rn = 1"""),
+    // Σ(a·10^25) = (Σa)·10^25 exactly, so the >38-digit string sum equals the
+    // HUGEINT sum of the 10^25-scaled heads with the zeros re-appended.
+    "q_bigint_sum" -> (C +
+      """SELECT affected_account,
+                CAST(SUM(CAST(abs(affected_amount) AS HUGEINT)) AS VARCHAR)
+                  || repeat('0', 25) AS total_raw
+         FROM transfers
+         WHERE affected_amount <> 0
+         GROUP BY affected_account"""))
 }

@@ -45,6 +45,21 @@ object KafkaFrames {
                        registryFraming: Boolean = true, schemaId: Int = 1): DataFrame =
     graft.sources.AvroSerde.sinkFrame(df, keyCols, topic, registryFraming, schemaId)
 
+  /** Strict total-order parity mode (§2 #10): the reference forces the
+    * transfer topic to ONE partition so consumers see global total order
+    * (TokenBalance.java:274-275, README.md topic setup). This emits the sink
+    * frame as a single partition sorted by the reference's ordering key —
+    * `repartition(1)` + `sortWithinPartitions`, then the narrow (order-
+    * preserving) frame projection. A deliberate scale bottleneck, exactly as
+    * in the reference: use the per-key ordering documented above at scale,
+    * this mode when byte-for-byte topic parity matters.
+    */
+  def totalOrderFrame(df: DataFrame, orderCols: Seq[String], keyCols: Seq[String],
+                      topic: String): DataFrame =
+    toKafkaFrame(
+      df.repartition(1).sortWithinPartitions(orderCols.map(col): _*),
+      keyCols, topic)
+
   /** Streaming writer wiring for a connected deployment (needs the
     * spark-sql-kafka package on the classpath and reachable brokers).
     */

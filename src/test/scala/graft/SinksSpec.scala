@@ -77,4 +77,34 @@ class SinksSpec extends SparkSpec {
     val key = new String(one.getAs[Array[Byte]]("key"), "UTF-8")
     assert(key.nonEmpty)
   }
+
+  /** §2 #10 executed, not just documented: the reference's single-partition
+    * transfer topic (TokenBalance.java:274-275) means consumers observe global
+    * total order; the parity mode must emit ONE partition whose rows follow
+    * the strict (block_timestamp, index_in_chunk, index_in_action_receipt)
+    * order.
+    */
+  test("total-order parity: one partition, strict reference ordering") {
+    val transfers = TokenPipeline.transfersFromRaw(TokenFixture.receipts(spark),
+      TokenFixture.outcomes(spark), TokenFixture.actions(spark), TokenFixture.cfg)
+    val ordered = KafkaFrames.totalOrderFrame(transfers,
+      Seq("included_in_block_timestamp", "index_in_chunk", "index_in_action_receipt"),
+      Seq("receipt_id"), "nearin.oct_transfer")
+    assert(ordered.rdd.getNumPartitions === 1)
+
+    // decode the emitted values IN PARTITION ORDER and check the sort key
+    import org.apache.spark.sql.functions.{col, from_json}
+    val keySchema = new org.apache.spark.sql.types.StructType()
+      .add("included_in_block_timestamp", org.apache.spark.sql.types.DecimalType(20, 0))
+      .add("index_in_chunk", org.apache.spark.sql.types.IntegerType)
+      .add("index_in_action_receipt", org.apache.spark.sql.types.IntegerType)
+    val keys = ordered
+      .select(from_json(col("value").cast("string"), keySchema).as("r"))
+      .select("r.*")
+      .collect()
+      .map(r => (BigDecimal(r.getDecimal(0)), r.getInt(1), r.getInt(2)))
+      .toSeq
+    assert(keys.nonEmpty)
+    assert(keys === keys.sorted, "values must arrive in strict total order")
+  }
 }

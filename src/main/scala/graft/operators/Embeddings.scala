@@ -109,6 +109,40 @@ object Embeddings {
       .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
       .limit(numCentroids)
 
+  /** One spherical k-means (Lloyd) refinement pass over an initial centroid
+    * set — the optional "training" step between [[sampledCentroids]] and the
+    * probe path: assign every vector to its max-cosine centroid (one pass,
+    * broadcast centroids), then replace each centroid with the MEAN OF THE
+    * UNIT VECTORS of its members — the direction maximizing the cluster's
+    * summed cosine, so the assignment objective Σᵢ maxᶜ cos(vᵢ, c) is
+    * monotonically non-decreasing (spec-asserted on harness data). Centroids
+    * that attract no members keep their previous position.
+    *
+    * Cost is one broadcast-assign pass plus a posexplode shuffle of n·dim
+    * (cent_id, pos) rows — a deliberate index-BUILD cost, run once (or on a
+    * sample) before the probe path; everything stays codegen'd column
+    * arithmetic, no interpreted lambdas except the O(C·dim) re-assembly.
+    * Results are float-sum order-dependent, so refined centroids feed
+    * production probing, never the hash-checked oracle queries.
+    */
+  def kmeansRefine(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val asg = ivfAssign(vectors, centroids)
+    val refined = vectors
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .join(asg, "vec_id")
+      .select(col("cent_id"), col("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg(avg(col("x") / col("nrm")).as("m"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id").as("vec_id"),
+        expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("emb_new"))
+    centroids.select(col("vec_id"), col("embedding"))
+      .join(refined, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("emb_new"), col("embedding")).as("embedding"))
+  }
+
   /** IVF top-k: probe the `nProbe` nearest centroids per query, exact cosine
     * within the probed buckets only. First-C centroids (oracle form); the
     * centroid-parameterized form is [[ivfTopKWith]].

@@ -46,9 +46,13 @@ object AnalyticQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(price * (lit(1) - disc)).cast(DecimalType(38, 4)).as("sum_disc_price"),
-        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(DecimalType(38, 6)).as("sum_charge"),
+        // exact DECIMAL sums; ONE final correctly-rounded cast to double on
+        // both sides — raw decimal outputs hash as pandas Decimal('…0') vs
+        // DuckDB float64 '…' and mismatch whenever a value carries a trailing
+        // zero at its scale (bit at sf0.001 on q3_topk)
+        sum(price).cast(DecimalType(38, 2)).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast(DecimalType(38, 4)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(DecimalType(38, 6)).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty_e4", expr("(sum_qty * 10000) div count_order"))
   }
@@ -59,7 +63,7 @@ object AnalyticQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
         && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice").cast(D2) * col("l_discount").cast(D2))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DecimalType(38, 4)).cast("double").as("revenue"))
 
   // ------------------------------------------------------------------- joins
 
@@ -73,8 +77,9 @@ object AnalyticQueries {
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast(D2) * (lit(1) - col("l_discount").cast(D2)))
         .cast(DecimalType(38, 4)).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .orderBy(col("revenue").desc, col("l_orderkey")) // rank on the EXACT decimal
       .limit(10)
+      .withColumn("revenue", col("revenue").cast("double"))
   }
 
   /** TPC-H Q5 shape: 6-way join with broadcast dims → per-nation revenue. */
@@ -93,7 +98,7 @@ object AnalyticQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("l_extendedprice").cast(D2) * (lit(1) - col("l_discount").cast(D2)))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DecimalType(38, 4)).cast("double").as("revenue"))
   }
 
   /** Left-semi join (EXISTS): orders having any heavy lineitem. `total` passes
@@ -447,32 +452,33 @@ object AnalyticQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order,
            CAST((SUM(CAST(l_quantity AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_qty_e4
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q6_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
     "q3_topk" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON o_orderkey = l_orderkey
-         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
-           AND l_shipdate > TIMESTAMP '1998-01-01'
-         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         ORDER BY revenue DESC, l_orderkey
-         LIMIT 10""",
+      """SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue AS DOUBLE) AS revenue
+         FROM (SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+               FROM customer JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+                 AND l_shipdate > TIMESTAMP '1998-01-01'
+               GROUP BY l_orderkey, o_orderdate, o_orderpriority
+               ORDER BY revenue DESC, l_orderkey
+               LIMIT 10)""",
     "q5_multijoin" ->
       """SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

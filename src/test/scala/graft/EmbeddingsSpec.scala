@@ -69,4 +69,34 @@ class EmbeddingsSpec extends SparkSpec {
     info(f"recall first-C=$firstC%.3f sampled=$sampled%.3f")
     assert(sampled >= firstC, f"sampled recall $sampled%.3f < first-C $firstC%.3f")
   }
+
+  /** Spherical-Lloyd guarantee: one [[Embeddings.kmeansRefine]] pass cannot
+    * decrease the assignment objective Σᵢ maxᶜ cos(vᵢ, c) — the update step
+    * maximizes each cluster's summed cosine given membership, re-assignment
+    * only improves it. Asserted on the harness embeddings with a float-noise
+    * epsilon (sums are shuffle-order-dependent).
+    */
+  test("kmeansRefine: mean best-cosine is monotonically non-decreasing") {
+    import org.apache.spark.sql.functions.{avg, col, max}
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def meanBestCos(centroids: DataFrame): Double = {
+      val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        Embeddings.l2Norm(col("embedding")).as("c_norm"))
+      vecs001.select(col("vec_id"), col("embedding"),
+          Embeddings.l2Norm(col("embedding")).as("v_norm"))
+        .crossJoin(org.apache.spark.sql.functions.broadcast(c))
+        .withColumn("cos",
+          Embeddings.dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
+        .groupBy("vec_id").agg(max("cos").as("best"))
+        .agg(avg("best")).head.getDouble(0)
+    }
+    val init = Embeddings.sampledCentroids(vecs001, 16)
+    val refined = Embeddings.kmeansRefine(vecs001, init)
+    assert(refined.count() === 16) // empty clusters keep their centroid
+    assert(refined.select("embedding").head.getSeq[Float](0).length === 64)
+    val before = meanBestCos(init)
+    val after = meanBestCos(refined)
+    info(f"mean best-cosine before=$before%.4f after=$after%.4f")
+    assert(after >= before - 1e-9, f"refinement regressed: $after%.4f < $before%.4f")
+  }
 }

@@ -93,6 +93,41 @@ class AvroSerdeSpec extends SparkSpec {
     assert(got === Set(("r1", "false"), ("r2", "false"), ("r3", "false"), ("r1", "true")))
   }
 
+  /** Randomized round-trip: arbitrary unicode strings, nulls in every
+    * nullable slot, and decimals spanning the full DecimalType(38,0) /
+    * (20,0) ranges (including negatives, which exercise the two's-complement
+    * unscaled-bytes encoding) must survive encode → decode bit-exactly.
+    * Raw scalacheck (no scalatestplus bridge — build constraint).
+    */
+  test("property: random rows round-trip through the Avro serde") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genStr = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(24)),
+      Gen.const("späßchen-ünïcode-€"),
+      Gen.const(""))
+    val genOptStr = Gen.oneOf(genStr.map(identity[Any]), Gen.const(null: Any))
+    val genTs = Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)
+      .map(n => new BigDecimal(n))
+    val genRow = for {
+      id <- Gen.alphaNumStr.map(s => "r" + s.take(12))
+      blk <- genOptStr; chk <- genOptStr
+      idx <- Gen.chooseNum(-1000000, 1000000)
+      ts <- genTs
+      pred <- genOptStr; recv <- genOptStr; kind <- genOptStr; tx <- genOptStr
+      del <- Gen.oneOf[Any](null, "true", "false")
+    } yield Row(id, blk, chk, idx, ts, pred, recv, kind, tx, del)
+
+    val prop = Prop.forAll(Gen.listOfN(5, genRow)) { rows =>
+      val df = spark.createDataFrame(rows.asJava, NearSchemas.receipts)
+      val back = AvroSerde.decode(
+        AvroSerde.sinkFrame(df, Seq("receipt_id"), "t", registryFraming = false),
+        NearSchemas.receipts, registryFraming = false)
+      back.collect().toSet == df.collect().toSet
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("classpath probe is deterministic and decode dispatches without error") {
     // In this sandbox only avro core + the Avro file connector are present; a
     // connected deployment's spark-avro jar flips the probe and the same calls

@@ -31,6 +31,9 @@ final class MetricsListener(maxRetained: Int = 1024,
   import MetricsListener._
 
   private val ring = new ConcurrentLinkedQueue[TriggerMetrics]
+  // ConcurrentLinkedQueue.size is O(n); track the count separately so the
+  // per-trigger bound check stays O(1)
+  private val ringSize = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
@@ -49,7 +52,8 @@ final class MetricsListener(maxRetained: Int = 1024,
       watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
       batchDurationMs = p.batchDuration)
     ring.add(m)
-    while (ring.size > maxRetained) ring.poll()
+    if (ringSize.incrementAndGet() > maxRetained && ring.poll() != null)
+      ringSize.decrementAndGet()
     sink(m)
   }
 

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** The scale-killers checklist, executed: every registered query's physical
+  * plan is audited for the structures that break at 100 TB.
+  *
+  *   - `CartesianProductExec` (both sides unbroadcast) is banned outright —
+  *     no registered plan may contain one.
+  *   - `BroadcastNestedLoopJoinExec` (non-equi join against a broadcast side)
+  *     is allowed ONLY in the embedding family, where the broadcast side is
+  *     the small query/centroid set and the non-equi predicate (`<`, `=!=`)
+  *     is the documented all-pairs/probe design; anywhere else it means a
+  *     join key was lost and the plan silently degraded.
+  *
+  * Plans are built and optimized at sf0.001 — the audit inspects structure,
+  * not timing, so the smallest dataset suffices; a broadcast threshold can't
+  * "hide" a cartesian product (that is exactly what CartesianProductExec is
+  * not).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose designs legitimately contain a broadcast nested-loop stage:
+    * exact KNN / all-pairs verification / centroid probing against a BROADCAST
+    * small side (see graft.operators.Embeddings scaladoc).
+    */
+  private val nestedLoopAllowed: Set[String] = Set(
+    "q_knn_topk", "q_ann_topk", "q_ann_recall",
+    "q_embed_neardup", "q_embed_neardup_ivf",
+    "q_embed_neardup_recall", "q_embed_neardup_recall_sampled")
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children ++ p.subqueries).flatMap {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.inputPlan)
+      case c => collectPlan(c)
+    }
+
+  test("no registered plan contains an unbroadcast cartesian product") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      val plan = build(spark, sfDir).queryExecution.executedPlan
+      val cartesians = collectPlan(plan).collect { case c: CartesianProductExec => c }
+      assert(cartesians.isEmpty,
+        s"$name plans a CartesianProduct — both sides unbroadcast, O(n*m) at scale")
+    }
+  }
+
+  test("broadcast nested-loop joins appear only in the documented embedding family") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      val plan = build(spark, sfDir).queryExecution.executedPlan
+      val bnlj = collectPlan(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+      if (!nestedLoopAllowed.contains(name))
+        assert(bnlj.isEmpty,
+          s"$name plans a BroadcastNestedLoopJoin outside the embedding family " +
+            s"— a join key was probably lost: ${bnlj.map(_.joinType)}")
+    }
+  }
+}

@@ -33,11 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_neardup", "q_embed_neardup_ivf",
     "q_embed_neardup_recall", "q_embed_neardup_recall_sampled")
 
-  private def collectPlan(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p.children ++ p.subqueries).flatMap {
-      case a: AdaptiveSparkPlanExec => collectPlan(a.inputPlan)
-      case c => collectPlan(c)
-    }
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(collectPlan)
+  }
 
   test("no registered plan contains an unbroadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
@@ -57,5 +56,44 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a BroadcastNestedLoopJoin outside the embedding family " +
             s"— a join key was probably lost: ${bnlj.map(_.joinType)}")
     }
+  }
+
+  private def scansOf(name: String) = collectPlan(
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+    .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+
+  /** Predicate pushdown reaches the parquet reader: q6 (the pushdown showcase)
+    * must carry its selective filters in the scan's PushedFilters, not apply
+    * them post-scan only.
+    */
+  test("q6_filter pushes its predicates into the parquet scan") {
+    val scan = scansOf("q6_filter").head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"filter on $c not pushed: $pushed")
+    }
+  }
+
+  /** Column pruning reaches the scan: q1_agg touches 7 of lineitem's columns;
+    * reading the rest (notably the wide l_comment) would multiply scan bytes
+    * at 100 TB for nothing.
+    */
+  test("q1_agg scans only the lineitem columns it uses") {
+    val scan = scansOf("q1_agg").head
+    val readCols = scan.schema.fieldNames.toSet
+    assert(readCols.contains("l_quantity") && readCols.contains("l_shipdate"))
+    assert(!readCols.contains("l_comment"), s"unpruned scan: $readCols")
+    assert(readCols.size <= 8, s"scan reads ${readCols.size} columns: $readCols")
+  }
+
+  /** The media metadata query prunes the opaque payload blob: its stats come
+    * from the metadata columns, and dragging the binary through the scan is
+    * the single biggest avoidable cost of a multimodal table.
+    */
+  test("q_media_meta does not scan the binary payload column") {
+    val reads = scansOf("q_media_meta").flatMap(_.schema.fieldNames)
+    assert(reads.nonEmpty)
+    assert(!reads.contains("payload"),
+      s"payload blob scanned by a metadata-only query: $reads")
   }
 }

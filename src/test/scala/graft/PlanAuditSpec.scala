@@ -96,4 +96,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!reads.contains("payload"),
       s"payload blob scanned by a metadata-only query: $reads")
   }
+
+  /** Scalar hot paths must stay inside whole-stage codegen — the graft native
+    * expressions (Fingerprint, Shingles, DotProduct) implement `doGenCode`
+    * precisely so these plans don't fall out of codegen into interpreted
+    * evaluation; a regression there would silently cost ~10-20x on scans.
+    * AQE inserts codegen stages lazily per query stage, so the structural
+    * check compiles with AQE off (the codegen decision itself is identical).
+    */
+  test("scalar/text/fingerprint hot paths plan inside whole-stage codegen") {
+    val key = "spark.sql.adaptive.enabled"
+    val previous = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      Seq("q_text_stats", "q_scalar_funcs", "q_string_funcs", "q_fingerprint_dedup",
+        "q_knn_topk").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        val wscg = collectPlan(plan).collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+        assert(wscg.nonEmpty, s"$name planned with no WholeStageCodegen stage")
+      }
+      // the fingerprint projection itself must be INSIDE a codegen stage, not
+      // interpreted between stages
+      val fpPlan = SparkEntry.queries("q_fingerprint_dedup")(spark, sfDir)
+        .queryExecution.executedPlan
+      val inCodegen = collectPlan(fpPlan).exists {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          w.toString.contains("fingerprint(")
+        case _ => false
+      }
+      assert(inCodegen, "fingerprint() evaluates outside whole-stage codegen")
+    } finally {
+      previous match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -67,13 +67,49 @@ object TextQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
 
+  /** Quality floor for the composed cleaning pipeline: on the harness corpus
+    * English quality spans 2191–6940 (median ~4400) and non-English scores
+    * below 1900, so 3000 exercises both gates without emptying the corpus.
+    */
+  val QualityFloor = 3000
+
+  /** The LLM-training-data use case composed end-to-end as ONE plan —
+    * language gate → quality gate → exact dedup (canonical min-id per content
+    * hash) → MinHash-LSH near-dup removal (drop the higher id of each
+    * verified pair) → surviving docs with their stats. Every stage is one of
+    * the already-oracle-checked operators; the composition shows they chain
+    * without materialization barriers: gates are narrow codegen'd filters
+    * that reach the scan, dedup is one shuffle, and the near-dup stage is the
+    * sub-quadratic banded path — so the whole cleaning pass stays
+    * shuffle-bounded at 100 TB.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val gated = docs(spark, dir).filter(
+      TextFunctions.langId(t) === "en" &&
+      TextFunctions.qualityScoreE4(t) >= QualityFloor)
+    val canon = gated
+      .select(col("doc_id"), md5(t.cast("binary")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    val kept = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nearDupLosers = TextDedup
+      .minhashDedupPairs(kept, "doc_id", "text", n = 3, thresholdPct = 60,
+        numHashes = 32, rowsPerBand = 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreE4(t).as("quality_e4"),
+        TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> (exactDedup _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_text_stats" -> (textStats _),
     "q_fingerprint_dedup" -> (fingerprintDedup _),
-    "q_simhash_pairs" -> (simhashPairs _))
+    "q_simhash_pairs" -> (simhashPairs _),
+    "q_corpus_clean" -> (corpusClean _))
 
   private val jaccardOracle =
     """WITH sh AS (
@@ -142,5 +178,57 @@ object TextQueries {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // composed pipeline: stats gates -> exact dedup -> near-dup removal (the
+    // LSH stage is mirrored by exact Jaccard over the kept set; same
+    // equivalence argument as q_minhash_lsh)
+    "q_corpus_clean" ->
+      s"""WITH stats AS (
+            SELECT doc_id,
+              CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                   WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                   WHEN fr >= es AND fr > 0 THEN 'fr'
+                   WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+              greatest(least(least(n_tokens, 100) * 30
+                + least((en * 40000) // greatest(n_tokens, 1), 4000)
+                - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4,
+              n_tokens
+            FROM (
+              SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS en,
+                len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht)\\b'))::BIGINT AS de,
+                len(regexp_extract_all(text, '\\b(le|les|et|est|dans|une)\\b'))::BIGINT AS fr,
+                len(regexp_extract_all(text, '\\b(el|los|las|y|es|en una)\\b'))::BIGINT AS es
+              FROM documents)
+          ), gated AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN stats s USING (doc_id)
+            WHERE s.lang_id = 'en' AND s.quality_e4 >= $QualityFloor
+          ), canon AS (
+            SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+          ), kept AS (
+            SELECT g.doc_id, g.text FROM gated g JOIN canon c USING (doc_id)
+          ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+                 unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+          ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+          ), losers AS (
+            SELECT DISTINCT i.doc_b AS doc_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.inter * 100 >= 60 * (sa.sz + sb.sz - i.inter)
+          )
+          SELECT k.doc_id, s.quality_e4, s.n_tokens
+          FROM kept k
+          JOIN stats s USING (doc_id)
+          LEFT JOIN losers l USING (doc_id)
+          WHERE l.doc_id IS NULL""")
 }

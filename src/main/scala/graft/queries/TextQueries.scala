@@ -83,23 +83,42 @@ object TextQueries {
     * sub-quadratic banded path — so the whole cleaning pass stays
     * shuffle-bounded at 100 TB.
     */
+  /** Previous invocation's materialized result — see TextDedup.lastMinhashOut
+    * for the lifecycle rationale (bounded cache across a 50-query session).
+    */
+  @volatile private var lastCleanOut: Option[DataFrame] = None
+
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    lastCleanOut.foreach(_.unpersist(blocking = false))
+    lastCleanOut = None
     val t = col("text")
+    // The regex gates (4 language markers + quality counters per doc) are the
+    // expensive scalar work, and THREE consumers read the gated set (content-
+    // hash canon, the shingle build inside the near-dup stage, the final
+    // anti-join side). Cache it for this call so the regexes run once per doc.
     val gated = docs(spark, dir).filter(
       TextFunctions.langId(t) === "en" &&
       TextFunctions.qualityScoreE4(t) >= QualityFloor)
-    val canon = gated
-      .select(col("doc_id"), md5(t.cast("binary")).as("h"))
-      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-    val kept = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-    val nearDupLosers = TextDedup
-      .minhashDedupPairs(kept, "doc_id", "text", n = 3, thresholdPct = 60,
-        numHashes = 32, rowsPerBand = 2)
-      .select(col("doc_b").as("doc_id")).distinct()
-    kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        TextFunctions.qualityScoreE4(t).as("quality_e4"),
-        TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val canon = gated
+        .select(col("doc_id"), md5(t.cast("binary")).as("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      val kept = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      val nearDupLosers = TextDedup
+        .minhashDedupPairs(kept, "doc_id", "text", n = 3, thresholdPct = 60,
+          numHashes = 32, rowsPerBand = 2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val out = kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreE4(t).as("quality_e4"),
+          TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize while `gated` is still cached
+      lastCleanOut = Some(out)
+      out
+    } finally { gated.unpersist(blocking = false); () }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -16,6 +16,29 @@ class TextDedupSpec extends SparkSpec {
   private def docsDf(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  /** The composed cleaning pipeline on a hand-built corpus: every gate and
+    * both dedup stages must fire — verbatim copy removed by the canonical
+    * min-id rule, near-dup removed greedily as the higher id of its verified
+    * pair, German and low-quality docs removed by the gates.
+    */
+  test("corpusClean: gates + exact dedup + near-dup removal compose correctly") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the " +
+      "river in the morning light with a calm and steady pace"
+    val near = good.replace("morning", "evening")
+    val other = "a tall ship sails to the harbor and the crew is glad to see " +
+      "the shore of the island in the warm light of day"
+    val german = "der hund ist nicht das problem und die katze ist auch nicht das problem"
+    val junk = "zzz qqq ;;; !!! ???"
+    val dir = java.nio.file.Files.createTempDirectory("clean-corpus").toString
+    docsDf(1L -> good, 2L -> good, 3L -> near, 4L -> other, 5L -> german, 6L -> junk)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.corpusClean(spark, dir)
+    assert(out.columns.toSeq === Seq("doc_id", "quality_e4", "n_tokens"))
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 4L),
+      s"expected copy(2), near-dup(3), german(5), junk(6) removed; got $survivors")
+  }
+
   test("shingles: docs shorter than n yield zero shingles, no runtime error") {
     val df = docsDf(1L -> "one two", 2L -> "a b c d", 3L -> "x")
     val sh = TextDedup.shingles(df, "doc_id", "text", 3)

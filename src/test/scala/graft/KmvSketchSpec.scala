@@ -80,6 +80,40 @@ class KmvSketchSpec extends SparkSpec {
     assert(err < 3 * rse, s"estimate $est for n=$n, err ${err * 100}%")
   }
 
+  /** The sketch as STREAMING state: a grouped typed aggregation in update
+    * mode carries the buffer through the state store across micro-batches —
+    * the final per-key estimates must equal a one-shot batch aggregation of
+    * the same feed (merge-safety under incremental arrival, buffer encoder
+    * round-trip through state serialization).
+    */
+  test("streaming update-mode aggregation equals batch over the same feed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val agg = new KmvSketch(64)
+    val rows = (1 to 3000).map(i => (s"g${i % 2}", h((i % 431).toLong)))
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val latest = scala.collection.mutable.Map.empty[String, Long]
+    val q = in.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("est"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kmv-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        val updates = b.collect()
+        latest.synchronized { updates.foreach { case (k, v) => latest(k) = v } }
+        ()
+      }
+      .start()
+    rows.grouped(1000).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val batch = rows.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("est")).collect().toMap
+    assert(latest.synchronized(latest.toMap) === batch)
+    // 431 distinct hashes split over 2 groups -> saturated (k=64) estimates
+    assert(batch.values.forall(v => v > 100 && v < 400), s"estimates: $batch")
+  }
+
   test("grouped Dataset aggregation: exact regime matches count_distinct") {
     val agg = new KmvSketch(4096)
     val rows = (1 to 5000).map(i => (s"g${i % 3}", (i % 700).toLong))

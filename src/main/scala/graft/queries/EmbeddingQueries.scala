@@ -68,6 +68,19 @@ object EmbeddingQueries {
     Embeddings.ivfNearDupRecallSampled(vectors(spark, dir), NumCentroids,
       NearDupAssign, NearDupThreshold, RecallSampleMod)
 
+  /** Embedding-space dedup applied, not just detected: survivors after
+    * greedily dropping the higher id of each bucketed-verified near-dup pair
+    * — the embedding twin of the text pipeline's cleaning stage, using the
+    * sub-quadratic blocked path for candidates.
+    */
+  def embedDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val losers = Embeddings
+      .ivfNearDupPairs(v, NumCentroids, NearDupAssign, NearDupThreshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    v.join(losers, Seq("vec_id"), "left_anti").select(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
@@ -75,7 +88,8 @@ object EmbeddingQueries {
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
     "q_embed_neardup_recall" -> (ivfNearDupRecall _),
-    "q_embed_neardup_recall_sampled" -> (ivfNearDupRecallSampled _))
+    "q_embed_neardup_recall_sampled" -> (ivfNearDupRecallSampled _),
+    "q_embed_dedup" -> (embedDedupSurvivors _))
 
   /** Shared oracle CTEs: double-widened vectors, norms, query set, centroids,
     * and both ranking paths. `list_sum(list_transform(...))` evaluates
@@ -165,7 +179,13 @@ object EmbeddingQueries {
       s"""SELECT count(l.vec_a) AS hits, count(*) AS total
           FROM (SELECT * FROM exact_pairs
                 WHERE vec_a % $RecallSampleMod = 0 AND vec_b % $RecallSampleMod = 0) e
-          LEFT JOIN blocked_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""))
+          LEFT JOIN blocked_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    "q_embed_dedup" -> (nearDupBase +
+      """SELECT v.vec_id
+         FROM v
+         LEFT JOIN (SELECT DISTINCT vec_b FROM blocked_pairs) l
+           ON v.vec_id = l.vec_b
+         WHERE l.vec_b IS NULL"""))
 
   /** Shared CTEs for the bucketed near-dup oracle: the blocking (top-NAssign
     * centroid buckets per vector, bucket-local candidate self-join, exact

@@ -286,6 +286,27 @@ object Embeddings {
       ivfNearDupPairs(vectors, numCentroids, nAssign, threshold))
   }
 
+  /** Stream-static ANN serving: an unbounded stream of query vectors probed
+    * per micro-batch against a STATIC corpus — the enrichment/serving shape
+    * (index built once, queries arrive forever). Each trigger runs the
+    * batch [[ivfTopKWith]] plan on that batch's queries: the corpus side is a
+    * static DataFrame (persist it, or pre-materialize `ivfAssign` — nothing
+    * here re-shuffles the corpus per trigger beyond what the batch plan does),
+    * the per-batch query set is small and broadcast, and no streaming state
+    * accrues — `foreachBatch` is the idiomatic stream-static bridge because
+    * the probe's window ranking isn't expressible inside a streaming plan.
+    */
+  def annProbeSink(queryStream: DataFrame, vectors: DataFrame, centroids: DataFrame,
+                   nProbe: Int, k: Int, checkpointDir: String)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) onBatch(ivfTopKWith(vectors, batch.toDF(), centroids, nProbe, k))
+      }
+      .start()
+
   /** Recall of the IVF path vs the exact path: per query, |IVF ∩ exact| and k
     * (integers — oracle-friendly; global recall = Σhits / Σk).
     */

@@ -70,6 +70,39 @@ class EmbeddingsSpec extends SparkSpec {
     assert(sampled >= firstC, f"sampled recall $sampled%.3f < first-C $firstC%.3f")
   }
 
+  /** Stream-static serving parity: query vectors arriving across micro-batches
+    * probed against the static corpus must produce exactly the batch results
+    * for the same query set — per-batch plans see a static index, so no
+    * streaming-state semantics can drift.
+    */
+  test("annProbeSink: streamed queries equal the batch IVF results") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val centroids = corpus.filter(col("vec_id") < 16)
+    val queryIds = Seq(3L, 17L, 31L, 45L)
+    val queryRows = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = Embeddings.annProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), corpus, centroids, nProbe = 4, k = 5,
+      java.nio.file.Files.createTempDirectory("ann-ck").toString) { res =>
+      got.synchronized { got ++= res.as[(Long, Long, Int)].collect() }
+      ()
+    }
+    queryRows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val batch = Embeddings.ivfTopKWith(corpus,
+        corpus.filter(col("vec_id").isin(queryIds: _*)), centroids, nProbe = 4, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    corpus.unpersist()
+    assert(got.synchronized(got.toSet) === batch)
+    assert(batch.map(_._1) === queryIds.toSet)
+  }
+
   /** Spherical-Lloyd guarantee: one [[Embeddings.kmeansRefine]] pass cannot
     * decrease the assignment objective Σᵢ maxᶜ cos(vᵢ, c) — the update step
     * maximizes each cluster's summed cosine given membership, re-assignment

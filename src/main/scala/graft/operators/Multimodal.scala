@@ -58,6 +58,35 @@ object Multimodal {
       }
   }
 
+  final case class MediaFeatures(doc_id: Long, embedding: Array[Float])
+
+  /** Stub feature extraction: payload → fixed-dim float vector, the
+    * embedding-model stand-in that bridges multimodal payloads into the
+    * [[Embeddings]] similarity/dedup operators. Features are 24-bit integers
+    * from the payload's MD5, scaled by 2⁻²⁴ — exactly representable in
+    * float32 AND recomputable in the DuckDB oracle, so downstream cosine
+    * arithmetic is bit-identical across engines. The digest instance is
+    * reused across the partition (the codec-state-amortization shape a real
+    * vision/audio encoder needs); a real model plugs in at exactly this spot
+    * with the same batch semantics.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition reuse
+        it.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val feats = Array.tabulate(5) { i =>
+            java.lang.Integer.parseInt(hex.substring(6 * i, 6 * i + 6), 16).toFloat / 16777216.0f
+          }
+          MediaFeatures(id, feats)
+        }
+      }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_len: Long)
 
   /** Sample `k` evenly-sized frames per payload (last frame takes the

@@ -39,4 +39,24 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeMeta(payloads, "doc_id", "payload", fixed).collect()
     assert(out.forall(m => m.width == 1 && m.height == 2 && m.media_type == "custom/codec"))
   }
+
+  /** Feature extraction: known MD5 ("abc" → 900150983cd24fb0d6963f7d28e17f72)
+    * yields the hand-computed 24-bit-scaled features; identical payloads get
+    * identical vectors; every component is an exact float in [0, 1).
+    */
+  test("extractFeatures: deterministic known value, exact float32 range") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f.embedding).toMap
+    val expected = Seq(0x900150, 0x983cd2, 0x4fb0d6, 0x963f7d, 0x28e17f)
+      .map(v => v.toFloat / 16777216.0f)
+    assert(feats(1L).toSeq === expected)
+    assert(feats(2L).toSeq === feats(1L).toSeq) // same payload, same vector
+    assert(feats(3L).toSeq !== feats(1L).toSeq)
+    assert(feats.values.forall(_.forall(x => x >= 0f && x < 1f)))
+    assert(feats.values.forall(_.length === 5))
+  }
 }

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed: Set[String] = Set(
     "q_knn_topk", "q_ann_topk", "q_ann_recall",
     "q_embed_neardup", "q_embed_neardup_ivf",
-    "q_embed_neardup_recall", "q_embed_neardup_recall_sampled", "q_embed_dedup")
+    "q_embed_neardup_recall", "q_embed_neardup_recall_sampled", "q_embed_dedup",
+    "q_media_neardup")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

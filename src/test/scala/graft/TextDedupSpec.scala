@@ -39,6 +39,27 @@ class TextDedupSpec extends SparkSpec {
       s"expected copy(2), near-dup(3), german(5), junk(6) removed; got $survivors")
   }
 
+  /** Degenerate corpora must not error: an empty table flows through every
+    * stage to an empty result, and an all-identical corpus collapses to one
+    * survivor (canon keeps the min id; the near-dup stage then sees a single
+    * doc and produces no pairs).
+    */
+  test("corpusClean: empty and all-identical corpora") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("clean-empty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$emptyDir/documents.parquet")
+    assert(graft.queries.TextQueries.corpusClean(spark, emptyDir).count() === 0L)
+
+    val sameDir = java.nio.file.Files.createTempDirectory("clean-same").toString
+    val good = "the quick brown fox jumps over the lazy dog and runs to the " +
+      "river in the morning light with a calm and steady pace"
+    docsDf(7L -> good, 3L -> good, 9L -> good)
+      .write.mode("overwrite").parquet(s"$sameDir/documents.parquet")
+    val out = graft.queries.TextQueries.corpusClean(spark, sameDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out === Seq(3L))
+  }
+
   test("shingles: docs shorter than n yield zero shingles, no runtime error") {
     val df = docsDf(1L -> "one two", 2L -> "a b c d", 3L -> "x")
     val sh = TextDedup.shingles(df, "doc_id", "text", 3)

@@ -311,6 +311,22 @@ object AnalyticQueries {
         .cast("double").as("running_total"))
   }
 
+  /** lag/lead navigation on the per-customer order timeline: days since the
+    * previous order and the next order's key (timeline edges as -1, keeping
+    * the output integer-typed on both engines — nullable ints round-trip to
+    * float64 NaN in the driver's pandas hasher).
+    */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)), lit(-1))
+        .cast("long").as("days_since_prev"),
+      coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1))
+        .cast("long").as("next_orderkey"))
+  }
+
   /** lag + cumulative-sum sessionization of the event stream (30-min gap). */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
@@ -431,6 +447,7 @@ object AnalyticQueries {
     "q_cube" -> (qCube _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -540,6 +557,12 @@ object AnalyticQueries {
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          FROM orders""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(coalesce(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1) AS BIGINT) AS days_since_prev,
+           CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_orderkey
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
            g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL

@@ -29,8 +29,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * prefix also short-circuits inserts above the current k-th min without
   * touching the buffer.
   */
-final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] with Serializable {
+/** @param hashBits width of the uniform hash domain the inputs are drawn
+  *        from: 64 for xxhash64 (default); 60 for the md5-derived
+  *        [[graft.operators.TextDedup.tokenHash60]] hashes — the latter make
+  *        the ESTIMATING regime oracle-checkable, since DuckDB can reproduce
+  *        the 60-bit hash but not xxhash64. Only the density normalization in
+  *        [[finish]] depends on it.
+  */
+final class KmvSketch(k: Int, hashBits: Int = 64)
+    extends Aggregator[Long, Array[Long], Long] with Serializable {
   require(k >= 8, "k must be >= 8")
+  require(hashBits >= 32 && hashBits <= 64, "hashBits must be in [32, 64]")
 
   private val Header = 2
 
@@ -103,8 +112,8 @@ final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] with S
     if (c.length < k) c.length.toLong // exact regime
     else {
       // c holds sign-flipped hashes, so (v - Long.MinValue) over the double
-      // line is the unsigned hash value; divide by 2^64 for the fraction.
-      val frac = (c(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      // line is the unsigned hash value; divide by 2^hashBits for the fraction.
+      val frac = (c(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, hashBits)
       math.round((k - 1).toDouble / math.max(frac, Double.MinPositiveValue))
     }
   }

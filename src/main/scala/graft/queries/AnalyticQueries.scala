@@ -233,6 +233,26 @@ object AnalyticQueries {
       .toDF("o_orderstatus", "n_custkeys")
   }
 
+  /** The KMV ESTIMATING regime, driver-checked: distinct users per event type
+    * (150) sketched at k = 64, so the estimator — not the exact fallback —
+    * produces every output. Inputs are the md5-derived 60-bit hashes
+    * ([[graft.operators.TextDedup.tokenHash60]]), which DuckDB reproduces
+    * bit-for-bit, and the estimate is two double divisions both engines
+    * evaluate identically — the one sketch regime the oracle couldn't reach
+    * with xxhash64.
+    */
+  def qKmvEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = new graft.functions.KmvSketch(64, hashBits = 60)
+    t(s, dir, "events")
+      .select(col("event_type"),
+        graft.operators.TextDedup.tokenHash60(col("user_id").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sketch.toColumn.name("est_users"))
+      .toDF("event_type", "est_users")
+  }
+
   /** Correlated scalar subquery, equality-correlated so Catalyst decorrelates
     * it into an aggregate + equi-join (an inequality correlation would plan
     * as a nested-loop over all pairs — the formulation matters at scale).
@@ -456,6 +476,7 @@ object AnalyticQueries {
     "q_pivot" -> (qPivot _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_kmv_estimate" -> (qKmvEstimate _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_topk_agg" -> (qTopkAgg _),
@@ -598,6 +619,23 @@ object AnalyticQueries {
     "q_kmv_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
          FROM orders GROUP BY o_orderstatus""",
+    // the KMV estimator replayed in SQL: k-th smallest distinct 60-bit hash
+    // -> round((k-1) / (h_k / 2^60)); same two double divisions as finish()
+    "q_kmv_estimate" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+           FROM events
+         ), r AS (
+           SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS nd
+           FROM h)
+         SELECT event_type,
+                CASE WHEN nd < 64 THEN nd
+                     ELSE CAST(round(63 / (hv / 1152921504606846976.0)) AS BIGINT)
+                END AS est_users
+         FROM r WHERE rn = least(nd, 64)""",
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_nationkey,
            (SELECT count(*) FROM customer i

@@ -233,6 +233,27 @@ object AnalyticQueries {
       .toDF("o_orderstatus", "n_custkeys")
   }
 
+  /** Skew-salted distinct, driver-checked: the two-shuffle decomposition must
+    * equal the plain `count(DISTINCT …)` — the oracle IS the plain form.
+    */
+  def qSkewDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedDistinctCount(
+      t(s, dir, "events"), "event_type", "user_id", "n_users")
+
+  /** Skew-salted fact⋈dim join, driver-checked: sharding the join key
+    * `saltBuckets` ways (deterministic salt from the order key, dimension
+    * replicated per salt) must reproduce the plain join exactly; aggregated
+    * per nation so the output is scalar and hash-stable.
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+    val sup = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+    graft.operators.Skew.saltedJoin(li, sup, "suppkey", col("l_orderkey"), saltBuckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
   /** The KMV ESTIMATING regime, driver-checked: distinct users per event type
     * (150) sketched at k = 64, so the estimator — not the exact fallback —
     * produces every output. Inputs are the md5-derived 60-bit hashes
@@ -477,6 +498,8 @@ object AnalyticQueries {
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_estimate" -> (qKmvEstimate _),
+    "q_skew_distinct" -> (qSkewDistinct _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_topk_agg" -> (qTopkAgg _),
@@ -636,6 +659,14 @@ object AnalyticQueries {
                      ELSE CAST(round(63 / (hv / 1152921504606846976.0)) AS BIGINT)
                 END AS est_users
          FROM r WHERE rn = least(nd, 64)""",
+    "q_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+    "q_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_nationkey,
            (SELECT count(*) FROM customer i

@@ -111,9 +111,14 @@ final class KmvSketch(k: Int, hashBits: Int = 64)
     val c = canonical(buf)
     if (c.length < k) c.length.toLong // exact regime
     else {
-      // c holds sign-flipped hashes, so (v - Long.MinValue) over the double
-      // line is the unsigned hash value; divide by 2^hashBits for the fraction.
-      val frac = (c(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, hashBits)
+      // c holds sign-flipped hashes; flip back FIRST so the unsigned hash is
+      // recovered exactly before widening — rounding the 2^63-magnitude
+      // flipped value first (ulp 1024) and subtracting Long.MinValue as a
+      // double can land ~512/2^hashBits away from the oracle's direct
+      // BIGINT→DOUBLE conversion and flip round() on near-half estimates.
+      // Exact for hashBits <= 62; for 64-bit hashes the double round-off is
+      // inherent (and below the sketch's own error) either way.
+      val frac = (c(k - 1) ^ Long.MinValue).toDouble / math.pow(2.0, hashBits)
       math.round((k - 1).toDouble / math.max(frac, Double.MinPositiveValue))
     }
   }

@@ -43,60 +43,78 @@ object Dedup {
     if (df.isStreaming) withinWatermark(df, eventTimeCol, delay, idCols)
     else exact(df, idCols)
 
-  /** Exact parity with the reference's refresh-on-duplicate TTL extension
-    * (TokenBalance.java:416-418): a duplicate sighting REFRESHES the stored
-    * timestamp, so a key that keeps re-arriving stays deduplicated
-    * indefinitely — `dropDuplicatesWithinWatermark` instead evicts at a fixed
-    * horizon after first sight. Implemented as a custom stateful operator
-    * (`flatMapGroupsWithState`, event-time timeout): state is the latest
-    * sighting's epoch-µs; first sight emits the row and arms the timeout at
-    * sighting + window; every sighting (including duplicates) re-arms it.
-    * State is evicted by the timeout, i.e. bounded like the reference's
-    * windowed store; a record arriving past the refreshed TTL (by its own
-    * event time, or with the watermark already past the TTL) is treated as
-    * new even when the timeout hasn't fired yet — timeouts only run after a
-    * batch's input rows, so eviction alone would miss the same-batch case.
+  /** Exact parity with the reference's refresh-on-duplicate dedup transformer
+    * (TokenBalance.java:369-427). Reference semantics, modeled exactly:
+    *
+    *   - `left = window/2`, `right = window - left`
+    *     (TokenBalance.java:381-382);
+    *   - a record at event time `t` is a duplicate iff ANY prior sighting of
+    *     its id lies in the symmetric fetch range `[t - left, t + right]`
+    *     (TokenBalance.java:405-415);
+    *   - EVERY record — emitted or duplicate — adds a sighting at its own
+    *     timestamp to the window store (TokenBalance.java:395-401,417-423),
+    *     which is how chained redeliveries keep a key masked indefinitely
+    *     while each gap stays under `left`;
+    *   - sightings are retained until store retention lapses
+    *     (TokenBalance.java:82-90; 3-day retention vs 60-min window).
+    *
+    * Implemented as `flatMapGroupsWithState` with event-time timeout: state is
+    * the sorted list of sighting timestamps (epoch-ms) still able to mask an
+    * on-time record — a sighting `s` masks `t ∈ [s - right, s + left]`, and
+    * Spark drops input older than the watermark, so `s` is dropped from state
+    * once `s + left < watermark` (the watermark plays the reference's
+    * retention role, applied at the earliest moment it is safe). The masking
+    * decision itself is purely event-time, never watermark-dependent, so
+    * eviction ordering within a batch cannot change results. Per-key state is
+    * O(sightings within `left` of the watermark) — the same bound as the
+    * reference's window-store segments. Within a micro-batch, rows are
+    * processed in event-time order (a Spark batch has no arrival order; the
+    * reference processes in per-partition offset order — identical whenever
+    * redelivery preserves time order, deterministic here either way).
     *
     * `eventTimeCol` must be a TimestampType column; the input is watermarked
     * here with `delay`. Default [[apply]] stays on the built-in (cheaper
-    * state, same results when redelivery gaps are shorter than the window —
-    * the common case); use this when exact reference TTL semantics matter.
+    * state, same results when redelivery gaps are shorter than `left` —
+    * the common case); use this when exact reference semantics matter.
     */
   def withRefreshTtl(df: DataFrame, eventTimeCol: String, delay: String,
                      windowMs: Long, idCols: Seq[String]): DataFrame = {
+    require(windowMs >= 1, "maintain duration per event must be >= 1") // TokenBalance.java:378-380
     val spark = df.sparkSession
     import spark.implicits._
     implicit val rowEnc: ExpressionEncoder[Row] = ExpressionEncoder(df.schema)
 
+    val leftMs = windowMs / 2
+    val rightMs = windowMs - leftMs
     val timeIdx = df.schema.fieldIndex(eventTimeCol)
     val idIdxs = idCols.map(df.schema.fieldIndex)
 
     def process(key: String, rows: Iterator[Row],
-                state: GroupState[Long]): Iterator[Row] = {
+                state: GroupState[Seq[Long]]): Iterator[Row] = {
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty
       } else {
         val watermark = state.getCurrentWatermarkMs()
-        // TTL-lapse edge: input rows are processed BEFORE event-time timeouts
-        // fire within a micro-batch, so a key whose refreshed TTL already
-        // passed the watermark may still carry state here — it is logically
-        // evicted and its next record must count as new, not as a duplicate.
-        var last: Option[Long] = state.getOption.filter(_ + windowMs >= watermark)
+        // Retention: a sighting can only mask an on-time record (t >= wm)
+        // while s + left >= wm; older sightings are dead weight.
+        var sightings =
+          state.getOption.getOrElse(Seq.empty).filter(_ + leftMs >= watermark)
         // order within the batch by event time for a deterministic "first"
         val sorted = rows.toSeq.sortBy(_.getTimestamp(timeIdx).getTime)
         val out = Seq.newBuilder[Row]
         sorted.foreach { r =>
           val et = r.getTimestamp(timeIdx).getTime
-          // Reference parity (TokenBalance.java:405-415): a record is a
-          // duplicate only while the last sighting lies within the window of
-          // the record's own event time — beyond `last + window` the sighting
-          // no longer masks it, even if eviction hasn't fired yet.
-          if (!last.exists(et <= _ + windowMs)) out += r
-          last = Some(last.fold(et)(math.max(_, et)))
+          val dup = sightings.exists(s => s >= et - leftMs && s <= et + rightMs)
+          if (!dup) out += r
+          // duplicates record a sighting too (TokenBalance.java:417-423)
+          if (!sightings.contains(et)) sightings = sightings :+ et
         }
-        state.update(last.get)
-        state.setTimeoutTimestamp(math.max(last.get + windowMs, watermark + 1))
+        if (sightings.isEmpty) state.remove()
+        else {
+          state.update(sightings.sorted)
+          state.setTimeoutTimestamp(math.max(sightings.max + leftMs, watermark + 1))
+        }
         out.result().iterator
       }
     }

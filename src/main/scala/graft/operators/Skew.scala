@@ -48,5 +48,8 @@ object Skew {
     df.select(col(key), col(value))
       .distinct() // shuffle on (key, value) — hot key spreads over buckets
       .groupBy(col(key))
-      .agg(count(lit(1)).as(resultName))
+      // count(value) skips the surviving (key, NULL) row, matching
+      // count(DISTINCT value)'s NULL semantics, while an all-NULL key still
+      // yields its group row with count 0.
+      .agg(count(col(value)).as(resultName))
 }

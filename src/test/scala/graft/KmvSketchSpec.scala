@@ -125,4 +125,21 @@ class KmvSketchSpec extends SparkSpec {
     val exact = rows.distinct.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).distinct.size.toLong }
     assert(viaSketch === exact)
   }
+
+  /** Regression (ADVICE r4): the estimator must recover the unsigned hash
+    * EXACTLY before widening to double. The old path rounded the sign-flipped
+    * long at 2^63 magnitude (ulp 1024) first — for the k-th min 512 that
+    * rounds to 0 or 1024 before normalization, a 2x-or-worse estimate error —
+    * while the DuckDB oracle converts the raw hash directly. hashBits = 60
+    * keeps hashes ≤ 2^60, where the flip-back is exactly representable.
+    */
+  test("estimating regime is bit-identical to direct unsigned widening (hashBits = 60)") {
+    val k = 8
+    val agg = new KmvSketch(k, hashBits = 60)
+    val hashes = (1L to 7L) :+ 512L // k distinct; k-th min = 512
+    val est = agg.finish(sketchOf(agg, hashes ++ hashes))
+    val expected = math.round((k - 1).toDouble / (512.0 / math.pow(2.0, 60)))
+    assert(est === expected)
+    assert(est === (7L << 51), s"7 / (512 / 2^60) must be exact; got $est")
+  }
 }

@@ -35,4 +35,18 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(got === expected)
   }
+
+  test("saltedDistinctCount NULL semantics match count(DISTINCT): NULLs ignored, all-NULL key kept at 0") {
+    val withNulls = Seq(
+      ("a", Some("x")), ("a", Some("x")), ("a", None), // NULL must not count
+      ("b", None), ("b", None)                         // all-NULL key -> row with 0
+    ).toDF("key", "payload")
+    val expected = withNulls.groupBy("key")
+      .agg(count_distinct(col("payload")).as("n"))
+      .as[(String, Long)].collect().toSet
+    val got = Skew.saltedDistinctCount(withNulls, "key", "payload", "n")
+      .as[(String, Long)].collect().toSet
+    assert(got === expected)
+    assert(got === Set(("a", 1L), ("b", 0L)))
+  }
 }

@@ -83,42 +83,35 @@ object TextQueries {
     * sub-quadratic banded path — so the whole cleaning pass stays
     * shuffle-bounded at 100 TB.
     */
-  /** Previous invocation's materialized result — see TextDedup.lastMinhashOut
-    * for the lifecycle rationale (bounded cache across a 50-query session).
-    */
-  @volatile private var lastCleanOut: Option[DataFrame] = None
-
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    lastCleanOut.foreach(_.unpersist(blocking = false))
-    lastCleanOut = None
     val t = col("text")
-    // The regex gates (4 language markers + quality counters per doc) are the
-    // expensive scalar work, and THREE consumers read the gated set (content-
-    // hash canon, the shingle build inside the near-dup stage, the final
-    // anti-join side). Cache it for this call so the regexes run once per doc.
-    val gated = docs(spark, dir).filter(
-      TextFunctions.langId(t) === "en" &&
-      TextFunctions.qualityScoreE4(t) >= QualityFloor)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val canon = gated
-        .select(col("doc_id"), md5(t.cast("binary")).as("h"))
-        .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      val kept = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-      val nearDupLosers = TextDedup
-        .minhashDedupPairs(kept, "doc_id", "text", n = 3, thresholdPct = 60,
-          numHashes = 32, rowsPerBand = 2)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val out = kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          TextFunctions.qualityScoreE4(t).as("quality_e4"),
-          TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize while `gated` is still cached
-      lastCleanOut = Some(out)
-      out
-    } finally { gated.unpersist(blocking = false); () }
+    // Fully lazy: the gated set (scan + regex gates) appears under several
+    // consumers (content-hash canon, the near-dup stage's shingle build, the
+    // final anti-join side), but each consumer prunes it to a narrow
+    // projection of a parallel no-shuffle scan, and AQE's query-stage reuse
+    // dedupes the identical ones at runtime — measured faster end-to-end than
+    // persisting the gated set and choreographing cache fills/releases. The
+    // output stats are carried as columns from the first projection so no
+    // consumer re-derives them.
+    val gated = docs(spark, dir)
+      .select(col("doc_id"), t,
+        TextFunctions.qualityScoreE4(t).as("quality_e4"),
+        TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+      .filter(TextFunctions.langId(t) === "en" && col("quality_e4") >= QualityFloor)
+    // Canonical min-id per content hash over the RAW scan: exact copies share
+    // their text, so they pass or fail the (text-deterministic) gates as one
+    // group and the min-id per hash is the same computed before or after
+    // gating — this branch therefore needs no regex work at all.
+    val canon = docs(spark, dir)
+      .select(col("doc_id"), md5(t.cast("binary")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    val kept = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nearDupLosers = TextDedup
+      .minhashDedupPairs(kept, "doc_id", "text", n = 3,
+        thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_e4"), col("n_tokens"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -198,9 +191,18 @@ object TextQueries {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-    // composed pipeline: stats gates -> exact dedup -> near-dup removal (the
-    // LSH stage is mirrored by exact Jaccard over the kept set; same
-    // equivalence argument as q_minhash_lsh)
+    // composed pipeline: stats gates -> exact dedup -> near-dup removal. The
+    // LSH stage is mirrored by exact Jaccard over the kept set, so this
+    // equivalence is PROBABILISTIC, not structural (unlike q_simhash_pairs's
+    // pigeonhole-exact banding): 16 bands x 2 rows catch a true pair at
+    // Jaccard J with probability 1-(1-J²)^16 — ≈ 1-2·10⁻¹² at the corpus's
+    // planted near-dups (J ≥ 0.9) but only ≈ 1-8·10⁻⁴ for a hypothetical
+    // pair sitting exactly at the 0.6 threshold. The gate is deterministic
+    // on THIS corpus because the generator plants near-dups at J ≥ 0.9 with
+    // the next tier below 0.3 (no threshold-straddling pairs exist at any
+    // sf); a new data drop would need the same property, or a higher band
+    // count (e.g. 64 hashes x 2 rows: miss ≈ 6·10⁻⁷ at J = 0.6) at roughly
+    // 2x the candidate volume. Same argument, verbatim, for q_minhash_lsh.
     "q_corpus_clean" ->
       s"""WITH stats AS (
             SELECT doc_id,

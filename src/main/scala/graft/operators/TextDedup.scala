@@ -80,19 +80,12 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
-  /** Universal-hash family over the 31-bit Mersenne prime, params derived by a
-    * splitmix-style scramble of the hash index. 31-bit operands keep every
-    * intermediate below 2^62 — ANSI-safe (Spark 4 raises on Long overflow, so
-    * the classic wraparound 64-bit family is not usable in an expression).
+  /** Universal-hash family over the 31-bit Mersenne prime — shared with the
+    * per-row [[graft.functions.MinHashSigExpression]] (streaming probe side)
+    * via [[graft.functions.MinHashFamily]] so both draw identical parameters.
     */
-  private val P31 = 2147483647L // 2^31 - 1
-  private def scramble(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    ((z ^ (z >>> 31)) & Long.MaxValue) % (P31 - 1) + 1
-  }
-  private def perm(i: Int): (Long, Long) = (scramble(2L * i), scramble(2L * i + 1))
+  private val P31 = graft.functions.MinHashFamily.P31
+  private def perm(i: Int): (Long, Long) = graft.functions.MinHashFamily.perm(i)
 
   /** MinHash signature: numHashes min-values over the shingle hash set, plus
     * the shingle-set size `sz` — ONE aggregation emits both (every column is a
@@ -122,17 +115,26 @@ object TextDedup {
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** (band, bucket) key structs from per-function signature columns —
+    * `mh(i)` supplies the i-th min-hash value. Shared by the batch banding
+    * (named `mh_i` columns) and the streaming probe (`element_at` on the
+    * signature array) so both sides hash into IDENTICAL buckets.
+    */
+  private def bandStructs(mh: Int => Column, numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    val numBands = numHashes / rowsPerBand
+    (0 until numBands).map { bnd =>
+      val members = (0 until rowsPerBand).map(r => mh(bnd * rowsPerBand + r))
+      struct(lit(bnd).as("band"), xxhash64(concat_ws("_", members: _*)).as("bucket"))
+    }
+  }
+
   /** LSH banding: hash `rowsPerBand` signature values per band into a bucket
     * key; docs sharing any (band, bucket) become candidate pairs.
     */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { bnd =>
-      val members = (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), xxhash64(concat_ws("_", members: _*)).as("bucket"))
-    }
     val banded = signatures
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"),
+        explode(array(bandStructs(i => col(s"mh_$i"), numHashes, rowsPerBand): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -177,6 +179,66 @@ object TextDedup {
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .filter(col("inter") * 100 >= lit(thresholdPct) * (col("size_a") + col("size_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+  }
+
+  /** Static LSH index over a reference corpus, for stream probing: one row
+    * per (band, bucket) membership carrying the doc's size and distinct
+    * shingle-hash set. Build once per corpus snapshot; at scale, write it
+    * bucketed by (band, bucket) so probe joins co-locate without a shuffle
+    * of the index side.
+    */
+  def lshBandedIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                     numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(shingles(docs, idCol, textCol, n), numHashes,
+      withShingleSet = true)
+    sigs.select(col("doc_id"), col("sz"), col("sh_set"),
+        explode(array(bandStructs(i => col(s"mh_$i"), numHashes, rowsPerBand): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sz"), col("sh_set"))
+  }
+
+  /** Streaming near-dup probe: for every arriving document, emit its verified
+    * near-dup matches against a static corpus index ([[lshBandedIndex]]) —
+    * the ingest-time "is this already in my training set" shape.
+    *
+    * Fully narrow until the bucket join: the per-doc signature + hash set
+    * come from the native [[graft.functions.MinHashSigExpression]] (a
+    * mid-pipeline explode/groupBy aggregation would not be expressible in an
+    * append-mode streaming plan, and would shuffle besides), banding is an
+    * `element_at` projection, and the stream-static equi-join on
+    * (band, bucket) needs no watermark or state for the join itself. Each
+    * candidate is exact-verified in place via `array_intersect` against the
+    * index row's carried set. A pair agreeing on several bands emits once:
+    * duplicates are dropped within the watermark horizon (bounded state).
+    * Docs with no shingles (< n tokens) are filtered — an empty set is not a
+    * near-dup of anything. Self-matches (probe id present in the index) pass
+    * through at Jaccard 1; callers that re-probe their own corpus filter ids.
+    */
+  def nearDupProbeStream(stream: DataFrame, idCol: String, textCol: String,
+                         eventTimeCol: String, delay: String, index: DataFrame,
+                         n: Int, thresholdPct: Int, numHashes: Int = 32,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val mh = graft.functions.MinHashSigExpression
+      .minhashSig(graft.functions.ShinglesExpression.shingles(col(textCol), n), numHashes)
+    val enriched = stream
+      .select(col(idCol).as("probe_id"), col(eventTimeCol).as("__et"), mh.as("mh"))
+      .select(col("probe_id"), col("__et"), col("mh.sig").as("sig"),
+        col("mh.set").as("probe_set"), size(col("mh.set")).cast("long").as("probe_sz"))
+      .filter(col("probe_sz") > 0)
+    val banded = enriched
+      .select(col("probe_id"), col("__et"), col("probe_set"), col("probe_sz"),
+        explode(array(bandStructs(i => element_at(col("sig"), i + 1),
+          numHashes, rowsPerBand): _*)).as("bb"))
+      .select(col("probe_id"), col("__et"), col("probe_set"), col("probe_sz"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.join(index, Seq("band", "bucket"))
+      .withColumn("inter", size(array_intersect(col("probe_set"), col("sh_set"))).cast("long"))
+      .filter(col("inter") * 100 >= lit(thresholdPct) * (col("probe_sz") + col("sz") - col("inter")))
+      .select(col("probe_id"), col("__et").as(eventTimeCol),
+        col("doc_id").as("match_id"), col("inter"),
+        col("probe_sz").as("size_probe"), col("sz").as("size_match"))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("probe_id", "match_id"))
   }
 
   /** Merge-safe SimHash: per 64 bit positions, sum ±1 weighted by token-hash

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{FingerprintExpression, TextFunctions}
+import graft.functions.{FingerprintExpression, ShinglesExpression, TextFunctions}
 import graft.operators.TextDedup
 import graft.sources.Tables
 
@@ -114,7 +114,69 @@ object TextQueries {
       .select(col("doc_id"), col("quality_e4"), col("n_tokens"))
   }
 
+  /** Within-document repetition (the Gopher-style duplicate-n-gram quality
+    * signal): fraction of repeated word 3-grams per doc as an exact ×10⁴
+    * integer. Purely narrow codegen work (native shingle expression +
+    * `array_distinct`) — zero shuffles at any corpus size.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val sh = ShinglesExpression.shingles(col("text"), 3)
+    val total = size(sh).cast("long")
+    val dist = size(array_distinct(sh)).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"),
+      total.as("n_shingles"),
+      dist.as("n_distinct"),
+      floor(((total - dist) * 10000L) / greatest(total, lit(1L)))
+        .cast("long").as("repetition_e4"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing: count and redact email addresses and phone-shaped numbers.
+    * The synthetic corpus carries no natural PII, so the query plants a
+    * deterministic contact string derived from `doc_id` (identically in the
+    * oracle) and then scrubs it — the patterns stay in the regex subset where
+    * Java regex and RE2 agree. Narrow per-row work, no shuffle.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(withPii, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(withPii, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(withPii, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
+  }
+
+  /** Overlapping token-window chunking (context-window preparation): 16-token
+    * chunks at stride 8, the tail chunk truncated. One narrow explode — the
+    * 1→N fan-out never shuffles, so it composes with any downstream
+    * repartitioning at scale.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val S = 8
+    val toks = split(col("text"), " ")
+    val chunk = slice(col("t"), (col("k") * S + 1).cast("int"), lit(W))
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"),
+        explode(sequence(lit(0L),
+          ceil(greatest(size(toks).cast("long") - W, lit(0L)) / lit(S.toDouble))
+            .cast("long"))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).cast("long").as("n_chunk_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (repetition _),
+    "q_pii_scrub" -> (piiScrub _),
+    "q_doc_chunks" -> (docChunks _),
     "q_exact_dedup" -> (exactDedup _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_minhash_lsh" -> (minhashLsh _),
@@ -140,6 +202,40 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   val oracleSql: Map[String, String] = Map(
+    // left join keeps zero-shingle docs (< 3 tokens) at 0, as size() does
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM tok, unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)),
+         agg AS (
+           SELECT doc_id, count(*)::BIGINT AS n_shingles, count(DISTINCT s)::BIGINT AS n_distinct
+           FROM sh GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(a.n_shingles, 0) AS n_shingles,
+              coalesce(a.n_distinct, 0) AS n_distinct,
+              coalesce((a.n_shingles - a.n_distinct) * 10000 // greatest(a.n_shingles, 1), 0) AS repetition_e4
+       FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "q_pii_scrub" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           FROM documents)
+       SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+              len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+              regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+       FROM pii""",
+    "q_doc_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       SELECT doc_id, k AS chunk_idx,
+              array_to_string(t[k*8+1 : k*8+16], ' ') AS chunk_text,
+              len(t[k*8+1 : k*8+16])::BIGINT AS n_chunk_tokens
+       FROM tok, unnest(generate_series(0, CAST(ceil(greatest(len(t)-16, 0) / 8.0) AS BIGINT))) AS u(k)""",
     "q_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",

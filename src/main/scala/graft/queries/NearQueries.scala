@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, col, concat, lit}
+import org.apache.spark.sql.functions.{abs, col, concat, greatest, least, length, lit, substr, sum, when}
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.TokenPipeline
 import graft.schema.NearSchemas
@@ -66,26 +66,38 @@ object NearQueries {
 
   /** The precision-45 escape hatch (SURVEY.md §1.2, §7), driver-checked: the
     * reference's amounts are `numeric(45,0)` while Spark decimals cap at 38,
-    * so >38-digit exactness is carried as strings through
-    * [[graft.functions.BigIntSum]]. Amounts here are the synthetic transfer
-    * amounts scaled by exactly 10^25 (string concat of 25 zeros → 30-63 digit
-    * values), making per-account sums exceed any 128-bit integer while
-    * remaining DuckDB-expressible: Σ(a·10^25) = (Σa)·10^25, so the oracle is
-    * the HUGEINT head sum with the zeros re-appended as text. The aggregation
-    * itself is a merge-safe typed Aggregator (map-side combine applies) —
-    * shuffles carry one BigInteger per (partition, account), not per row.
+    * so >38-digit exactness is carried as digit strings. Amounts here are the
+    * synthetic transfer amounts scaled by exactly 10^25 (string concat of 25
+    * zeros → 30-63 digit values), making per-account sums exceed any 128-bit
+    * integer while remaining DuckDB-expressible: Σ(a·10^25) = (Σa)·10^25, so
+    * the oracle is the HUGEINT head sum with the zeros re-appended as text.
+    *
+    * SCALE path (round 5): each digit string splits into hi/mid/lo parts of
+    * ≤27/18/18 digits, summed as three NATIVE decimal aggregates — fully
+    * codegen'd, Tungsten map-side combine, zero per-row object allocation —
+    * and [[graft.functions.WideSumTotal]] recombines with ONE BigInteger op
+    * per group. The [[graft.functions.BigIntSum]] Aggregator remains the
+    * general API (arbitrary magnitude, streaming state); `BigIntSumSpec`
+    * cross-checks the two paths value-for-value.
     */
   def bigintSums(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val t = transfers(spark, dir)
+    val raw = col("raw")
+    val L = length(raw)
     t.filter(col("affected_amount") =!= 0)
       .select(col("affected_account"),
         concat(abs(col("affected_amount")).cast("string"), lit("0" * 25)).as("raw"))
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.BigIntSum.agg.toColumn.name("total_raw"))
-      .toDF("affected_account", "total_raw")
+      .select(col("affected_account"),
+        when(L > 36, substr(raw, lit(1), L - 36)).otherwise(lit("0"))
+          .cast("decimal(27,0)").as("hi"),
+        when(L > 18, substr(raw, greatest(L - 35, lit(1)), least(L - 18, lit(18))))
+          .otherwise(lit("0")).cast("decimal(18,0)").as("mid"),
+        substr(raw, greatest(L - 17, lit(1)), lit(18)).cast("decimal(18,0)").as("lo"))
+      .groupBy(col("affected_account"))
+      .agg(sum(col("hi")).as("hi"), sum(col("mid")).as("mid"), sum(col("lo")).as("lo"))
+      .select(col("affected_account"),
+        graft.functions.WideSumTotal.wideSumTotal(col("hi"), col("mid"), col("lo"))
+          .as("total_raw"))
   }
 
   /** #12-#14: per-account balances with argmax provenance. */

@@ -98,6 +98,37 @@ class PropertySpec extends SparkSpec {
     assert(out("b") === "5")
   }
 
+  /** The registered q_bigint_sum now runs the SCALE path — three native
+    * decimal part-sums + one WideSumTotal carry per group — so it must agree
+    * with the general BigIntSum Aggregator on arbitrary 30-63 digit values
+    * (the query's actual domain: decimal(38)-bounded amounts × 10^25).
+    */
+  test("property: digit-split native sums + WideSumTotal equals BigIntSum") {
+    import org.apache.spark.sql.functions._
+    val digitsGen = for {
+      head <- Gen.chooseNum(1, 9)
+      len <- Gen.chooseNum(5, 38)
+      tail <- Gen.listOfN(len - 1, Gen.numChar)
+    } yield head.toString + tail.mkString + "0" * 25
+    check(Prop.forAll(Gen.nonEmptyListOf(digitsGen)) { xs: List[String] =>
+      val expected = xs.map(new BigInteger(_)).reduce(_ add _).toString
+      val raw = col("raw")
+      val L = length(raw)
+      val got = xs.map(("k", _)).toDF("k", "raw")
+        .select(col("k"),
+          when(L > 36, substr(raw, lit(1), L - 36)).otherwise(lit("0"))
+            .cast("decimal(27,0)").as("hi"),
+          when(L > 18, substr(raw, greatest(L - 35, lit(1)), least(L - 18, lit(18))))
+            .otherwise(lit("0")).cast("decimal(18,0)").as("mid"),
+          substr(raw, greatest(L - 17, lit(1)), lit(18)).cast("decimal(18,0)").as("lo"))
+        .groupBy(col("k"))
+        .agg(sum(col("hi")).as("hi"), sum(col("mid")).as("mid"), sum(col("lo")).as("lo"))
+        .select(graft.functions.WideSumTotal.wideSumTotal(col("hi"), col("mid"), col("lo")))
+        .head().getString(0)
+      got == expected
+    }, minTests = 15)
+  }
+
   test("property: jaccard pair emission is order-insensitive (doc_a < doc_b)") {
     check(Prop.forAll(Gen.chooseNum(2, 5)) { n: Int =>
       val docs = (1L to n.toLong).map(i =>

@@ -368,6 +368,21 @@ object AnalyticQueries {
         .cast("long").as("next_orderkey"))
   }
 
+  /** RANGE-frame window (time-bounded, not row-bounded): per-user trailing
+    * 10-minute event count and earliest event id. A RANGE frame admits every
+    * row whose ORDER value falls in the interval — ties at one timestamp all
+    * enter the frame on both engines, so the outputs are deterministic
+    * integers with no ordering ambiguity.
+    */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-600000000L, Window.currentRow) // 10 min in µs
+    ev(s, dir).select(
+      col("event_id"), col("user_id"), col("tus"),
+      count(lit(1)).over(w).as("n_10min"),
+      min(col("event_id")).over(w).as("first_event"))
+  }
+
   /** lag + cumulative-sum sessionization of the event stream (30-min gap). */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
@@ -489,6 +504,7 @@ object AnalyticQueries {
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag" -> (qWindowLag _),
+    "q_range_frame" -> (qRangeFrame _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -607,6 +623,14 @@ object AnalyticQueries {
            CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_orderkey
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events)
+       SELECT event_id, user_id, tus,
+              COUNT(*) OVER w AS n_10min,
+              MIN(event_id) OVER w AS first_event
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""",
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events),
            g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL

@@ -173,7 +173,23 @@ object TextQueries {
         size(chunk).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Deterministic hash sampling — the replayable alternative to `rand()`
+    * for training-data subsets: keep docs whose md5-derived 60-bit id hash
+    * lands in bucket 0 of 10 (~10%), with the doc's language tag for
+    * stratification checks. Fully narrow; re-running (or re-sharding) the
+    * corpus yields the SAME sample, which `rand()`-based sampling cannot
+    * promise and which makes ablation subsets reproducible at 100 TB.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+        pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(10L)).as("bucket"))
+      .filter(col("bucket") === 0)
+      .select(col("doc_id"), col("lang_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_sample" -> (hashSample _),
     "q_repetition" -> (repetition _),
     "q_pii_scrub" -> (piiScrub _),
     "q_doc_chunks" -> (docChunks _),
@@ -202,6 +218,23 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS bucket
+           FROM documents)
+       SELECT doc_id,
+              CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                   WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                   WHEN fr >= es AND fr > 0 THEN 'fr'
+                   WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id
+       FROM (
+         SELECT doc_id,
+           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+           len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
+           len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
+           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+         FROM s WHERE bucket = 0)""",
     // left join keeps zero-shingle docs (< 3 tokens) at 0, as size() does
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -217,28 +217,43 @@ object TextDedup {
   def nearDupProbeStream(stream: DataFrame, idCol: String, textCol: String,
                          eventTimeCol: String, delay: String, index: DataFrame,
                          n: Int, thresholdPct: Int, numHashes: Int = 32,
-                         rowsPerBand: Int = 4): DataFrame = {
+                         rowsPerBand: Int = 4): DataFrame =
+    nearDupProbeFrame(stream, idCol, textCol, Seq(col(eventTimeCol)), index,
+      n, thresholdPct, numHashes, rowsPerBand)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("probe_id", "match_id"))
+
+  /** The probe core, shape-agnostic (one output row per verified matching
+    * band — callers dedupe per their execution mode: the streaming wrapper
+    * within the watermark, batch callers with a plain `distinct`).
+    * `carryCols` are passed through unchanged (e.g. the event-time column).
+    */
+  def nearDupProbeFrame(df: DataFrame, idCol: String, textCol: String,
+                        carryCols: Seq[Column], index: DataFrame,
+                        n: Int, thresholdPct: Int, numHashes: Int,
+                        rowsPerBand: Int): DataFrame = {
     val mh = graft.functions.MinHashSigExpression
       .minhashSig(graft.functions.ShinglesExpression.shingles(col(textCol), n), numHashes)
-    val enriched = stream
-      .select(col(idCol).as("probe_id"), col(eventTimeCol).as("__et"), mh.as("mh"))
-      .select(col("probe_id"), col("__et"), col("mh.sig").as("sig"),
-        col("mh.set").as("probe_set"), size(col("mh.set")).cast("long").as("probe_sz"))
+    val enriched = df
+      .select(col(idCol).as("probe_id") +: carryCols :+ mh.as("mh"): _*)
+      .withColumn("sig", col("mh.sig"))
+      .withColumn("probe_set", col("mh.set"))
+      .withColumn("probe_sz", size(col("mh.set")).cast("long"))
+      .drop("mh")
       .filter(col("probe_sz") > 0)
     val banded = enriched
-      .select(col("probe_id"), col("__et"), col("probe_set"), col("probe_sz"),
-        explode(array(bandStructs(i => element_at(col("sig"), i + 1),
-          numHashes, rowsPerBand): _*)).as("bb"))
-      .select(col("probe_id"), col("__et"), col("probe_set"), col("probe_sz"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("bb", explode(array(bandStructs(i => element_at(col("sig"), i + 1),
+        numHashes, rowsPerBand): _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bucket", col("bb.bucket"))
+      .drop("sig", "bb")
     banded.join(index, Seq("band", "bucket"))
       .withColumn("inter", size(array_intersect(col("probe_set"), col("sh_set"))).cast("long"))
       .filter(col("inter") * 100 >= lit(thresholdPct) * (col("probe_sz") + col("sz") - col("inter")))
-      .select(col("probe_id"), col("__et").as(eventTimeCol),
-        col("doc_id").as("match_id"), col("inter"),
-        col("probe_sz").as("size_probe"), col("sz").as("size_match"))
-      .withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark(Seq("probe_id", "match_id"))
+      .withColumnRenamed("doc_id", "match_id")
+      .withColumnRenamed("probe_sz", "size_probe")
+      .withColumnRenamed("sz", "size_match")
+      .drop("band", "bucket", "probe_set", "sh_set")
   }
 
   /** Merge-safe SimHash: per 64 bit positions, sum ±1 weighted by token-hash

@@ -38,6 +38,12 @@ object EmbeddingQueries {
     Embeddings.ivfRecall(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, K)
 
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.sq8TopK(vectors(spark, dir), queryVectors(spark, dir), K)
+
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.sq8Recall(vectors(spark, dir), queryVectors(spark, dir), K)
+
   /** Cosine threshold for the near-dup query (the harness data's top pair is
     * ~0.51, so 0.45 yields a small, stable set).
     */
@@ -85,6 +91,8 @@ object EmbeddingQueries {
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
     "q_ann_recall" -> (ivfRecall _),
+    "q_sq8_topk" -> (sq8TopK _),
+    "q_sq8_recall" -> (sq8Recall _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
     "q_embed_neardup_recall" -> (ivfNearDupRecall _),
@@ -146,8 +154,41 @@ object EmbeddingQueries {
           WHERE rank <= $K)
      """
 
+  /** SQ8 CTEs appended to [[base]] (distinct names): quantize, integer
+    * norms, quantized-query set, and the sq8 ranking.
+    */
+  private val sq8Ctes =
+    s""", sq AS (
+          SELECT vec_id, list_transform(e, x -> round(x / s * 127)) AS sqe
+          FROM (SELECT vec_id, e, greatest(list_max(e), -list_min(e), 1e-30) AS s FROM v)),
+        sqn AS (SELECT vec_id,
+                  greatest(sqrt(list_sum(list_transform(range(1, 65), i -> sqe[i]*sqe[i]))), 1e-30) AS nm
+                FROM sq),
+        sqq AS (SELECT vec_id AS query_id, sqe AS sqqe FROM sq WHERE vec_id < $NumQueries),
+        sq8 AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT sqq.query_id, s2.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY sqq.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> sqq.sqqe[i]*s2.sqe[i]))
+                  / (nq.nm * nv.nm)) DESC, s2.vec_id ASC) AS rank
+            FROM sqq JOIN sq s2 ON s2.vec_id <> sqq.query_id
+            JOIN sqn nq ON nq.vec_id = sqq.query_id
+            JOIN sqn nv ON nv.vec_id = s2.vec_id)
+          WHERE rank <= $K)
+     """
+
   val oracleSql: Map[String, String] = Map(
     "q_knn_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM exact"),
+    // int8 scalar quantization: round(x/s*127) with s = max|x| per vector;
+    // quantized dots/norms are exact integers, so no sequential-sum caveat
+    "q_sq8_topk" -> (base + sq8Ctes +
+      "SELECT query_id, neighbor_id, rank FROM sq8"),
+    "q_sq8_recall" -> (base + sq8Ctes +
+      """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+         FROM exact e
+         LEFT JOIN sq8 a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id"""),
     "q_ann_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM approx"),
     "q_ann_recall" -> (base +
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k

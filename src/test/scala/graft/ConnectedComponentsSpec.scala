@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], verts: Option[Seq[Long]] = None): Map[Long, Long] =
+    ConnectedComponents.run(
+      edges.toDF("a", "b"), "a", "b",
+      verts.map(_.toDF("doc_id")))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to its min id") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("separate components keep separate labels; cycles are fine") {
+    val got = cc(Seq((10L, 11L), (11L, 12L), (12L, 10L), (7L, 8L)))
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("edge direction, duplicates and self-loops are ignored") {
+    val got = cc(Seq((5L, 2L), (2L, 5L), (5L, 2L), (3L, 3L), (2L, 9L)))
+    assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 3L -> 3L))
+  }
+
+  test("isolated vertices from the universe become singletons") {
+    val got = cc(Seq((1L, 2L)), verts = Some(Seq(1L, 2L, 3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("a long path converges within the iteration bound (pointer jumping)") {
+    val n = 64L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size === n)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("star graph converges in one round regardless of size") {
+    val edges = (2L to 40L).map(i => (1L, i))
+    val got = cc(edges)
+    assert(got.values.forall(_ == 1L))
+  }
+}

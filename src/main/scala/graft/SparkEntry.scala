@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, EmbeddingQueries, MediaQueries, NearQueries, TextQueries}
+import graft.queries.{AnalyticQueries, CurationQueries, EmbeddingQueries, MediaQueries, NearQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (NearQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
-      EmbeddingQueries.queries ++ MediaQueries.queries).map {
+      EmbeddingQueries.queries ++ MediaQueries.queries ++ CurationQueries.queries).map {
       case (k, f) => k -> ((s: SparkSession, dir: String) => f(configure(s), dir))
     }
 
@@ -40,5 +40,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     NearQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
-      EmbeddingQueries.oracleSql ++ MediaQueries.oracleSql
+      EmbeddingQueries.oracleSql ++ MediaQueries.oracleSql ++ CurationQueries.oracleSql
 }

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, TextDedup}
+import graft.sources.Tables
+
+/** Corpus-curation layer of the training-data pipeline: dedup GROUPS (the
+  * clustering step above pairwise near-dup detection), canonical-document
+  * selection, benchmark decontamination, distinctive-term extraction, and
+  * per-source quota sampling. Every query has a DuckDB oracle twin; all
+  * arithmetic is integer/string-exact so comparisons are bit-exact.
+  */
+object CurationQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Near-dup pairs → transitive dedup groups: MinHash-LSH verified pairs
+    * (the same oracle-checked `q_minhash_lsh` parameters) as edges, connected
+    * components as the clustering, every document labeled with its group
+    * (singletons = own id). This is the step a real 100 TB dedup pipeline
+    * runs between "find pairs" and "drop losers": near-duplication is not
+    * transitive, so pair-local loser-dropping (keep a, drop b) can drop BOTH
+    * survivors of an a–b–c chain or keep near-dup twins; grouping first makes
+    * the keep-set decision well-defined. Scale: the edge set is the
+    * sub-quadratic LSH output (orders smaller than the corpus); CC rounds are
+    * joins keyed by vertex id over that edge set only.
+    */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = TextDedup.minhashDedupPairs(d, "doc_id", "text", n = 3,
+      thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
+    ConnectedComponents.run(pairs, "doc_a", "doc_b",
+        vertices = Some(d.select("doc_id")))
+      .select(col("id").as("doc_id"), col("comp").as("group_id"))
+  }
+
+  /** Canonical-document selection per dedup group: keep the longest text,
+    * ties broken by min id. One aggregation over the group assignment —
+    * `max_by` on a (length, -id) struct gives the argmax with map-side
+    * combine, no per-group sort (the window `row_number` form would sort
+    * every group's rows; this carries one candidate per partial aggregate).
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    dedupGroups(spark, dir)
+      .join(d.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          struct(col("len"), (-col("doc_id")).as("nid"))).as("canonical_id"))
+      .select(col("group_id"), col("n_members"), col("canonical_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any 8-gram
+    * with the held-out evaluation set (here: every 20th doc id stands in for
+    * the benchmark). Output is the full training-side report — doc id,
+    * number of distinct overlapping 8-grams, and the keep flag — so the
+    * decision is auditable, not just the survivor list. Scale: the eval
+    * shingle set is benchmark-sized (small by construction), so it is
+    * broadcast; the training side stays a narrow scan + one aggregation —
+    * no shuffle of the 100 TB side for the membership test.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val eval_ = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val shTrain = TextDedup.shingles(train, "doc_id", "text", 8)
+    val shEval = TextDedup.shingles(eval_, "doc_id", "text", 8)
+      .select("shingle").distinct()
+    val overlap = shTrain.join(broadcast(shEval), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) === 0L).cast("long").as("kept"))
+  }
+
+  /** Top-3 distinctive terms per document by fixed-point TF-IDF:
+    * `score_e6 = tf * ((N * 10⁶) div df)` — the rational-IDF (N/df) variant
+    * in pure integer arithmetic, so both engines agree bit-for-bit (a
+    * float `ln(N/df)` would rank near-identically but Java's and libm's
+    * `log` may differ in the last ulp, which is exactly the kind of
+    * cross-engine drift the gate bans; sublinear-IDF ranking is a one-line
+    * swap where exactness is not contractual). Plan: tokenize → (doc, term)
+    * counts → term document-frequency → scalar doc count broadcast →
+    * per-doc top-3. Shuffles on (doc_id, term) then term — both
+    * high-cardinality keys.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfTbl, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score_e6", expr("tf * ((n_docs * 1000000) div df)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_e6").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_e6"), col("rnk"))
+  }
+
+  /** Deterministic per-source quota sampling: keep at most 15 documents per
+    * source, chosen by descending md5-derived hash (replayable, unlike
+    * `rand()`) with id tie-break. Ranking runs through the bounded
+    * [[graft.functions.TopK]] aggregator — O(quota) state per source with
+    * map-side combine, so a pathologically hot source shuffles quota rows
+    * per map task, not its whole membership (the `row_number` window form
+    * would sort every row of the hot source on one task). The hash is
+    * masked to 50 bits so its double image in the aggregator is exact.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quota = 15
+    val hk = TextDedup.tokenHash60(col("doc_id").cast("string"))
+      .bitwiseAND(lit((1L << 50) - 1))
+    val agg = new graft.functions.TopK(quota)
+    docs(spark, dir)
+      .select(col("source"), hk.cast("double").as("score"), col("doc_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("source", "topk")
+      .select(col("source"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("e._2").as("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_groups" -> (dedupGroups _),
+    "q_dedup_canonical" -> (dedupCanonical _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_tfidf_terms" -> (tfidfTerms _),
+    "q_source_quota" -> (sourceQuota _))
+
+  /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
+    * symmetric edges → transitive closure by recursive CTE → min reachable
+    * id per doc. Components are tiny (pairs/triples), so the closure stays
+    * small; the probabilistic LSH≡exact caveat documented at
+    * [[TextQueries.oracleSql q_corpus_clean]] applies verbatim.
+    */
+  private val groupsCte =
+    """WITH RECURSIVE sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+       ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b USING (shingle)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)),
+       edges AS (
+         SELECT doc_a AS eu, doc_b AS ev FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.ev, reach.r FROM reach JOIN edges e ON e.eu = reach.v),
+       groups AS (
+         SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_groups" ->
+      s"""$groupsCte
+          SELECT doc_id, group_id FROM groups""",
+    "q_dedup_canonical" ->
+      s"""$groupsCte,
+          m AS (
+            SELECT g.group_id, d.doc_id, len(d.text)::BIGINT AS len
+            FROM groups g JOIN documents d USING (doc_id)),
+          sel AS (
+            SELECT group_id, doc_id AS canonical_id,
+                   row_number() OVER (PARTITION BY group_id
+                                      ORDER BY len DESC, doc_id) AS rn
+            FROM m),
+          cnt AS (SELECT group_id, count(*)::BIGINT AS n_members FROM m GROUP BY 1)
+          SELECT group_id, n_members, canonical_id
+          FROM cnt JOIN sel USING (group_id) WHERE rn = 1""",
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)
+         ), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         ov AS (
+           SELECT s.doc_id, count(*)::BIGINT AS n_overlap
+           FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) s
+           JOIN ev USING (shingle) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(ov.n_overlap, 0) AS n_overlap,
+                (CASE WHEN coalesce(ov.n_overlap, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM documents d LEFT JOIN ov USING (doc_id)
+         WHERE d.doc_id % 20 <> 0""",
+    "q_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+                  tf * ((n_docs * 1000000) // df) AS score_e6
+           FROM tf JOIN dfx USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, df, score_e6, rnk FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_e6 DESC, term) AS rnk
+           FROM scored) WHERE rnk <= 3""",
+    "q_source_quota" ->
+      """WITH h AS (
+           SELECT source, doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               & 1125899906842623 AS hk
+           FROM documents)
+         SELECT source, rk, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source ORDER BY hk DESC, doc_id) AS rk
+           FROM h) WHERE rk <= 15""")
+}

@@ -48,10 +48,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** A BNLJ whose broadcast side is a no-grouping aggregate carries at most
+    * ONE row — the standard scalar-attach (cross-join a global count onto
+    * every row, e.g. the corpus size in q_tfidf_terms). O(n·1), scale-safe,
+    * so it is exempt; any other build side stays banned.
+    */
+  private def isScalarAttach(j: BroadcastNestedLoopJoinExec): Boolean = {
+    def scalarOut(p: SparkPlan): Boolean = p match {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => scalarOut(e.child)
+      case pr: org.apache.spark.sql.execution.ProjectExec => scalarOut(pr.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => scalarOut(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => scalarOut(i.child)
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    }
+    val side = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+    }
+    scalarOut(side)
+  }
+
   test("broadcast nested-loop joins appear only in the documented embedding family") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
       val plan = build(spark, sfDir).queryExecution.executedPlan
-      val bnlj = collectPlan(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+      val bnlj = collectPlan(plan)
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
+        .filterNot(isScalarAttach)
       if (!nestedLoopAllowed.contains(name))
         assert(bnlj.isEmpty,
           s"$name plans a BroadcastNestedLoopJoin outside the embedding family " +

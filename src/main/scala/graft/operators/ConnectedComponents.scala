@@ -51,7 +51,11 @@ object ConnectedComponents {
     // endpoints BEFORE dropping self-loops: a vertex seen only in a self-loop
     // is still a (singleton) vertex
     val endpoints = both.select(col("u").as("id")).distinct()
-    val sym = both.filter(col("u") =!= col("v")).distinct()
+    // materialize the edge list ONCE — every round joins against it, and
+    // without the checkpoint each round would re-execute the (possibly
+    // expensive) upstream plan that produced the pairs (e.g. the whole
+    // MinHash-LSH pipeline)
+    val sym = both.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     val verts = vertices match {
       case Some(vs) =>
         vs.select(col(vs.columns.head).cast("long").as("id")).union(endpoints).distinct()
@@ -68,16 +72,19 @@ object ConnectedComponents {
         .agg(min(col("nc")).as("nbr"))
         .select(col("u").as("id"), col("nbr"))
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // comp values are always vertex ids, so the jump lookup is a self-join
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // comp values are always vertex ids, so the jump lookup is a self-join;
+      // the PREVIOUS label rides along so the convergence probe below is a
+      // filter on the already-materialized round result — no extra join job
       val jumped = prop.as("x")
         .join(prop.select(col("id").as("jid"), col("comp").as("jc")).as("y"),
           col("x.comp") === col("jid"), "left")
-        .select(col("x.id").as("id"), coalesce(col("jc"), col("x.comp")).as("comp"))
+        .select(col("x.id").as("id"), col("x.prev").as("prev"),
+          coalesce(col("jc"), col("x.comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = jumped.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = jumped
+      val changed = jumped.filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = jumped.select(col("id"), col("comp"))
       done = changed == 0L
       it += 1
     }

@@ -87,7 +87,24 @@ object EmbeddingQueries {
     v.join(losers, Seq("vec_id"), "left_anti").select(col("vec_id"))
   }
 
+  /** Embedding-space dedup GROUPS: the bucketed near-dup pairs as edges,
+    * clustered transitively by [[graft.operators.ConnectedComponents]] —
+    * same curation layer as the text pipeline's `q_dedup_groups`, proving
+    * the clustering composes across modalities (any pair generator whose
+    * output is two id columns plugs in). Vertices = all vectors, so
+    * singletons keep their own id as group.
+    */
+  def embedDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val pairs = Embeddings.ivfNearDupPairs(v, NumCentroids, NearDupAssign,
+      NearDupThreshold)
+    graft.operators.ConnectedComponents.run(pairs, "vec_a", "vec_b",
+        vertices = Some(v.select("vec_id")))
+      .select(col("id").as("vec_id"), col("comp").as("group_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_groups" -> (embedDedupGroups _),
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
     "q_ann_recall" -> (ivfRecall _),
@@ -226,7 +243,18 @@ object EmbeddingQueries {
          FROM v
          LEFT JOIN (SELECT DISTINCT vec_b FROM blocked_pairs) l
            ON v.vec_id = l.vec_b
-         WHERE l.vec_b IS NULL"""))
+         WHERE l.vec_b IS NULL"""),
+    // transitive closure of the blocked pairs by recursive CTE (the WITH of
+    // the shared base is promoted to WITH RECURSIVE)
+    "q_embed_groups" -> (nearDupBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+           SELECT vec_a AS eu, vec_b AS ev FROM blocked_pairs
+           UNION SELECT vec_b, vec_a FROM blocked_pairs),
+         reach(x, r) AS (
+           SELECT vec_id, vec_id FROM v
+           UNION
+           SELECT e.ev, reach.r FROM reach JOIN edges e ON e.eu = reach.x)
+         SELECT x AS vec_id, min(r) AS group_id FROM reach GROUP BY x"""))
 
   /** Shared CTEs for the bucketed near-dup oracle: the blocking (top-NAssign
     * centroid buckets per vector, bucket-local candidate self-join, exact

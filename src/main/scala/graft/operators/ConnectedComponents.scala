@@ -46,15 +46,19 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           vertices: Option[DataFrame] = None, maxIter: Int = 50): DataFrame = {
+    // materialize the raw edge projection ONCE — everything downstream
+    // (symmetric closure, endpoint universe, every propagation round) derives
+    // from it, and without the checkpoint each consumer would re-execute the
+    // (possibly expensive) upstream plan that produced the pairs (e.g. the
+    // whole MinHash-LSH pipeline)
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .localCheckpoint(true)
     val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
     // endpoints BEFORE dropping self-loops: a vertex seen only in a self-loop
     // is still a (singleton) vertex
     val endpoints = both.select(col("u").as("id")).distinct()
-    // materialize the edge list ONCE — every round joins against it, and
-    // without the checkpoint each round would re-execute the (possibly
-    // expensive) upstream plan that produced the pairs (e.g. the whole
-    // MinHash-LSH pipeline)
+    // checkpointed too: every round joins against it, and the distinct is a
+    // shuffle worth paying once, not per round
     val sym = both.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     val verts = vertices match {
       case Some(vs) =>

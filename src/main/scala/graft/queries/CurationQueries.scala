@@ -132,7 +132,37 @@ object CurationQueries {
         col("e._2").as("doc_id"))
   }
 
+  /** Per-language quality-quantile gate: keep documents at or above their
+    * language's median quality. The quantile is EXACT without ever sorting
+    * the corpus: `quality_e4` has a bounded integer domain (0..10⁴), so the
+    * per-language distribution is a histogram — one aggregation to
+    * (lang, quality) counts, a window over ≤10⁴ distinct values per
+    * language (not per document — skew-free by construction), and the
+    * resulting per-language thresholds broadcast back as a filter. The
+    * `percent_rank`-over-documents formulation would globally sort every
+    * language partition (the hot language = most of a 100 TB corpus on one
+    * task); this computes the same kth-order-statistic from counts.
+    */
+  def qualityQuantileGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.qualityScoreE4(t).as("quality_e4"))
+    val n = s.groupBy("lang_id").agg(count(lit(1)).as("n"))
+    val h = s.groupBy("lang_id", "quality_e4").agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("quality_e4").desc)
+    val thr = h.withColumn("cum", sum(col("c")).over(wc))
+      .join(n, "lang_id")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("lang_id").agg(max(col("quality_e4")).as("t"))
+    s.join(broadcast(thr), "lang_id")
+      .filter(col("quality_e4") >= col("t"))
+      .select(col("doc_id"), col("lang_id"), col("quality_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_gate" -> (qualityQuantileGate _),
     "q_dedup_groups" -> (dedupGroups _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_decontaminate" -> (decontaminate _),
@@ -171,6 +201,37 @@ object CurationQueries {
          SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v)"""
 
   val oracleSql: Map[String, String] = Map(
+    // the stats sub-CTE mirrors q_text_stats' lang/quality definitions
+    "q_quality_gate" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                  WHEN fr >= es AND fr > 0 THEN 'fr'
+                  WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+             greatest(least(least(n_tokens, 100) * 30
+               + least((en * 40000) // greatest(n_tokens, 1), 4000)
+               - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
+           FROM (
+             SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+               len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+               len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
+               len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
+               len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+             FROM documents)
+         ), n AS (SELECT lang_id, count(*)::BIGINT AS n FROM s GROUP BY 1),
+         h AS (SELECT lang_id, quality_e4 AS q, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+         cum AS (
+           SELECT lang_id, q, sum(c) OVER (PARTITION BY lang_id ORDER BY q DESC) AS cum
+           FROM h),
+         thr AS (
+           SELECT c.lang_id, max(c.q) AS t
+           FROM cum c JOIN n USING (lang_id)
+           WHERE c.cum >= (n.n + 1) // 2 GROUP BY 1)
+         SELECT s.doc_id, s.lang_id, s.quality_e4
+         FROM s JOIN thr USING (lang_id) WHERE s.quality_e4 >= thr.t""",
     "q_dedup_groups" ->
       s"""$groupsCte
           SELECT doc_id, group_id FROM groups""",

@@ -161,7 +161,57 @@ object CurationQueries {
       .select(col("doc_id"), col("lang_id"), col("quality_e4"))
   }
 
+  /** Per-language token budget for the sampler: small enough that both
+    * languages in the harness corpus hit the cap (the budget binds).
+    */
+  val TokenBudget = 2000L
+
+  /** Deterministic token-budget sampling: fill each language's token budget
+    * in md5-hash order (replayable — same sample on re-run or re-shard,
+    * unlike `rand()`), keeping documents while the running token total fits.
+    * The prefix sum is inherently sequential per language; this window form
+    * states the semantics directly. At 100 TB the same result computes
+    * scalably by range-partitioning each language on the hash key,
+    * prefix-scanning per-range subtotals (tiny), and offsetting local
+    * cumsums — the budget cut lands in one range, so only that range needs
+    * the exact scan.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
+    s.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Training-mixture report: documents, tokens, and exact fixed-point token
+    * share per (language, source) cell — the sanity table every mixture
+    * re-weighting decision reads. One aggregation plus a 1-row broadcast for
+    * the global total.
+    */
+  def mixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      col("source"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+    val tot = s.agg(sum(col("n_tokens")).as("total"))
+    s.groupBy("lang_id", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_e6", expr("(n_tokens * 1000000) div total"))
+      .select(col("lang_id"), col("source"), col("n_docs"),
+        col("n_tokens"), col("share_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_budget" -> (tokenBudgetSample _),
+    "q_mixture_report" -> (mixtureReport _),
     "q_quality_gate" -> (qualityQuantileGate _),
     "q_dedup_groups" -> (dedupGroups _),
     "q_dedup_canonical" -> (dedupCanonical _),
@@ -200,7 +250,47 @@ object CurationQueries {
        groups AS (
          SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v)"""
 
+  /** Language + token-count stats CTE body (mirrors q_text_stats). */
+  private val langTokensCte =
+    """SELECT doc_id,
+         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+              WHEN fr >= es AND fr > 0 THEN 'fr'
+              WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+         n_tokens
+       FROM (
+         SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+           len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
+           len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
+           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+         FROM documents)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_token_budget" ->
+      s"""WITH s AS ($langTokensCte),
+          h AS (
+            SELECT s.*,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+            FROM s),
+          c AS (
+            SELECT doc_id, lang_id, n_tokens,
+              (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+                AS cum_tokens
+            FROM h)
+          SELECT doc_id, lang_id, n_tokens, cum_tokens
+          FROM c WHERE cum_tokens <= $TokenBudget""",
+    "q_mixture_report" ->
+      s"""WITH s AS ($langTokensCte),
+          d2 AS (
+            SELECT s.lang_id, d.source, s.n_tokens
+            FROM s JOIN documents d USING (doc_id)),
+          tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM d2)
+          SELECT lang_id, source, count(*)::BIGINT AS n_docs,
+                 sum(n_tokens)::BIGINT AS n_tokens,
+                 ((sum(n_tokens) * 1000000) // total)::BIGINT AS share_e6
+          FROM d2 CROSS JOIN tot GROUP BY lang_id, source, total""",
     // the stats sub-CTE mirrors q_text_stats' lang/quality definitions
     "q_quality_gate" ->
       """WITH s AS (

@@ -45,4 +45,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = cc(edges)
     assert(got.values.forall(_ == 1L))
   }
+
+  /** Sequential union-find with path compression — the single-node reference
+    * implementation the distributed labels must equal.
+    */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id labeling: roots chosen as min of each union make find() the label
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("property: labels equal sequential union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(gen) { edges =>
+        edges.isEmpty || cc(edges) == unionFind(edges)
+      })
+    assert(r.passed, r.status.toString)
+  }
 }

@@ -111,6 +111,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(readCols.size <= 8, s"scan reads ${readCols.size} columns: $readCols")
   }
 
+  /** The curation queries read `documents` many times over — every one of
+    * those scans must prune to the columns it actually uses (never the full
+    * 5-column row; `q_tfidf_terms`/`q_decontaminate` in particular must not
+    * drag `source`/`lang`/`n_chars` through tokenization shuffles).
+    */
+  test("curation-layer document scans prune to the used columns") {
+    Seq("q_tfidf_terms" -> Set("doc_id", "text"),
+      "q_decontaminate" -> Set("doc_id", "text"),
+      "q_token_budget" -> Set("doc_id", "text"),
+      "q_mixture_report" -> Set("doc_id", "text", "source"),
+      "q_source_quota" -> Set("doc_id", "source")).foreach { case (name, allowed) =>
+      scansOf(name).foreach { scan =>
+        val readCols = scan.schema.fieldNames.toSet
+        assert(readCols.subsetOf(allowed),
+          s"$name scans unpruned columns ${readCols.diff(allowed)} (reads $readCols)")
+      }
+    }
+  }
+
   /** The media metadata query prunes the opaque payload blob: its stats come
     * from the metadata columns, and dragging the binary through the scan is
     * the single biggest avoidable cost of a multimodal table.

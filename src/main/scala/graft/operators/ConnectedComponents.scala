@@ -57,39 +57,50 @@ object ConnectedComponents {
     // endpoints BEFORE dropping self-loops: a vertex seen only in a self-loop
     // is still a (singleton) vertex
     val endpoints = both.select(col("u").as("id")).distinct()
-    // checkpointed too: every round joins against it, and the distinct is a
-    // shuffle worth paying once, not per round
-    val sym = both.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    val verts = vertices match {
+    val sym = both.filter(col("u") =!= col("v")).distinct()
+    val verts = (vertices match {
       case Some(vs) =>
         vs.select(col(vs.columns.head).cast("long").as("id")).union(endpoints).distinct()
       case None => endpoints
-    }
+    }).localCheckpoint(true)
+    // the hash-to-min join set: symmetric deduped edges PLUS one self-loop
+    // per vertex, so each round's "min over self and neighbors" is ONE join +
+    // ONE aggregation — no per-round union with the label frame (which also
+    // trips a Catalyst constraint-rewrite bug when unioning a frame with its
+    // own derivative), and no left-join back for neighborless vertices.
+    // Checkpointed once — every round joins against it.
+    val selfSym = sym.union(verts.select(col("id").as("u"), col("id").as("v")))
+      .localCheckpoint(true)
 
     var labels = verts.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    // Convergence probe: labels only ever DECREASE, so the label sum strictly
+    // decreases until the fixpoint — comparing one aggregate per round (on the
+    // already-materialized result) replaces carrying per-vertex previous
+    // labels through the round's joins. decimal(38,0) keeps the sum exact for
+    // any realistic id domain x vertex count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val nbrMin = sym
+      // propagate: min over {own label} ∪ {neighbors' labels} — the self-loop
+      // rows supply the own-label term
+      val prop = selfSym
         .join(labels.select(col("id").as("v"), col("comp").as("nc")), "v")
-        .groupBy(col("u"))
-        .agg(min(col("nc")).as("nbr"))
-        .select(col("u").as("id"), col("nbr"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // comp values are always vertex ids, so the jump lookup is a self-join;
-      // the PREVIOUS label rides along so the convergence probe below is a
-      // filter on the already-materialized round result — no extra join job
+        .groupBy(col("u")).agg(min(col("nc")).as("comp"))
+        .select(col("u").as("id"), col("comp"))
+      // comp values are always vertex ids, so the jump lookup is a self-join
       val jumped = prop.as("x")
         .join(prop.select(col("id").as("jid"), col("comp").as("jc")).as("y"),
           col("x.comp") === col("jid"), "left")
-        .select(col("x.id").as("id"), col("x.prev").as("prev"),
-          coalesce(col("jc"), col("x.comp")).as("comp"))
+        .select(col("x.id").as("id"), coalesce(col("jc"), col("x.comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = jumped.filter(col("comp") =!= col("prev")).limit(1).count()
-      labels = jumped.select(col("id"), col("comp"))
-      done = changed == 0L
+      val curSum = labelSum(jumped)
+      labels = jumped
+      done = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       it += 1
     }
     if (!done)

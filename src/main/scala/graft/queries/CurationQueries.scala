@@ -209,7 +209,32 @@ object CurationQueries {
         col("n_tokens"), col("share_e6"))
   }
 
+  /** Multi-signal dedup groups: LEXICAL near-dup evidence (MinHash-LSH
+    * verified Jaccard pairs over text) and SEMANTIC evidence (IVF-blocked
+    * cosine pairs over the documents' embeddings) unioned into ONE edge set,
+    * clustered transitively — two docs land in a group if EITHER signal
+    * connects them, directly or through intermediates. This is how
+    * production dedup actually decides: paraphrases that share no shingles
+    * arrive via the embedding edge, exact-ish copies via the cheap lexical
+    * edge, and connected components reconciles overlapping clusters from
+    * both detectors into a consistent grouping.
+    */
+  def unifiedGroups(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val textPairs = TextDedup.minhashDedupPairs(d, "doc_id", "text", n = 3,
+        thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val embPairs = graft.operators.Embeddings.ivfNearDupPairs(
+        Tables(spark, dir, "embeddings"), EmbeddingQueries.NumCentroids,
+        EmbeddingQueries.NearDupAssign, EmbeddingQueries.NearDupThreshold)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    ConnectedComponents.run(textPairs.union(embPairs), "a", "b",
+        vertices = Some(d.select("doc_id")))
+      .select(col("id").as("doc_id"), col("comp").as("group_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_mixture_report" -> (mixtureReport _),
     "q_quality_gate" -> (qualityQuantileGate _),
@@ -267,7 +292,42 @@ object CurationQueries {
            len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
          FROM documents)"""
 
+  /** Text-pair CTEs under non-colliding names, for composition with the
+    * embedding CTE family in the unified oracle.
+    */
+  private val textPairsCte =
+    """sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+       ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b USING (shingle)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       tpairs AS (
+         SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter))"""
+
   val oracleSql: Map[String, String] = Map(
+    // both evidence families' CTEs in one WITH RECURSIVE, edge union,
+    // transitive closure — the LSH/blocked ≡ exact caveats of each family
+    // apply unchanged
+    "q_unified_groups" ->
+      s"""WITH RECURSIVE $textPairsCte,
+          ${EmbeddingQueries.nearDupBase.trim.stripPrefix("WITH ")},
+          all_edges AS (
+            SELECT doc_a AS eu, doc_b AS ev FROM tpairs
+            UNION SELECT doc_b, doc_a FROM tpairs
+            UNION SELECT vec_a, vec_b FROM blocked_pairs
+            UNION SELECT vec_b, vec_a FROM blocked_pairs),
+          reach(x, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.ev, reach.r FROM reach JOIN all_edges e ON e.eu = reach.x)
+          SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x""",
     "q_token_budget" ->
       s"""WITH s AS ($langTokensCte),
           h AS (

@@ -262,7 +262,7 @@ object EmbeddingQueries {
     * the bucketed SEMANTICS; `exact_pairs` is the all-pairs baseline the
     * recall query scores against.
     */
-  private lazy val nearDupBase =
+  private[queries] lazy val nearDupBase =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         nrm AS (SELECT vec_id,
                   sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm

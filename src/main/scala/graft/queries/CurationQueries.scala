@@ -233,7 +233,34 @@ object CurationQueries {
       .select(col("id").as("doc_id"), col("comp").as("group_id"))
   }
 
+  /** Cross-document repeated passages: md5 fingerprints of the same 16-token
+    * stride-8 windows as `q_doc_chunks`, grouped — a passage hash seen in
+    * more than one document is boilerplate / license text / copy-paste, the
+    * passage-level dedup signal that document-level near-dup misses. One
+    * narrow fan-out then a single shuffle on the passage hash. The stride
+    * trades recall for 8× less window volume: a cross-doc repeat is detected
+    * when its alignment offsets agree mod the stride (always true for
+    * head-anchored boilerplate); stride 1 is the exhaustive mode — same
+    * plan, denser windows.
+    */
+  def passageOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val S = 8
+    val toks = split(col("text"), " ")
+    val chunk = slice(col("t"), (col("k") * S + 1).cast("int"), lit(W))
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"),
+        explode(sequence(lit(0L),
+          ceil(greatest(size(toks).cast("long") - W, lit(0L)) / lit(S.toDouble))
+            .cast("long"))).as("k"))
+      .select(col("doc_id"), md5(array_join(chunk, " ").cast("binary")).as("passage_hash"))
+      .groupBy("passage_hash")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_passage_overlap" -> (passageOverlap _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_mixture_report" -> (mixtureReport _),
@@ -312,6 +339,15 @@ object CurationQueries {
          WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter))"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_passage_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT doc_id, array_to_string(t[k*8+1 : k*8+16], ' ') AS chunk_text
+           FROM tok, unnest(generate_series(0, CAST(ceil(greatest(len(t)-16, 0) / 8.0) AS BIGINT))) AS u(k))
+         SELECT md5(chunk_text) AS passage_hash,
+                count(DISTINCT doc_id)::BIGINT AS n_docs,
+                min(doc_id) AS first_doc
+         FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""",
     // both evidence families' CTEs in one WITH RECURSIVE, edge union,
     // transitive closure — the LSH/blocked ≡ exact caveats of each family
     // apply unchanged

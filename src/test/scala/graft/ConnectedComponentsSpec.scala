@@ -46,6 +46,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("an insufficient iteration bound fails loudly, not silently wrong") {
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, "a", "b", maxIter = 1)
+    }
+  }
+
   /** Sequential union-find with path compression — the single-node reference
     * implementation the distributed labels must equal.
     */

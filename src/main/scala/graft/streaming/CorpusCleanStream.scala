@@ -28,6 +28,12 @@ import graft.operators.TextDedup
   * duplicates between stream docs ARE removed (the stateful dedup stage).
   * For full self-dedup, fold the accumulated corpus back through the batch
   * pipeline and rebuild the index.
+  *
+  * Optional decontamination stage (`evalShingles`): a static set of
+  * benchmark `deconN`-gram shingles (benchmark-sized, so broadcast); any
+  * trigger doc sharing one is dropped before the near-dup probe — the
+  * streaming twin of the batch `q_decontaminate` gate, in the same
+  * per-micro-batch anti-join shape as near-dup removal.
   */
 object CorpusCleanStream {
 
@@ -35,7 +41,8 @@ object CorpusCleanStream {
           eventTimeCol: String, delay: String, index: DataFrame,
           qualityFloor: Int, checkpointDir: String,
           n: Int = 3, thresholdPct: Int = 60, numHashes: Int = 32,
-          rowsPerBand: Int = 4)(onClean: DataFrame => Unit): StreamingQuery = {
+          rowsPerBand: Int = 4, evalShingles: Option[DataFrame] = None,
+          deconN: Int = 8)(onClean: DataFrame => Unit): StreamingQuery = {
     val t: Column = col(textCol)
     val gated = docStream
       .filter(TextFunctions.langId(t) === "en" &&
@@ -45,11 +52,21 @@ object CorpusCleanStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val decontaminated = evalShingles match {
+          case Some(ev) =>
+            val contaminated = batch.toDF()
+              .select(col(idCol), explode(graft.functions.ShinglesExpression
+                .shingles(col(textCol), deconN)).as("shingle"))
+              .join(broadcast(ev.select(col("shingle"))), Seq("shingle"), "left_semi")
+              .select(col(idCol)).distinct()
+            batch.toDF().join(contaminated, Seq(idCol), "left_anti")
+          case None => batch.toDF()
+        }
         val matched = TextDedup
-          .nearDupProbeFrame(batch.toDF(), idCol, textCol, Seq.empty, index,
+          .nearDupProbeFrame(decontaminated, idCol, textCol, Seq.empty, index,
             n, thresholdPct, numHashes, rowsPerBand)
           .select(col("probe_id").as(idCol)).distinct()
-        onClean(batch.toDF().join(matched, Seq(idCol), "left_anti"))
+        onClean(decontaminated.join(matched, Seq(idCol), "left_anti"))
       }
       .start()
   }

@@ -62,4 +62,37 @@ class CorpusCleanStreamSpec extends SparkSpec {
     assert(got.synchronized(got.toList).sorted === List(100L, 104L),
       s"expected survivors 100 and 104; got ${got.sorted}")
   }
+
+  test("streaming cleaner drops benchmark-contaminated docs via the eval shingle set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = TextDedup.lshBandedIndex(
+      Seq((10L, indexed)).toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 32, rowsPerBand = 2)
+    // benchmark = novelTwo: its 8-gram shingles form the eval set, so any
+    // stream doc containing one of its 8-token runs is contaminated
+    val evalSet = TextDedup.shingles(
+      Seq((900L, novelTwo)).toDF("doc_id", "text"), "doc_id", "text", 8)
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = CorpusCleanStream.run(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 seconds",
+      index, qualityFloor = 1000,
+      checkpointDir = Files.createTempDirectory("decon-ck").toString,
+      rowsPerBand = 2, evalShingles = Some(evalSet)) { clean =>
+      val ids = clean.select("doc_id").as[Long].collect()
+      got.synchronized { got ++= ids }
+      ()
+    }
+
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    in.addData(Seq(
+      (200L, novelOne, ts(0)),   // clean -> survives
+      (201L, novelTwo, ts(0)))) // shares all its 8-grams with the benchmark -> dropped
+    q.processAllAvailable()
+    q.stop()
+
+    assert(got.synchronized(got.toList).sorted === List(200L),
+      s"expected only 200 to survive decontamination; got ${got.sorted}")
+  }
 }

@@ -121,7 +121,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_decontaminate" -> Set("doc_id", "text"),
       "q_token_budget" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
-      "q_source_quota" -> Set("doc_id", "source")).foreach { case (name, allowed) =>
+      "q_source_quota" -> Set("doc_id", "source"),
+      "q_passage_overlap" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
       scansOf(name).foreach { scan =>
         val readCols = scan.schema.fieldNames.toSet
         assert(readCols.subsetOf(allowed),

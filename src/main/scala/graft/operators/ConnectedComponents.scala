@@ -72,7 +72,10 @@ object ConnectedComponents {
     val selfSym = sym.union(verts.select(col("id").as("u"), col("id").as("v")))
       .localCheckpoint(true)
 
-    var labels = verts.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    // round-0 labels are the identity (comp = id) — no materialization needed
+    // (verts is already checkpointed and the first round never reads a label
+    // frame, see below)
+    var labels = verts.select(col("id"), col("id").as("comp"))
     // Convergence probe: labels only ever DECREASE, so the label sum strictly
     // decreases until the fixpoint — comparing one aggregate per round (on the
     // already-materialized result) replaces carrying per-vertex previous
@@ -86,9 +89,13 @@ object ConnectedComponents {
     var done = false
     while (!done && it < maxIter) {
       // propagate: min over {own label} ∪ {neighbors' labels} — the self-loop
-      // rows supply the own-label term
-      val prop = selfSym
-        .join(labels.select(col("id").as("v"), col("comp").as("nc")), "v")
+      // rows supply the own-label term. Round 1 reads identity labels
+      // (comp(v) = v), so the label join collapses to a plain aggregation
+      // over the edge set — one shuffle saved on the round every run pays.
+      val prop =
+        (if (it == 0) selfSym.select(col("u"), col("v").as("nc"))
+         else selfSym
+           .join(labels.select(col("id").as("v"), col("comp").as("nc")), "v"))
         .groupBy(col("u")).agg(min(col("nc")).as("comp"))
         .select(col("u").as("id"), col("comp"))
       // comp values are always vertex ids, so the jump lookup is a self-join

@@ -57,7 +57,42 @@ object TextDedup {
     * integer arithmetic (`inter * 100 >= pct * union`), no floats.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-                   thresholdPct: Int, maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+                   thresholdPct: Int, maxShingleFreq: Long = Long.MaxValue): DataFrame =
+    shingleIntersections(docs, idCol, textCol, n, maxShingleFreq)
+      .filter(col("inter") * 100 >= lit(thresholdPct) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+
+  /** Directional shingle-containment pairs: |A∩B| / |A| ≥ `thresholdPct`/100,
+    * emitted as (contained, container). Containment is the asymmetric cousin
+    * of Jaccard and is the signal for SUBSET duplication — a short document
+    * quoted or embedded whole inside a longer one scores near 100% here while
+    * its symmetric Jaccard (normalized by the union) can sit far below any
+    * dedup threshold. Both directions of each unordered candidate pair are
+    * tested, so mutual near-dups yield two rows (a⊂b and b⊂a) — that is the
+    * semantics, not a bug: the downstream keep-decision for "a is inside b"
+    * (drop a) differs from "a and b are twins" (keep either). Same shuffle
+    * shape and prefix-filter cap as [[jaccardPairs]] — the direction split is
+    * a post-aggregation projection, not an extra join.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                       thresholdPct: Int, maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val w = shingleIntersections(docs, idCol, textCol, n, maxShingleFreq)
+    val dirA = w.filter(col("inter") * 100 >= lit(thresholdPct) * col("size_a"))
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        col("inter"), col("size_a").as("sz_contained"), col("size_b").as("sz_container"))
+    val dirB = w.filter(col("inter") * 100 >= lit(thresholdPct) * col("size_b"))
+      .select(col("doc_b").as("contained"), col("doc_a").as("container"),
+        col("inter"), col("size_b").as("sz_contained"), col("size_a").as("sz_container"))
+    dirA.union(dirB)
+  }
+
+  /** Shared exact-pair stage: distinct-shingle equi-join → per-pair
+    * intersection counts with both docs' shingle-set sizes attached,
+    * unthresholded — [[jaccardPairs]] and [[containmentPairs]] differ only in
+    * the normalization they filter by.
+    */
+  private def shingleIntersections(docs: DataFrame, idCol: String, textCol: String,
+                                   n: Int, maxShingleFreq: Long): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val filtered =
       if (maxShingleFreq == Long.MaxValue) sh
@@ -69,15 +104,12 @@ object TextDedup {
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = filtered.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
-      .filter(col("inter") * 100 >= lit(thresholdPct) * (col("size_a") + col("size_b") - col("inter")))
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
   /** Universal-hash family over the 31-bit Mersenne prime — shared with the

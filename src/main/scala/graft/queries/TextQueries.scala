@@ -27,6 +27,15 @@ object TextQueries {
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     TextDedup.jaccardPairs(docs(spark, dir), "doc_id", "text", n = 3, thresholdPct = 60)
 
+  /** Asymmetric shingle containment (|A∩B|/|A| ≥ 80%): subset duplication —
+    * a short document quoted or embedded whole inside a longer one — which
+    * the union-normalized Jaccard threshold misses. Same join shape as
+    * `q_jaccard_pairs`; the harness corpus contains true subset pairs
+    * (containment = 100%) whose Jaccard sits below the 60% dedup cut.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(docs(spark, dir), "doc_id", "text", n = 3, thresholdPct = 80)
+
   /** MinHash+LSH candidates, exact-verified — the sub-quadratic scale path.
     * The oracle is the *exact* Jaccard SQL: with 16 bands × 2 rows a true pair
     * at J ≥ 0.9 is banded with probability 1-(1-J²)^16 ≈ 1-10⁻¹², and the
@@ -195,6 +204,7 @@ object TextQueries {
     "q_doc_chunks" -> (docChunks _),
     "q_exact_dedup" -> (exactDedup _),
     "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_containment" -> (containmentPairs _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_text_stats" -> (textStats _),
     "q_fingerprint_dedup" -> (fingerprintDedup _),
@@ -273,6 +283,27 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
     "q_jaccard_pairs" -> jaccardOracle,
+    "q_containment" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+         ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         w AS (
+           SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT doc_a AS contained, doc_b AS container, inter,
+                size_a AS sz_contained, size_b AS sz_container
+         FROM w WHERE inter * 100 >= 80 * size_a
+         UNION ALL
+         SELECT doc_b, doc_a, inter, size_b, size_a
+         FROM w WHERE inter * 100 >= 80 * size_b""",
     "q_minhash_lsh" -> jaccardOracle,
     "q_text_stats" ->
       """SELECT doc_id,

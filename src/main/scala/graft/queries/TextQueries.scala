@@ -36,6 +36,31 @@ object TextQueries {
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     TextDedup.containmentPairs(docs(spark, dir), "doc_id", "text", n = 3, thresholdPct = 80)
 
+  /** Exact corpus heavy hitters (terms at ≥ 0.1% of all tokens) without an
+    * unbounded vocabulary aggregation: pass 1 runs the bounded-state
+    * Misra-Gries sketch ([[graft.functions.FreqSketch]], k = 1024 counters
+    * per partial — guaranteed superset of every term above n/1025), pass 2
+    * exact-counts only the ≤ k candidates (broadcast semi-join collapses the
+    * aggregation domain from the vocabulary to the candidate set) and
+    * filters by the true threshold. The result is exact and deterministic;
+    * only the sketch's sub-threshold candidate tail varies with
+    * partitioning, and the verify pass discards it.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
+    val cand = toks.as[String]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.FreqSketch(1024).column)
+      .flatMap(_._2.map(_._1)).toDF("term")
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      .filter(col("freq") * 1000 >= col("n_total"))
+      .select(col("term"), col("freq"), col("n_total"))
+  }
+
   /** MinHash+LSH candidates, exact-verified — the sub-quadratic scale path.
     * The oracle is the *exact* Jaccard SQL: with 16 bands × 2 rows a true pair
     * at J ≥ 0.9 is banded with probability 1-(1-J²)^16 ≈ 1-10⁻¹², and the
@@ -205,6 +230,7 @@ object TextQueries {
     "q_exact_dedup" -> (exactDedup _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_containment" -> (containmentPairs _),
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_text_stats" -> (textStats _),
     "q_fingerprint_dedup" -> (fingerprintDedup _),
@@ -305,6 +331,12 @@ object TextQueries {
          SELECT doc_b, doc_a, inter, size_b, size_a
          FROM w WHERE inter * 100 >= 80 * size_b""",
     "q_minhash_lsh" -> jaccardOracle,
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         tot AS (SELECT count(*) AS n_total FROM tok)
+         SELECT term, count(*) AS freq, n_total
+         FROM tok, tot GROUP BY term, n_total
+         HAVING count(*) * 1000 >= n_total""",
     "q_text_stats" ->
       """SELECT doc_id,
            CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'

@@ -185,6 +185,23 @@ object Embeddings {
     topKPerQuery(scored, k)
   }
 
+  /** IVF index-health report: per-bucket member counts and corpus share.
+    * Bucket balance is what decides whether the IVF path actually delivers
+    * its sub-quadratic promise — one runaway bucket turns the bucket-local
+    * self-join back into all-pairs — so a real deployment watches this table
+    * the way the reference watched its state-store metrics. One assignment
+    * pass (broadcast centroids, argmax per vector) and one aggregation on
+    * cent_id; the 1-row total joins back as a broadcast.
+    */
+  def ivfBucketStats(vectors: DataFrame, numCentroids: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, firstCentroids(vectors, numCentroids))
+    val buckets = assigned.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n_total").as("share_e6"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
     * cosine ≥ threshold. Exact all-pairs over a broadcast side — correct at
     * harness scale and the oracle for the blocked variants; at 100 TB the

@@ -103,7 +103,14 @@ object EmbeddingQueries {
       .select(col("id").as("vec_id"), col("comp").as("group_id"))
   }
 
+  /** IVF bucket-balance report over the oracle-pinned first-C centroids —
+    * the ops view of the ANN index (see [[Embeddings.ivfBucketStats]]).
+    */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfBucketStats(vectors(spark, dir), NumCentroids)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_stats" -> (ivfStats _),
     "q_embed_groups" -> (embedDedupGroups _),
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
@@ -195,6 +202,26 @@ object EmbeddingQueries {
      """
 
   val oracleSql: Map[String, String] = Map(
+    "q_ivf_stats" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          nrm AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                  FROM v),
+          c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
+          assign AS (
+            SELECT vec_id, cent_id FROM (
+              SELECT v.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                    / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+              FROM v CROSS JOIN c
+              JOIN nrm nv ON nv.vec_id = v.vec_id
+              JOIN nrm nc ON nc.vec_id = c.cent_id)
+            WHERE rn = 1),
+          b AS (SELECT cent_id, count(*) AS n_vecs FROM assign GROUP BY 1),
+          tot AS (SELECT count(*) AS n_total FROM assign)
+          SELECT cent_id, n_vecs, (n_vecs * 1000000) // n_total AS share_e6
+          FROM b, tot""",
     "q_knn_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM exact"),
     // int8 scalar quantization: round(x/s*127) with s = max|x| per vector;
     // quantized dots/norms are exact integers, so no sequential-sum caveat

@@ -36,6 +36,24 @@ object TextQueries {
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     TextDedup.containmentPairs(docs(spark, dir), "doc_id", "text", n = 3, thresholdPct = 80)
 
+  /** Corpus dedup economics in one row: how many docs, how many distinct
+    * contents, and how many documents / characters exact dedup would drop —
+    * the before/after accounting a pipeline run reports (and the number that
+    * justifies running dedup at all at 100 TB). Two stacked aggregations:
+    * per-hash copy counts (identical texts share a length, so `min(len)` is
+    * exact), then a global roll-up of four sums.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(md5(col("text").cast("binary")).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("copies"), min(col("len")).as("len"))
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dup_docs"),
+        sum((col("copies") - 1) * col("len")).as("n_dup_chars"))
+
   /** Exact corpus heavy hitters (terms at ≥ 0.1% of all tokens) without an
     * unbounded vocabulary aggregation: pass 1 runs the bounded-state
     * Misra-Gries sketch ([[graft.functions.FreqSketch]], k = 1024 counters
@@ -231,6 +249,7 @@ object TextQueries {
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_containment" -> (containmentPairs _),
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_dedup_report" -> (dedupReport _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_text_stats" -> (textStats _),
     "q_fingerprint_dedup" -> (fingerprintDedup _),
@@ -331,6 +350,15 @@ object TextQueries {
          SELECT doc_b, doc_a, inter, size_b, size_a
          FROM w WHERE inter * 100 >= 80 * size_b""",
     "q_minhash_lsh" -> jaccardOracle,
+    "q_dedup_report" ->
+      """WITH g AS (
+           SELECT md5(text) AS h, count(*) AS copies, min(len(text)) AS len
+           FROM documents GROUP BY 1)
+         SELECT sum(copies)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_distinct,
+                sum(copies - 1)::BIGINT AS n_dup_docs,
+                sum((copies - 1) * len)::BIGINT AS n_dup_chars
+         FROM g""",
     "q_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          tot AS (SELECT count(*) AS n_total FROM tok)

@@ -209,6 +209,43 @@ object CurationQueries {
         col("n_tokens"), col("share_e6"))
   }
 
+  /** Corpus-trained bigram LM quality score — the exact-arithmetic skeleton
+    * of the CCNet/KenLM perplexity filter: train P(w2|w1) on the corpus
+    * itself (bigram count over prefix count), score each document by its
+    * average bigram conditional probability in e6 fixed point. Documents
+    * full of common word transitions score high; rare/garbled transitions
+    * score low — the standard LM-quality signal, here in integer rational
+    * arithmetic so both engines agree bit-for-bit (a log-prob sum would
+    * rank near-identically but floats cross-engine drift; the ranking is
+    * what the downstream gate consumes). Plan: one narrow bigram fan-out,
+    * per-doc counts (shuffle on (doc, bigram)), model aggregation (shuffle
+    * on bigram — high-cardinality, skew-free), prefix totals over the
+    * model table (vocabulary-sized, not corpus-sized), then one join back
+    * on bigram. Every bigram of every doc is in the model by construction,
+    * so the score join is inner; sub-2-token docs come back via the final
+    * left join at score 0.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bg = d.select(col("doc_id"),
+      explode(graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("bigram"))
+    val docBg = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+    val m12 = docBg.groupBy("bigram").agg(sum(col("n")).as("c12"))
+    val m1 = m12.select(split(col("bigram"), " ").getItem(0).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val model = m12.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(m1, "w1")
+      .select(col("bigram"), expr("(c12 * 1000000) div c1").as("p_e6"))
+    val scored = docBg.join(model, "bigram")
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("p_e6")).as("sp"), sum(col("n")).as("nb"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sp div nb"), lit(0L)).as("lm_score_e6"))
+  }
+
   /** Multi-signal dedup groups: LEXICAL near-dup evidence (MinHash-LSH
     * verified Jaccard pairs over text) and SEMANTIC evidence (IVF-blocked
     * cosine pairs over the documents' embeddings) unioned into ONE edge set,
@@ -261,6 +298,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_passage_overlap" -> (passageOverlap _),
+    "q_lm_score" -> (lmScore _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_mixture_report" -> (mixtureReport _),
@@ -339,6 +377,25 @@ object CurationQueries {
          WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter))"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+           FROM tok,
+                unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i)),
+         docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
+         m1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
+                FROM m12 GROUP BY 1),
+         model AS (
+           SELECT bigram, (c12 * 1000000) // c1 AS p_e6
+           FROM m12 JOIN m1 ON string_split(m12.bigram, ' ')[1] = m1.w1),
+         sc AS (
+           SELECT doc_id, sum(n * p_e6)::BIGINT AS sp, sum(n)::BIGINT AS nb
+           FROM docbg JOIN model USING (bigram) GROUP BY 1)
+         SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
+                coalesce(sp // nb, 0) AS lm_score_e6
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
     "q_passage_overlap" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          chunks AS (

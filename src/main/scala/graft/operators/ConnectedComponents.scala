@@ -58,17 +58,20 @@ object ConnectedComponents {
     // is still a (singleton) vertex
     val endpoints = both.select(col("u").as("id")).distinct()
     val sym = both.filter(col("u") =!= col("v")).distinct()
-    val verts = (vertices match {
-      case Some(vs) =>
-        vs.select(col(vs.columns.head).cast("long").as("id")).union(endpoints).distinct()
-      case None => endpoints
-    }).localCheckpoint(true)
+    // Only EDGE-ENDPOINT vertices iterate: a vertex outside every edge can
+    // never change label, so the propagation rounds run over the (orders
+    // smaller) near-dup endpoint set and the rest of the universe attaches
+    // as singletons at the END via one left join. The former design carried
+    // one self-loop per universe vertex through every round — O(V) shuffled
+    // per round; at 100 TB the corpus is V and the dedup evidence is ≪ V,
+    // so rounds must scale with the evidence, not the corpus.
+    val verts = endpoints.localCheckpoint(true)
     // the hash-to-min join set: symmetric deduped edges PLUS one self-loop
-    // per vertex, so each round's "min over self and neighbors" is ONE join +
-    // ONE aggregation — no per-round union with the label frame (which also
-    // trips a Catalyst constraint-rewrite bug when unioning a frame with its
-    // own derivative), and no left-join back for neighborless vertices.
-    // Checkpointed once — every round joins against it.
+    // per ENDPOINT vertex, so each round's "min over self and neighbors" is
+    // ONE join + ONE aggregation — no per-round union with the label frame
+    // (which also trips a Catalyst constraint-rewrite bug when unioning a
+    // frame with its own derivative), and no left-join back for neighborless
+    // vertices. Checkpointed once — every round joins against it.
     val selfSym = sym.union(verts.select(col("id").as("u"), col("id").as("v")))
       .localCheckpoint(true)
 
@@ -81,9 +84,11 @@ object ConnectedComponents {
     // already-materialized result) replaces carrying per-vertex previous
     // labels through the round's joins. decimal(38,0) keeps the sum exact for
     // any realistic id domain x vertex count.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // zero edges → empty frame
+    }
     var prevSum = labelSum(labels)
     var it = 0
     var done = false
@@ -112,6 +117,15 @@ object ConnectedComponents {
     }
     if (!done)
       throw new IllegalStateException(s"connected components did not converge in $maxIter rounds")
-    labels
+    // attach the non-endpoint universe as singletons — one anti-join at the
+    // end instead of dragging every corpus vertex through every round
+    vertices match {
+      case Some(vs) =>
+        val uni = vs.select(col(vs.columns.head).cast("long").as("id")).distinct()
+        val singletons = uni.join(labels.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("comp"))
+        labels.union(singletons)
+      case None => labels
+    }
   }
 }

@@ -189,6 +189,56 @@ object CurationQueries {
       .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic stratified train/val/test split report: every document
+    * lands in a split by md5-hash bucket of its id (48/1/1 of 50 buckets —
+    * replayable on re-run and stable under re-sharding, unlike `rand()`;
+    * adding documents never moves an existing one between splits), and the
+    * report shows docs/tokens per (language, split) — the stratification
+    * audit read before training. One narrow scan + one aggregation over a
+    * tiny key domain.
+    */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val b = pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(50L))
+    docs(spark, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.langId(t).as("lang_id"),
+        graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+        b.as("b"))
+      .withColumn("split",
+        when(col("b") < 48, "train").when(col("b") === 48, "val").otherwise("test"))
+      .groupBy("lang_id", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Fixed training-sequence length for the packing query — small enough
+    * that every sf produces multi-pack languages.
+    */
+  val SeqLen = 512L
+
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end per
+    * language in deterministic md5-hash order and every document is labeled
+    * with the [[SeqLen]]-token training sequence its first token lands in,
+    * plus its offset inside that sequence — the standard pretraining packing
+    * step (no padding waste), expressed as a per-language prefix sum. The
+    * window form states the semantics; the 100 TB realization is the same
+    * range-partition + per-range-subtotal prefix-scan documented at
+    * [[tokenBudgetSample]] — pack boundaries only need each range's token
+    * subtotal, not a global sort.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
+    s.withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang_id"),
+        expr(s"start div $SeqLen").as("pack_id"),
+        expr(s"start % $SeqLen").as("pack_offset"))
+  }
+
   /** Training-mixture report: documents, tokens, and exact fixed-point token
     * share per (language, source) cell — the sanity table every mixture
     * re-weighting decision reads. One aggregation plus a 1-row broadcast for
@@ -299,6 +349,8 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_passage_overlap" -> (passageOverlap _),
     "q_lm_score" -> (lmScore _),
+    "q_data_split" -> (dataSplit _),
+    "q_seq_pack" -> (seqPack _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_mixture_report" -> (mixtureReport _),
@@ -421,6 +473,32 @@ object CurationQueries {
             UNION
             SELECT e.ev, reach.r FROM reach JOIN all_edges e ON e.eu = reach.x)
           SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x""",
+    "q_data_split" ->
+      s"""WITH s AS ($langTokensCte),
+          h AS (
+            SELECT s.*,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 50
+                AS b
+            FROM s)
+          SELECT lang_id,
+                 CASE WHEN b < 48 THEN 'train'
+                      WHEN b = 48 THEN 'val' ELSE 'test' END AS split,
+                 count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+          FROM h GROUP BY 1, 2""",
+    "q_seq_pack" ->
+      s"""WITH s AS ($langTokensCte),
+          h AS (
+            SELECT s.*,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+            FROM s),
+          c AS (
+            SELECT doc_id, lang_id,
+              (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+                - n_tokens AS strt
+            FROM h)
+          SELECT doc_id, lang_id, strt // $SeqLen AS pack_id,
+                 strt % $SeqLen AS pack_offset
+          FROM c""",
     "q_token_budget" ->
       s"""WITH s AS ($langTokensCte),
           h AS (

@@ -89,6 +89,23 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs2 === pairs)
   }
 
+  test("containmentPairs flags a subset doc that Jaccard misses, directionally") {
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = short + " and then it runs far away to the river where the " +
+      "water is cold and the grass is tall and the morning sun is bright"
+    val other = "a completely different sentence about ships and harbors and " +
+      "sailors on the open sea under a grey sky full of wind"
+    val d = docsDf(1L -> short, 2L -> long, 3L -> other)
+    // every 3-shingle of doc 1 appears in doc 2 → containment 100%
+    val cont = TextDedup.containmentPairs(d, "doc_id", "text", n = 3, thresholdPct = 100)
+      .select("contained", "container").as[(Long, Long)].collect().toSet
+    assert(cont === Set(1L -> 2L), "only the subset direction qualifies")
+    // the same pair sits far below a 60% Jaccard dedup cut — the signal gap
+    val jac = TextDedup.jaccardPairs(d, "doc_id", "text", n = 3, thresholdPct = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains(1L -> 2L) && !jac.contains(2L -> 1L))
+  }
+
   test("minhash LSH candidates exact-verified match the exact jaccard pairs") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     val df = docsDf(

@@ -121,9 +121,23 @@ object TokenPipeline {
     * Amounts are string-encoded integers in the JSON, parsed to decimal; debits
     * are negated (BigDecimal.negate in the reference).
     */
-  def transfers(roa: DataFrame, cfg: Config): DataFrame = {
+  def transfers(roa: DataFrame, cfg: Config): DataFrame =
+    transfersFiltered(roa, col("receiver_account_id") === lit(cfg.tokenAddress))
+
+  /** Multi-tenant variant: every token contract in ONE plan. The reference
+    * deploys one Kafka Streams app per token (the address is boot config,
+    * `dev.properties:5`) — at 100 TB with thousands of NEP-141 contracts
+    * that is thousands of applications re-reading the same CDC feed. Here
+    * the single-token gate simply drops out of the filter and the token
+    * address stays a data column (`receiver_account_id`), so one scan serves
+    * every contract and downstream keys extend with the token column.
+    */
+  def transfersAllTokens(roa: DataFrame): DataFrame =
+    transfersFiltered(roa, lit(true))
+
+  private def transfersFiltered(roa: DataFrame, tokenGate: Column): DataFrame = {
     val filtered = roa.filter(
-      col("receiver_account_id") === lit(cfg.tokenAddress) &&
+      tokenGate &&
       col("status") =!= "FAILURE" &&
       col("action_kind") === "FUNCTION_CALL")
 
@@ -178,22 +192,37 @@ object TokenPipeline {
     * two transfers tying on both would otherwise make argmax pick an
     * arbitrary row (and the oracle an arbitrary but different one).
     */
+  private def balanceAggs = Seq(
+    sum("affected_amount").cast(Amount).as("balance"),
+    max_by(
+      struct(
+        col("included_in_block_timestamp").as("block_timestamp"),
+        col("included_in_block_hash").as("block_hash"),
+        col("included_in_chunk_hash").as("chunk_hash"),
+        col("index_in_chunk").as("index_in_chunk"),
+        col("originated_from_transaction_hash").as("transaction_hash"),
+        col("receipt_id").as("receipt_id")),
+      struct(col("included_in_block_timestamp"), col("index_in_chunk"),
+        col("receipt_id"), col("index_in_action_receipt"))).as("_prov"))
+
   def balances(transfers: DataFrame): DataFrame =
     transfers
       .groupBy(col("affected_account").as("account"))
-      .agg(
-        sum("affected_amount").cast(Amount).as("balance"),
-        max_by(
-          struct(
-            col("included_in_block_timestamp").as("block_timestamp"),
-            col("included_in_block_hash").as("block_hash"),
-            col("included_in_chunk_hash").as("chunk_hash"),
-            col("index_in_chunk").as("index_in_chunk"),
-            col("originated_from_transaction_hash").as("transaction_hash"),
-            col("receipt_id").as("receipt_id")),
-          struct(col("included_in_block_timestamp"), col("index_in_chunk"),
-            col("receipt_id"), col("index_in_action_receipt"))).as("_prov"))
+      .agg(balanceAggs.head, balanceAggs.tail: _*)
       .select(col("account"), col("balance"), col("_prov.*"))
+
+  /** Per-(token, account) balances over the multi-tenant transfer stream —
+    * the same merge-safe sum × argmax fold, keyed one column wider. The
+    * shuffle key gains the token contract, which also decorrelates hot
+    * accounts ACROSS tokens (an exchange wallet active on every contract
+    * splits into one key per token instead of one mega-key).
+    */
+  def balancesByToken(transfers: DataFrame): DataFrame =
+    transfers
+      .groupBy(col("receiver_account_id").as("token"),
+        col("affected_account").as("account"))
+      .agg(balanceAggs.head, balanceAggs.tail: _*)
+      .select(col("token"), col("account"), col("balance"), col("_prov.*"))
 
   // -------------------------------------------------------------- composition
 
@@ -209,4 +238,13 @@ object TokenPipeline {
   def balancesFromRaw(receipts: DataFrame, outcomes: DataFrame, actions: DataFrame,
                       cfg: Config): DataFrame =
     balances(transfersFromRaw(receipts, outcomes, actions, cfg))
+
+  /** End-to-end multi-tenant: raw CDC frames → per-(token, account) balances
+    * for EVERY token contract in the feed, one plan.
+    */
+  def multiTokenBalancesFromRaw(receipts: DataFrame, outcomes: DataFrame,
+                                actions: DataFrame, cfg: Config): DataFrame =
+    balancesByToken(transfersAllTokens(
+      joined(dedupReceipts(receipts, cfg), dedupOutcomes(outcomes, cfg),
+             dedupActions(actions, cfg), cfg)))
 }

@@ -110,11 +110,26 @@ object NearQueries {
       cfg)
   }
 
+  /** Multi-tenant balances: every token contract in the feed through ONE
+    * plan, keyed (token, account) — the scale answer to the reference's
+    * app-per-token deployment (token address as boot config,
+    * `dev.properties:5`; see [[TokenPipeline.transfersAllTokens]]).
+    */
+  def multiBalances(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    TokenPipeline.multiTokenBalancesFromRaw(
+      SyntheticCdc.receiptsWithDups(b),
+      SyntheticCdc.outcomesWithDups(b),
+      SyntheticCdc.actionsWithDups(b),
+      cfg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "near_dedup" -> ((s: SparkSession, d: String) => longifyDecimals(dedup(s, d))),
     "near_roa_join" -> ((s: SparkSession, d: String) => longifyDecimals(roaJoin(s, d))),
     "near_transfers" -> ((s: SparkSession, d: String) => longifyDecimals(transfers(s, d))),
     "near_balances" -> ((s: SparkSession, d: String) => longifyDecimals(balances(s, d))),
+    "near_multi_balances" -> ((s: SparkSession, d: String) => longifyDecimals(multiBalances(s, d))),
     "q_bigint_sum" -> ((s: SparkSession, d: String) => bigintSums(s, d)))
 
   private val C = SyntheticCdc.oracleCtes
@@ -170,6 +185,26 @@ object NearQueries {
                                  receipt_id DESC, index_in_action_receipt DESC) AS rn
                FROM transfers) p
            ON b.account = p.account AND p.rn = 1"""),
+    "near_multi_balances" -> (SyntheticCdc.oracleCtesAllTokens +
+      """SELECT b.token, b.account, b.balance,
+                CAST(p.block_timestamp AS BIGINT) AS block_timestamp,
+                p.block_hash, p.chunk_hash,
+                p.index_in_chunk, p.transaction_hash, p.receipt_id
+         FROM (SELECT receiver_account_id AS token, affected_account AS account,
+                      CAST(SUM(affected_amount) AS BIGINT) AS balance
+               FROM transfers GROUP BY 1, 2) b
+         JOIN (SELECT receiver_account_id AS token, affected_account AS account,
+                      included_in_block_timestamp AS block_timestamp,
+                      included_in_block_hash AS block_hash,
+                      included_in_chunk_hash AS chunk_hash,
+                      index_in_chunk,
+                      originated_from_transaction_hash AS transaction_hash,
+                      receipt_id,
+                      row_number() OVER (PARTITION BY receiver_account_id, affected_account
+                        ORDER BY included_in_block_timestamp DESC, index_in_chunk DESC,
+                                 receipt_id DESC, index_in_action_receipt DESC) AS rn
+               FROM transfers) p
+           ON b.token = p.token AND b.account = p.account AND p.rn = 1"""),
     // Σ(a·10^25) = (Σa)·10^25 exactly, so the >38-digit string sum equals the
     // HUGEINT sum of the 10^25-scaled heads with the zeros re-appended.
     "q_bigint_sum" -> (C +

@@ -275,4 +275,15 @@ object SyntheticCdc {
   FROM legs
 )
 """
+
+  /** The same CTE chain without the single-token gate — the SQL twin of
+    * [[graft.operators.TokenPipeline.transfersAllTokens]]'s multi-tenant
+    * filter. Derived textually so the two chains cannot drift; the
+    * replacement is asserted to have fired.
+    */
+  val oracleCtesAllTokens: String = {
+    val gated = "WHERE receiver_account_id = 'oct.token' AND status"
+    require(oracleCtes.contains(gated), "single-token gate not found in oracleCtes")
+    oracleCtes.replace(gated, "WHERE status")
+  }
 }

@@ -80,4 +80,23 @@ class TokenPipelineSpec extends SparkSpec {
     val ids = transfers.select($"receipt_id").as[String].collect().toSet
     assert(!ids.exists(Set("r6", "r7", "r8", "r9", "r10")))
   }
+
+  /** The multi-tenant path restricted to the configured token must reproduce
+    * the single-token pipeline exactly, and the wrong-token receipt the
+    * single-token path drops (r8, `other.token`) must surface under its own
+    * token key instead of vanishing.
+    */
+  test("multi-token balances: oct slice equals single-token; other.token surfaces") {
+    val multi = TokenPipeline.multiTokenBalancesFromRaw(TokenFixture.receipts(spark),
+      TokenFixture.outcomes(spark), TokenFixture.actions(spark), cfg)
+    val single = TokenPipeline.balancesFromRaw(TokenFixture.receipts(spark),
+      TokenFixture.outcomes(spark), TokenFixture.actions(spark), cfg)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"account", $"balance".cast("long"), $"receipt_id")
+        .as[(String, Long, String)].collect().toSet
+    assert(rows(multi.filter($"token" === TokenFixture.Token).drop("token")) === rows(single))
+    val others = multi.filter($"token" === "other.token")
+      .select($"receipt_id").as[String].collect().toSet
+    assert(others === Set("r8"), "the wrong-token receipt must appear under other.token")
+  }
 }

@@ -62,6 +62,15 @@ object StreamingPipeline {
   def balancesUpdateMode(transferStream: DataFrame): DataFrame =
     TokenPipeline.balances(transferStream)
 
+  /** Multi-tenant changelog: the same update-mode unbounded aggregation keyed
+    * (token, account) — ONE streaming state serving every token contract in
+    * the feed, versus the reference's app-per-token deployment (each with its
+    * own state store and consumer group). State stays O(#live keys); the
+    * wider key also shards a cross-token hot account over its contracts.
+    */
+  def multiTokenBalancesUpdateMode(transferStream: DataFrame): DataFrame =
+    TokenPipeline.balancesByToken(transferStream)
+
   /** Balance changelog → in-memory store (local runs / tests). Per-batch
     * deltas via the same `TokenPipeline.balances` aggregate, merged by
     * [[BalanceUpsert.merge]]. `collect` is safe here: deltas are O(#accounts

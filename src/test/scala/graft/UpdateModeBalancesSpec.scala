@@ -68,6 +68,36 @@ class UpdateModeBalancesSpec extends SparkSpec {
     assert(lastPerKey === batch)
   }
 
+  test("multi-token update mode: one state, per-(token, account) changelog") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.when
+    val in = MemoryStream[Evt]
+    // r1/r3 land on tok.a, r2/r4 on tok.b — two contracts in one stream
+    val withToken = in.toDF().withColumn("receiver_account_id",
+      when($"receipt_id".isin("r1", "r3"), "tok.a").otherwise("tok.b"))
+    val balances = StreamingPipeline.multiTokenBalancesUpdateMode(withToken)
+
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), Long]]
+    val q = balances.writeStream.outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("mt-ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getAs[String]("token"), r.getAs[String]("account")) ->
+            r.getAs[java.math.BigDecimal]("balance").longValueExact()).toMap
+        perBatch.synchronized { perBatch += rows }
+        ()
+      }
+      .start()
+    in.addData(chunk1); q.processAllAvailable()
+    in.addData(chunk2); q.processAllAvailable()
+    q.stop()
+
+    val updates = perBatch.synchronized(perBatch.toList).filter(_.nonEmpty)
+    assert(updates(0) === Map(("tok.a", "alice") -> 970L, ("tok.b", "bob") -> 50L))
+    // second trigger touched only tok.b/bob — tok.a state is untouched
+    assert(updates(1) === Map(("tok.b", "bob") -> 150L))
+  }
+
   test("same query runs on the RocksDB state store backend") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

@@ -123,7 +123,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_token_budget" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
       "q_source_quota" -> Set("doc_id", "source"),
-      "q_passage_overlap" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
+      "q_passage_overlap" -> Set("doc_id", "text"),
+      "q_lm_score" -> Set("doc_id", "text"),
+      "q_data_split" -> Set("doc_id", "text"),
+      "q_seq_pack" -> Set("doc_id", "text"),
+      "q_containment" -> Set("doc_id", "text"),
+      "q_heavy_hitters" -> Set("text"),
+      "q_dedup_report" -> Set("text")).foreach { case (name, allowed) =>
       scansOf(name).foreach { scan =>
         val readCols = scan.schema.fieldNames.toSet
         assert(readCols.subsetOf(allowed),

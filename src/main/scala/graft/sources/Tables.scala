@@ -18,4 +18,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every harness table as a temp view, so the whole engine is
+    * reachable from pure SQL (`spark.sql("SELECT … FROM lineitem …")`) —
+    * combined with the SQL function injection in
+    * [[graft.GraftExtensions]] / `GraftFunctions.register`, a SQL-only user
+    * gets the same surface the DataFrame API exposes.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

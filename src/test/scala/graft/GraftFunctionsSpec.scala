@@ -31,6 +31,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(dot === 11.0)
   }
 
+  /** The SQL-only user path end-to-end: harness tables as views + injected
+    * native functions = a dedup query in pure SQL, no Column API anywhere.
+    */
+  test("pure SQL over registered views reaches the engine surface") {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val dup = spark.sql(
+      """SELECT count(*) AS n_docs, count(DISTINCT fingerprint(text)) AS n_distinct
+         FROM documents""").as[(Long, Long)].collect()(0)
+    assert(dup._1 > 0 && dup._2 > 0 && dup._2 <= dup._1)
+    val sh = spark.sql(
+      """SELECT count(*) AS n FROM (
+           SELECT explode(shingles(text, 3)) AS s FROM documents)""")
+      .as[Long].collect()(0)
+    assert(sh > 0)
+  }
+
   test("shingles rejects a non-literal n") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

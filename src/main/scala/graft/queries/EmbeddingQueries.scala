@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, row_number}
 import graft.operators.Embeddings
 import graft.sources.Tables
 
@@ -109,8 +109,50 @@ object EmbeddingQueries {
   def ivfStats(spark: SparkSession, dir: String): DataFrame =
     Embeddings.ivfBucketStats(vectors(spark, dir), NumCentroids)
 
+  /** Reciprocal-rank-fusion constant (the standard k=60 from Cormack et al.).
+    */
+  val RrfK = 60
+
+  /** Hybrid retrieval: semantic top-k (exact cosine KNN over the embeddings,
+    * `doc_id = vec_id` as everywhere the two tables compose) fused with
+    * lexical top-k (3-shingle overlap count) by reciprocal-rank fusion —
+    * `score = Σ 1/(60 + rank)` over the lists that retrieved the candidate,
+    * here in exact e6 fixed point so both engines agree bit-for-bit. RRF is
+    * how production search actually reconciles dense and sparse retrievers:
+    * rank-space fusion needs no score calibration between cosine and overlap
+    * counts. Plan: the two retrievers run independently (broadcast KNN;
+    * shingle equi-join), a full-outer join unions their candidate lists
+    * (≤ 2k rows per query), and the final ranking windows over that tiny
+    * per-query set.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+    val sem = Embeddings.knnExact(vectors(spark, dir), queryVectors(spark, dir), K)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank").as("r_sem"))
+    val sh = graft.operators.TextDedup.shingles(d, "doc_id", "text", 3)
+    val qsh = sh.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val csh = sh.select(col("doc_id").as("cand_id"), col("shingle"))
+    val inter = qsh.join(csh, "shingle")
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id").agg(count(lit(1)).as("inter"))
+    val wL = Window.partitionBy("query_id").orderBy(col("inter").desc, col("cand_id").asc)
+    val lex = inter.withColumn("r_lex", row_number().over(wL))
+      .filter(col("r_lex") <= K).select("query_id", "cand_id", "r_lex")
+    val fused = lex.join(sem, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_e6",
+        (coalesce(expr(s"1000000 div ($RrfK + r_sem)"), lit(0)) +
+          coalesce(expr(s"1000000 div ($RrfK + r_lex)"), lit(0))).cast("long"))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf_e6").desc, col("cand_id").asc)
+    fused.withColumn("rank", row_number().over(wF)).filter(col("rank") <= K)
+      .select(col("query_id"), col("cand_id"), col("rrf_e6"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_stats" -> (ivfStats _),
+    "q_hybrid_rrf" -> (hybridRrf _),
     "q_embed_groups" -> (embedDedupGroups _),
     "q_knn_topk" -> (knnExact _),
     "q_ann_topk" -> (ivfTopK _),
@@ -223,6 +265,37 @@ object EmbeddingQueries {
           SELECT cent_id, n_vecs, (n_vecs * 1000000) // n_total AS share_e6
           FROM b, tot""",
     "q_knn_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM exact"),
+    "q_hybrid_rrf" -> (base +
+      s""", sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)),
+          lexinter AS (
+            SELECT a.doc_id AS query_id, b.doc_id AS cand_id, count(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < $NumQueries AND b.doc_id <> a.doc_id
+            GROUP BY 1, 2),
+          lex AS (
+            SELECT query_id, cand_id, r_lex FROM (
+              SELECT query_id, cand_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY inter DESC, cand_id ASC) AS r_lex
+              FROM lexinter)
+            WHERE r_lex <= $K),
+          sem AS (SELECT query_id, neighbor_id AS cand_id, rank AS r_sem FROM exact),
+          fused AS (
+            SELECT coalesce(l.query_id, s.query_id) AS query_id,
+                   coalesce(l.cand_id, s.cand_id) AS cand_id,
+                   (coalesce(1000000 // ($RrfK + s.r_sem), 0)
+                    + coalesce(1000000 // ($RrfK + l.r_lex), 0))::BIGINT AS rrf_e6
+            FROM lex l FULL JOIN sem s
+              ON l.query_id = s.query_id AND l.cand_id = s.cand_id)
+          SELECT query_id, cand_id, rrf_e6, rank FROM (
+            SELECT query_id, cand_id, rrf_e6,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_e6 DESC, cand_id ASC) AS rank
+            FROM fused)
+          WHERE rank <= $K"""),
     // int8 scalar quantization: round(x/s*127) with s = max|x| per vector;
     // quantized dots/norms are exact integers, so no sequential-sum caveat
     "q_sq8_topk" -> (base + sq8Ctes +

@@ -397,6 +397,37 @@ object AnalyticQueries {
         max(col("tus")).as("end_us"))
   }
 
+  /** Ordered conversion funnel signup → click → purchase: per user, each
+    * stage's timestamp is the earliest qualifying event STRICTLY AFTER the
+    * previous stage (the conditional-min formulation — three filtered
+    * aggregations chained by equi-joins on user_id, every intermediate one
+    * row per user). The report is per-stage reached-user counts with e4
+    * fixed-point conversion versus stage 1. No window over a user's full
+    * event history is ever materialized — at 100 TB the per-stage
+    * aggregations shuffle one row per (user, stage), not the event log.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min(col("tus")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min(col("tus")).as("t3"))
+    def stage(df: DataFrame, no: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage_no", lit(no)).withColumn("stage", lit(name))
+    val stages = stage(t1, 1L, "signup")
+      .unionByName(stage(t2, 2L, "click_after_signup"))
+      .unionByName(stage(t3, 3L, "purchase_after_click"))
+    val first = t1.agg(count(lit(1)).as("n_first"))
+    stages.crossJoin(broadcast(first))
+      .select(col("stage_no"), col("stage"), col("n_users"),
+        expr("(n_users * 10000) div n_first").as("conv_e4"))
+  }
+
   /** Native session windows (gap-merged aggregation windows, the built-in
     * SessionWindowing operator — vs [[qSessionize]]'s window-function
     * formulation). Spark's session end is exclusive: a gap of exactly the
@@ -506,6 +537,7 @@ object AnalyticQueries {
     "q_window_lag" -> (qWindowLag _),
     "q_range_frame" -> (qRangeFrame _),
     "q_sessionize" -> (qSessionize _),
+    "q_funnel" -> (qFunnel _),
     "q_session_window" -> (qSessionWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_percentiles" -> (qPercentiles _),
@@ -641,6 +673,24 @@ object AnalyticQueries {
          SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
                 MIN(tus) AS start_us, MAX(tus) AS end_us
          FROM sess GROUP BY user_id, session_no""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+         t1 AS (SELECT user_id, min(tus) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN t1 USING (user_id)
+                WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN t2 USING (user_id)
+                WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1),
+         stages AS (
+           SELECT 1 AS stage_no, 'signup' AS stage, count(*)::BIGINT AS n_users FROM t1
+           UNION ALL
+           SELECT 2, 'click_after_signup', count(*)::BIGINT FROM t2
+           UNION ALL
+           SELECT 3, 'purchase_after_click', count(*)::BIGINT FROM t3),
+         f AS (SELECT count(*)::BIGINT AS n_first FROM t1)
+         SELECT stage_no::BIGINT AS stage_no, stage, n_users,
+                (n_users * 10000) // n_first AS conv_e4
+         FROM stages, f""",
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

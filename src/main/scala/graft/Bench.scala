@@ -53,7 +53,7 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // methodology is part of the record: each number is min-of-2 warm runs
+    // methodology is part of the record: each number is min-of-3 warm runs
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"stat":"min","warmup":true,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -425,7 +425,9 @@ object AnalyticQueries {
     val first = t1.agg(count(lit(1)).as("n_first"))
     stages.crossJoin(broadcast(first))
       .select(col("stage_no"), col("stage"), col("n_users"),
-        expr("(n_users * 10000) div n_first").as("conv_e4"))
+        // zero-signup corpus → empty funnel report, not a division error
+        expr("CASE WHEN n_first = 0 THEN 0 ELSE (n_users * 10000) div n_first END")
+          .as("conv_e4"))
   }
 
   /** Native session windows (gap-merged aggregation windows, the built-in
@@ -689,7 +691,8 @@ object AnalyticQueries {
            SELECT 3, 'purchase_after_click', count(*)::BIGINT FROM t3),
          f AS (SELECT count(*)::BIGINT AS n_first FROM t1)
          SELECT stage_no::BIGINT AS stage_no, stage, n_users,
-                (n_users * 10000) // n_first AS conv_e4
+                CASE WHEN n_first = 0 THEN 0
+                     ELSE (n_users * 10000) // n_first END AS conv_e4
          FROM stages, f""",
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,

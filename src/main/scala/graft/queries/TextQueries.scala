@@ -67,14 +67,15 @@ object TextQueries {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
+    // the corpus total rides along with the sketch pass (a second typed agg
+    // column) and then on every candidate row — two scans total, not three
     val cand = toks.as[String]
       .groupByKey(_ => 0)
-      .agg(new graft.functions.FreqSketch(1024).column)
-      .flatMap(_._2.map(_._1)).toDF("term")
-    val tot = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(cand), Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(tot))
+      .agg(new graft.functions.FreqSketch(1024).column, count(lit(1)).as[Long])
+      .flatMap { case (_, cands, n) => cands.map(c => (c._1, n)) }
+      .toDF("term", "n_total")
+    toks.join(broadcast(cand), Seq("term"))
+      .groupBy("term", "n_total").agg(count(lit(1)).as("freq"))
       .filter(col("freq") * 1000 >= col("n_total"))
       .select(col("term"), col("freq"), col("n_total"))
   }

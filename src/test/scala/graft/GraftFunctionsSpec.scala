@@ -37,15 +37,21 @@ class GraftFunctionsSpec extends SparkSpec {
   test("pure SQL over registered views reaches the engine surface") {
     GraftFunctions.register(spark)
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
-    val dup = spark.sql(
-      """SELECT count(*) AS n_docs, count(DISTINCT fingerprint(text)) AS n_distinct
-         FROM documents""").as[(Long, Long)].collect()(0)
-    assert(dup._1 > 0 && dup._2 > 0 && dup._2 <= dup._1)
-    val sh = spark.sql(
-      """SELECT count(*) AS n FROM (
-           SELECT explode(shingles(text, 3)) AS s FROM documents)""")
-      .as[Long].collect()(0)
-    assert(sh > 0)
+    try {
+      val dup = spark.sql(
+        """SELECT count(*) AS n_docs, count(DISTINCT fingerprint(text)) AS n_distinct
+           FROM documents""").as[(Long, Long)].collect()(0)
+      assert(dup._1 > 0 && dup._2 > 0 && dup._2 <= dup._1)
+      val sh = spark.sql(
+        """SELECT count(*) AS n FROM (
+             SELECT explode(shingles(text, 3)) AS s FROM documents)""")
+        .as[Long].collect()(0)
+      assert(sh > 0)
+    } finally {
+      // the SparkSession is shared across the serial suites — don't leak
+      // harness-named views into later tests
+      graft.sources.Tables.names.foreach(spark.catalog.dropTempView)
+    }
   }
 
   test("shingles rejects a non-literal n") {

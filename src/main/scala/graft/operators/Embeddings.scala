@@ -303,6 +303,82 @@ object Embeddings {
       ivfNearDupPairs(vectors, numCentroids, nAssign, threshold))
   }
 
+  /** Sign-random-projection (hyperplane) LSH — the second blocking family
+    * next to IVF, and the embedding-space analogue of SimHash: each vector is
+    * reduced to `nBits` sign bits (bit j = sign of the dot with hyperplane j),
+    * bits are grouped into bands of [[SrpBandBits]], and two vectors become
+    * near-dup candidates when ANY band collides. P[bit match] = 1 − θ/π, so
+    * band width trades candidate volume for recall — the same knob as
+    * MinHash banding, but distance-native for cosine (no centroid training,
+    * no hot-bucket sensitivity to centroid quality; the trade is lower
+    * per-band selectivity at moderate thresholds).
+    *
+    * Hyperplane entries are ±1 from a Carter-Wegman hash mod the Mersenne
+    * prime 2³¹−1 — deterministic, and multiplication by ±1 is exact in
+    * floating point, so the projected dots (sequential double sums of signed
+    * elements) are bit-identical in Spark and DuckDB and the signatures are
+    * hash-checkable. Planes are embedded as LITERAL arrays: the signature
+    * build is one narrow codegen'd projection per vector — no shuffle, no
+    * broadcast — and only the (vec_id, band, sig) triples shuffle for the
+    * bucket self-join.
+    */
+  val SrpBandBits = 4
+
+  private def srpPlane(j: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val x = j.toLong * dim + i
+      if (((1103515245L * x + 12345L) % 2147483647L) % 2 == 0L) 1.0f else -1.0f
+    }
+
+  /** Banded SRP signatures: one row per (vec_id, band) with the band's packed
+    * sign bits. Narrow 1→nBands fan-out; everything before the explode is a
+    * single whole-stage-codegen projection.
+    */
+  def srpSignatures(vectors: DataFrame, nBits: Int, dim: Int = 64): DataFrame = {
+    require(nBits % SrpBandBits == 0, s"nBits must be a multiple of $SrpBandBits")
+    val bits = (0 until nBits).map { j =>
+      when(dotD(col("embedding"), typedlit(srpPlane(j, dim))) > 0d, 1L).otherwise(0L)
+    }
+    val bands = (0 until nBits / SrpBandBits).map { b =>
+      val sig = (0 until SrpBandBits)
+        .map(m => bits(b * SrpBandBits + m) * lit(1L << m))
+        .reduce(_ + _)
+      struct(lit(b).cast("int").as("band"), sig.as("sig"))
+    }
+    vectors.select(col("vec_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** SRP-blocked near-dup pairs: band-bucket self-join for candidates, exact
+    * cosine verify — precision exact, recall set by the banding (measured by
+    * [[srpNearDupRecall]] against the all-pairs baseline). Same
+    * candidates→distinct→verify shape as the IVF and MinHash paths.
+    */
+  def srpNearDupPairs(vectors: DataFrame, nBits: Int, threshold: Double): DataFrame = {
+    val sig = srpSignatures(vectors, nBits)
+    val cands = sig.alias("x")
+      .join(sig.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+      l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+      l2Norm(col("embedding")).as("b_norm"))
+    cands.join(a, "vec_a").join(b, "vec_b")
+      .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Pair recall of the SRP-blocked path vs the exact all-pairs path (one row
+    * of integers) — the measurement that prices the banding choice.
+    */
+  def srpNearDupRecall(vectors: DataFrame, nBits: Int, threshold: Double): DataFrame =
+    recallOf(cosineNearDupPairs(vectors, threshold),
+      srpNearDupPairs(vectors, nBits, threshold))
+
   /** Stream-static ANN serving: an unbounded stream of query vectors probed
     * per micro-batch against a STATIC corpus — the enrichment/serving shape
     * (index built once, queries arrive forever). Each trigger runs the

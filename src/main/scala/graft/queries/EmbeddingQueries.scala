@@ -74,6 +74,39 @@ object EmbeddingQueries {
     Embeddings.ivfNearDupRecallSampled(vectors(spark, dir), NumCentroids,
       NearDupAssign, NearDupThreshold, RecallSampleMod)
 
+  /** SRP bit budget: 32 hyperplanes in 4-bit bands (8 bands). At the 0.45
+    * threshold P[bit match] ≈ 0.65, so one-of-8 band collision catches ~80%
+    * of threshold pairs while 16-value buckets cut candidate volume ~an order
+    * below all-pairs — the knob to widen (more/narrower bands) as the
+    * threshold rises.
+    */
+  val SrpBits = 32
+
+  def srpNearDup(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.srpNearDupPairs(vectors(spark, dir), SrpBits, NearDupThreshold)
+
+  def srpNearDupRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.srpNearDupRecall(vectors(spark, dir), SrpBits, NearDupThreshold)
+
+  /** Retrieval fidelity of the IVF path as a rank metric, not just set
+    * overlap: per query, the reciprocal rank (e6 fixed point) at which the
+    * IVF list retrieves the EXACT top-1 neighbor — the MRR decomposition
+    * search teams read next to recall@k (recall says "is it anywhere in the
+    * k"; RR says "how far down did it land"). 0 when the true top-1 was
+    * missed entirely. Integer arithmetic end to end.
+    */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = queryVectors(spark, dir)
+    val exact1 = Embeddings.knnExact(v, q, K).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Embeddings.ivfTopK(v, q, NumCentroids, NProbe, K)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    exact1.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        coalesce(expr("1000000 div a_rank"), lit(0L)).cast("long").as("rr_e6"))
+  }
+
   /** Embedding-space dedup applied, not just detected: survivors after
     * greedily dropping the higher id of each bucketed-verified near-dup pair
     * — the embedding twin of the text pipeline's cleaning stage, using the
@@ -151,6 +184,9 @@ object EmbeddingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_srp_neardup" -> (srpNearDup _),
+    "q_srp_recall" -> (srpNearDupRecall _),
+    "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_embed_groups" -> (embedDedupGroups _),
@@ -243,7 +279,66 @@ object EmbeddingQueries {
           WHERE rank <= $K)
      """
 
+  /** SRP oracle CTEs: the hyperplane signs, banded signatures, bucket-join
+    * candidates, and cosine-verified pairs — the Carter-Wegman plane formula
+    * is mirrored verbatim, ±1 products are rounding-free, and the dots are
+    * sequential double sums, so signatures (and therefore pairs) are
+    * bit-identical to the Spark path.
+    */
+  private[queries] lazy val srpBase =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS (SELECT vec_id,
+                  sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                FROM v),
+        planes AS (
+          SELECT j, list_transform(range(0, 64),
+            i -> CASE WHEN ((1103515245*(j*64+i) + 12345) % 2147483647) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END) AS pv
+          FROM range(0, $SrpBits) t(j)),
+        bits AS (
+          SELECT v.vec_id, p.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i -> v.e[i]*p.pv[i])) > 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM v CROSS JOIN planes p),
+        sig AS (
+          SELECT vec_id, j // 4 AS band,
+            sum(bit * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                       ELSE 8 END))::BIGINT AS sg
+          FROM bits GROUP BY 1, 2),
+        scand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM sig x JOIN sig y
+            ON x.band = y.band AND x.sg = y.sg AND x.vec_id < y.vec_id),
+        srp_pairs AS (
+          SELECT c.vec_a, c.vec_b
+          FROM scand c
+          JOIN v a ON a.vec_id = c.vec_a
+          JOIN v b ON b.vec_id = c.vec_b
+          JOIN nrm na ON na.vec_id = c.vec_a
+          JOIN nrm nb ON nb.vec_id = c.vec_b
+          WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                  / (na.nm * nb.nm) >= $NearDupThreshold),
+        exact_pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          JOIN nrm na ON na.vec_id = a.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                  / (na.nm * nb.nm) >= $NearDupThreshold)
+     """
+
   val oracleSql: Map[String, String] = Map(
+    "q_srp_neardup" -> (srpBase + "SELECT vec_a, vec_b FROM srp_pairs"),
+    "q_srp_recall" -> (srpBase +
+      """SELECT count(l.vec_a) AS hits, count(*) AS total
+         FROM exact_pairs e
+         LEFT JOIN srp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    "q_retrieval_mrr" -> (base +
+      """SELECT e.query_id,
+                coalesce(1000000 // a.rank, 0)::BIGINT AS rr_e6
+         FROM (SELECT query_id, neighbor_id FROM exact WHERE rank = 1) e
+         LEFT JOIN approx a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""),
     "q_ivf_stats" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           nrm AS (SELECT vec_id,

@@ -132,4 +132,39 @@ class EmbeddingsSpec extends SparkSpec {
     info(f"mean best-cosine before=$before%.4f after=$after%.4f")
     assert(after >= before - 1e-9, f"refinement regressed: $after%.4f < $before%.4f")
   }
+
+  /** SRP banding contract: signatures are deterministic (literal planes, pure
+    * arithmetic), one row per (vector, band), and identical vectors collide in
+    * EVERY band — the blocking can never miss an exact duplicate.
+    */
+  test("srpSignatures: deterministic banded shape; identical vectors collide everywhere") {
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = vecs001.count()
+    val s1 = Embeddings.srpSignatures(vecs001, nBits = 32)
+    assert(s1.count() === n * 8)
+    assert(s1.collect().toSet === Embeddings.srpSignatures(vecs001, nBits = 32).collect().toSet)
+    // a vector duplicated under a new id lands in all 8 of its twin's buckets
+    val one = vecs001.limit(1).select($"vec_id", $"embedding")
+    val dup = one.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val both = Embeddings.srpSignatures(one.union(dup), nBits = 32)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(both.distinct.length === 8, s"twin vectors disagreed in some band: $both")
+  }
+
+  /** SRP precision is exact by construction (candidates are cosine-verified):
+    * every emitted pair is in the all-pairs baseline, and recall on the
+    * harness data is nonzero — the banding actually finds threshold pairs.
+    */
+  test("srpNearDupPairs: subset of exact pairs, nonzero recall on harness data") {
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val srp = Embeddings.srpNearDupPairs(vecs001, nBits = 32, threshold = 0.45)
+      .as[(Long, Long)].collect().toSet
+    val exact = Embeddings.cosineNearDupPairs(vecs001, threshold = 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(srp.subsetOf(exact), s"false positives: ${srp.diff(exact)}")
+    val (hits, total) = Embeddings.srpNearDupRecall(vecs001, 32, 0.45)
+      .as[(Long, Long)].head()
+    info(s"srp recall on sf0.001: $hits/$total")
+    assert(total > 0 && hits > 0)
+  }
 }

@@ -78,6 +78,48 @@ object CurationQueries {
         (coalesce(col("n_overlap"), lit(0L)) === 0L).cast("long").as("kept"))
   }
 
+  /** Decontamination through a FIXED-SIZE Bloom filter — the form of the
+    * membership test that survives when the reference set outgrows an exact
+    * broadcast: the eval 8-gram set is folded into a 64 KiB bitset (one
+    * aggregation pass, word-OR merge), broadcast as a single row, and every
+    * training shingle is probed with two md5-derived positions. Bloom
+    * membership can false-positive but never false-negative, so the filter's
+    * keep-decision is conservative (never keeps a contaminated doc the exact
+    * test would drop); the report carries BOTH counts per doc so the
+    * false-positive cost of the compression is auditable inline. The filter
+    * contents and every probe verdict are bit-reproducible in DuckDB (md5 on
+    * both sides), which is what lets the oracle check the Bloom SEMANTICS,
+    * false positives included.
+    */
+  def deconBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{BloomBitsetAgg, BloomFilter}
+    val d = docs(spark, dir)
+    val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val eval_ = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val shEval = TextDedup.shingles(eval_, "doc_id", "text", 8)
+      .select("shingle").distinct()
+    val bits = shEval
+      .select(explode(BloomFilter.positionsArray(
+        TextDedup.tokenHash60(col("shingle")))).as("pos"))
+      .as[Long]
+      .select(new BloomBitsetAgg().toColumn.name("bits"))
+    val shTrain = TextDedup.shingles(train, "doc_id", "text", 8)
+    val bloomHits = shTrain.crossJoin(broadcast(bits))
+      .filter(BloomFilter.mightContain(col("bits"),
+        TextDedup.tokenHash60(col("shingle"))))
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val exactHits = shTrain.join(broadcast(shEval), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    train.select(col("doc_id"))
+      .join(bloomHits, Seq("doc_id"), "left")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        (coalesce(col("bloom_hits"), lit(0L)) === 0L).cast("long").as("kept"))
+  }
+
   /** Top-3 distinctive terms per document by fixed-point TF-IDF:
     * `score_e6 = tf * ((N * 10⁶) div df)` — the rational-IDF (N/df) variant
     * in pure integer arithmetic, so both engines agree bit-for-bit (a
@@ -358,6 +400,7 @@ object CurationQueries {
     "q_dedup_groups" -> (dedupGroups _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decon_bloom" -> (deconBloom _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_quota" -> (sourceQuota _))
 
@@ -583,6 +626,44 @@ object CurationQueries {
                 coalesce(ov.n_overlap, 0) AS n_overlap,
                 (CASE WHEN coalesce(ov.n_overlap, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM documents d LEFT JOIN ov USING (doc_id)
+         WHERE d.doc_id % 20 <> 0""",
+    // the filter is reproduced as the UNION of all eval probe positions; a
+    // train shingle "bloom-hits" iff BOTH its positions are in that union —
+    // exactly the bitset semantics, false positives included
+    "q_decon_bloom" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)
+         ), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         evh AS (
+           SELECT CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+           FROM ev),
+         epos AS (
+           SELECT DISTINCT p FROM (
+             SELECT hv % 524288 AS p FROM evh
+             UNION ALL SELECT (hv // 524288) % 524288 FROM evh)),
+         tr AS (
+           SELECT doc_id, shingle,
+                  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+           FROM sh WHERE doc_id % 20 <> 0),
+         bh AS (
+           SELECT doc_id, count(*)::BIGINT AS bloom_hits
+           FROM tr
+           WHERE (hv % 524288) IN (SELECT p FROM epos)
+             AND ((hv // 524288) % 524288) IN (SELECT p FROM epos)
+           GROUP BY 1),
+         eh AS (
+           SELECT s.doc_id, count(*)::BIGINT AS exact_hits
+           FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) s
+           JOIN ev USING (shingle) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(bh.bloom_hits, 0) AS bloom_hits,
+                coalesce(eh.exact_hits, 0) AS exact_hits,
+                (CASE WHEN coalesce(bh.bloom_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM documents d
+         LEFT JOIN bh USING (doc_id)
+         LEFT JOIN eh USING (doc_id)
          WHERE d.doc_id % 20 <> 0""",
     "q_tfidf_terms" ->
       """WITH tok AS (

@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkSpec {
       case pr: org.apache.spark.sql.execution.ProjectExec => scalarOut(pr.child)
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => scalarOut(w.child)
       case i: org.apache.spark.sql.execution.InputAdapter => scalarOut(i.child)
+      // row-count-preserving-or-reducing wrappers over a scalar stay scalar
+      case f: org.apache.spark.sql.execution.FilterExec => scalarOut(f.child)
+      case s: org.apache.spark.sql.execution.SerializeFromObjectExec => scalarOut(s.child)
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.groupingExpressions.isEmpty
       case _ => false
@@ -120,6 +123,7 @@ class PlanAuditSpec extends SparkSpec {
   test("curation-layer document scans prune to the used columns") {
     Seq("q_tfidf_terms" -> Set("doc_id", "text"),
       "q_decontaminate" -> Set("doc_id", "text"),
+      "q_decon_bloom" -> Set("doc_id", "text"),
       "q_token_budget" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
       "q_source_quota" -> Set("doc_id", "source"),

@@ -174,6 +174,47 @@ object CurationQueries {
         col("e._2").as("doc_id"))
   }
 
+  /** Documents drawn per weighted-sample rank — [[weightedSample]]'s k. */
+  val WeightedSampleK = 10
+
+  /** Deterministic WEIGHTED sampling per source: k documents chosen with
+    * probability increasing in document length — priority-sampling's
+    * deterministic skeleton (key = hash/weight; the k smallest keys win, so
+    * doubling a document's weight halves its expected key — the exact analogue
+    * of A-ES weighted reservoir sampling with the md5 hash standing in for the
+    * random draw, which is what makes the sample REPLAYABLE across runs and
+    * re-shards). Long docs dominating the sample is the desired behavior when
+    * sampling for token-weighted corpus audits: uniform doc sampling
+    * under-represents exactly the documents holding most of the tokens.
+    * The hash is masked to 50 bits so its double image is exact, and the
+    * key division is one correctly-rounded IEEE op on identical operands —
+    * bit-equal in both engines. Ranking runs through the bounded
+    * [[graft.functions.TopK]] aggregator: O(k) state per source with map-side
+    * combine, so a hot source shuffles k rows per map task, never its whole
+    * membership.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hk = TextDedup.tokenHash60(col("doc_id").cast("string"))
+      .bitwiseAND(lit((1L << 50) - 1))
+    val w = greatest(col("n_chars"), lit(1L))
+    val agg = new graft.functions.TopK(WeightedSampleK)
+    val sampled = docs(spark, dir)
+      .select(col("source"),
+        (-(hk.cast("double") / w.cast("double"))).as("score"), col("doc_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("source", "topk")
+      .select(col("source"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("e._2").as("doc_id"))
+    sampled.join(docs(spark, dir).select(col("doc_id"), col("n_chars").as("weight")),
+        "doc_id")
+      .select(col("source"), col("rk"), col("doc_id"), col("weight"))
+  }
+
   /** Per-language quality-quantile gate: keep documents at or above their
     * language's median quality. The quantile is EXACT without ever sorting
     * the corpus: `quality_e4` has a bounded integer domain (0..10⁴), so the
@@ -402,7 +443,8 @@ object CurationQueries {
     "q_decontaminate" -> (decontaminate _),
     "q_decon_bloom" -> (deconBloom _),
     "q_tfidf_terms" -> (tfidfTerms _),
-    "q_source_quota" -> (sourceQuota _))
+    "q_source_quota" -> (sourceQuota _),
+    "q_weighted_sample" -> (weightedSample _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
     * symmetric edges → transitive closure by recursive CTE → min reachable
@@ -679,6 +721,19 @@ object CurationQueries {
            SELECT *, row_number() OVER (PARTITION BY doc_id
                                         ORDER BY score_e6 DESC, term) AS rnk
            FROM scored) WHERE rnk <= 3""",
+    // priority key = (50-bit md5 hash) / weight in one IEEE double division —
+    // identical operands, identical rounding, so ranks agree bit-for-bit
+    "q_weighted_sample" ->
+      s"""WITH h AS (
+            SELECT source, doc_id, n_chars,
+              (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                & 1125899906842623) AS hk
+            FROM documents)
+          SELECT source, rk, doc_id, weight FROM (
+            SELECT source, doc_id, n_chars AS weight,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY (hk / greatest(n_chars, 1)) ASC, doc_id ASC) AS rk
+            FROM h) WHERE rk <= $WeightedSampleK""",
     "q_source_quota" ->
       """WITH h AS (
            SELECT source, doc_id,

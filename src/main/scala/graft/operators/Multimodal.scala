@@ -87,6 +87,40 @@ object Multimodal {
       }
   }
 
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, embedding: Array[Float])
+
+  /** Per-FRAME stub features: each payload is cut into `k` evenly-sized byte
+    * ranges (same boundaries as [[sampleFrames]]) and every range runs through
+    * the same md5-derived 5-dim encoder as [[extractFeatures]] — the
+    * frame-level embedding pass of a video pipeline (demux → per-frame
+    * encoder), batched 1→k inside one narrow `mapPartitions` stage with the
+    * digest reused across the partition. Deterministic and oracle-expressible
+    * like the document-level features.
+    */
+  def frameFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                    k: Int): Dataset[FrameFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val base = n / k
+          (0 until k).iterator.map { i =>
+            val len = if (i < k - 1) base else n - base * (k - 1)
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(bytes, i * base, i * base + len))
+              .map("%02x".format(_)).mkString
+            val feats = Array.tabulate(5) { j =>
+              java.lang.Integer.parseInt(hex.substring(6 * j, 6 * j + 6), 16).toFloat / 16777216.0f
+            }
+            FrameFeatures(id, i, feats)
+          }
+        }
+      }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_len: Long)
 
   /** Sample `k` evenly-sized frames per payload (last frame takes the

@@ -43,10 +43,44 @@ object MediaQueries {
       MediaNearDupThreshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
 
+  /** Keyframe gate: a frame opens a new "scene" when its feature cosine to
+    * the previous frame drops below this (stub features of distinct byte
+    * ranges behave like random positive 5-vectors, cosines mostly 0.6–0.95,
+    * so 0.8 yields a stable mixed verdict set).
+    */
+  val KeyframeThreshold = 0.8
+
+  /** Temporal frame dedup / keyframe selection: per payload, k frames through
+    * the frame-level encoder, each compared to its PREDECESSOR frame — a
+    * frame is a keyframe when it starts the payload or its cosine to the
+    * previous frame falls below [[KeyframeThreshold]] (the scene-change
+    * signal; consecutive near-identical frames are the redundancy a video
+    * training pipeline drops first). The comparison is a lag window over
+    * (doc, frame_idx) — k rows per document, so the window's per-partition
+    * sort is bounded by k, never by corpus size; the verdict is a comparison
+    * of bit-identical doubles, so the boolean output is oracle-exact.
+    */
+  def keyframes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lag, when, lit}
+    val E = graft.operators.Embeddings
+    val f = Multimodal.frameFeatures(payloads(spark, dir), "doc_id", "payload", k = 4)
+      .toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    f.withColumn("prev", lag(col("embedding"), 1).over(w))
+      .withColumn("cos",
+        E.dotD(col("embedding"), col("prev"))
+          / (E.l2Norm(col("embedding")) * E.l2Norm(col("prev"))))
+      .select(col("doc_id"), col("frame_idx"),
+        when(col("prev").isNull || col("cos") < KeyframeThreshold, 1L)
+          .otherwise(0L).as("is_keyframe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
-    "q_media_neardup" -> (mediaNearDup _))
+    "q_media_neardup" -> (mediaNearDup _),
+    "q_keyframes" -> (keyframes _))
 
   val oracleSql: Map[String, String] = Map(
     "q_media_meta" ->
@@ -80,5 +114,33 @@ object MediaQueries {
           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM n x JOIN n y ON x.doc_id < y.doc_id
           WHERE (x.a1*y.a1 + x.a2*y.a2 + x.a3*y.a3 + x.a4*y.a4 + x.a5*y.a5)
-                  / (x.nm * y.nm) >= $MediaNearDupThreshold""")
+                  / (x.nm * y.nm) >= $MediaNearDupThreshold""",
+    // frame boundaries mirror q_media_frames (i*base slices, last takes the
+    // remainder); per-frame features re-derive from md5 of the slice, and the
+    // keyframe verdict compares bit-identical doubles, so booleans hash-match
+    "q_keyframes" ->
+      s"""WITH fr AS (
+            SELECT doc_id, i,
+              md5(substring(text, i * (strlen(text) // 4) + 1,
+                CASE WHEN i < 3 THEN strlen(text) // 4
+                     ELSE strlen(text) - 3 * (strlen(text) // 4) END)) AS h
+            FROM documents, unnest([0, 1, 2, 3]) AS u(i)
+          ), f AS (
+            SELECT doc_id, i,
+              CAST('0x' || substring(h, 1, 6) AS INT)::DOUBLE / 16777216.0 AS a1,
+              CAST('0x' || substring(h, 7, 6) AS INT)::DOUBLE / 16777216.0 AS a2,
+              CAST('0x' || substring(h, 13, 6) AS INT)::DOUBLE / 16777216.0 AS a3,
+              CAST('0x' || substring(h, 19, 6) AS INT)::DOUBLE / 16777216.0 AS a4,
+              CAST('0x' || substring(h, 25, 6) AS INT)::DOUBLE / 16777216.0 AS a5
+            FROM fr
+          ), n2 AS (
+            SELECT doc_id, i, a1, a2, a3, a4, a5,
+                   sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4 + a5*a5) AS nm
+            FROM f)
+          SELECT c.doc_id, c.i::INT AS frame_idx,
+                 (CASE WHEN p.doc_id IS NULL THEN 1
+                       WHEN (c.a1*p.a1 + c.a2*p.a2 + c.a3*p.a3 + c.a4*p.a4 + c.a5*p.a5)
+                              / (c.nm * p.nm) < $KeyframeThreshold THEN 1
+                       ELSE 0 END)::BIGINT AS is_keyframe
+          FROM n2 c LEFT JOIN n2 p ON p.doc_id = c.doc_id AND p.i = c.i - 1""")
 }

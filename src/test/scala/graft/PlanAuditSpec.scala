@@ -133,6 +133,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_data_split" -> Set("doc_id", "text"),
       "q_seq_pack" -> Set("doc_id", "text"),
       "q_containment" -> Set("doc_id", "text"),
+      "q_keyframes" -> Set("doc_id", "text"),
       "q_heavy_hitters" -> Set("text"),
       "q_dedup_report" -> Set("text")).foreach { case (name, allowed) =>
       scansOf(name).foreach { scan =>

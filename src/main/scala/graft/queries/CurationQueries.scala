@@ -413,7 +413,10 @@ object CurationQueries {
     * head-anchored boilerplate); stride 1 is the exhaustive mode — same
     * plan, denser windows.
     */
-  def passageOverlap(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, passage_hash) rows of the 16-token stride-8 windows — shared by
+    * the passage-overlap report and the passage-graph centrality query.
+    */
+  private def passageHashes(spark: SparkSession, dir: String): DataFrame = {
     val W = 16
     val S = 8
     val toks = split(col("text"), " ")
@@ -424,9 +427,46 @@ object CurationQueries {
           ceil(greatest(size(toks).cast("long") - W, lit(0L)) / lit(S.toDouble))
             .cast("long"))).as("k"))
       .select(col("doc_id"), md5(array_join(chunk, " ").cast("binary")).as("passage_hash"))
+  }
+
+  def passageOverlap(spark: SparkSession, dir: String): DataFrame =
+    passageHashes(spark, dir)
       .groupBy("passage_hash")
       .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
+
+  /** Hot-passage cap for the centrality graph: passages shared by more than
+    * this many documents contribute no edges (a universal boilerplate line
+    * would otherwise emit O(n²) pairs — the same quadratic guard as the
+    * Jaccard prefix filter; such passages are exactly what
+    * [[passageOverlap]] reports on directly).
+    */
+  val RankPassageCap = 50
+
+  /** Document centrality over the passage-sharing graph: 5 rounds of exact
+    * fixed-point PageRank ([[graft.operators.GraphRank]]) where doc A links
+    * to doc B when they share a 16-token passage. High-rank documents are the
+    * template/boilerplate HUBS whose content radiates through the corpus —
+    * complementary to dedup groups (a hub connects many small groups without
+    * being a near-dup of any one member), and the natural priority order for
+    * a human curation review queue. Edge generation is the sub-quadratic
+    * bucket join on the passage hash (capped by [[RankPassageCap]]); each
+    * rank round is one edge-list join + one aggregation, integer arithmetic
+    * end to end so the DuckDB oracle chains the identical recurrence.
+    */
+  def docRank(spark: SparkSession, dir: String): DataFrame = {
+    val ph = passageHashes(spark, dir).distinct()
+    val ok = ph.groupBy("passage_hash").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, RankPassageCap))
+      .select("passage_hash")
+    val phF = ph.join(ok, Seq("passage_hash"), "left_semi")
+    val edges = phF.alias("a")
+      .join(phF.alias("b"), "passage_hash")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    graft.operators.GraphRank.pageRank(edges, "src", "dst",
+        docs(spark, dir).select("doc_id"), iters = 5)
+      .select(col("id").as("doc_id"), col("rank_e6"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -444,7 +484,8 @@ object CurationQueries {
     "q_decon_bloom" -> (deconBloom _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_quota" -> (sourceQuota _),
-    "q_weighted_sample" -> (weightedSample _))
+    "q_weighted_sample" -> (weightedSample _),
+    "q_doc_rank" -> (docRank _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
     * symmetric edges → transitive closure by recursive CTE → min reachable
@@ -513,7 +554,40 @@ object CurationQueries {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter))"""
 
+  /** The PageRank recurrence as chained CTEs, one per iteration — the same
+    * integer fixed-point update as [[graft.operators.GraphRank]], so every
+    * iterate is bit-equal across engines.
+    */
+  private def docRankOracle: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (
+            SELECT u.id, (150000 + (850 * coalesce(s.s, 0)) // 1000)::BIGINT AS r
+            FROM (SELECT doc_id AS id FROM documents) u
+            LEFT JOIN (
+              SELECT e.dst AS id, sum(r.r // d.deg)::BIGINT AS s
+              FROM edges e
+              JOIN r${i - 1} r ON r.id = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY 1) s USING (id))"""
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        ch AS (
+          SELECT DISTINCT doc_id, array_to_string(t[k*8+1 : k*8+16], ' ') AS ph
+          FROM tok, unnest(generate_series(0, CAST(ceil(greatest(len(t)-16, 0) / 8.0) AS BIGINT))) AS u(k)),
+        okp AS (SELECT ph FROM ch GROUP BY 1
+                HAVING count(*) BETWEEN 2 AND $RankPassageCap),
+        edges AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM ch a JOIN ch b USING (ph) JOIN okp USING (ph)
+          WHERE a.doc_id <> b.doc_id),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+        r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r FROM documents),
+        $iterCtes
+        SELECT id AS doc_id, r AS rank_e6 FROM r5"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_doc_rank" -> docRankOracle,
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          bg AS (

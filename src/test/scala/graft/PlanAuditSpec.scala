@@ -129,6 +129,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),
       "q_passage_overlap" -> Set("doc_id", "text"),
+      "q_doc_rank" -> Set("doc_id", "text"),
       "q_lm_score" -> Set("doc_id", "text"),
       "q_data_split" -> Set("doc_id", "text"),
       "q_seq_pack" -> Set("doc_id", "text"),

@@ -147,6 +147,69 @@ object CurationQueries {
         col("score_e6"), col("rnk"))
   }
 
+  /** Queries / query terms / result depth for the BM25 retrieval query. */
+  val Bm25Queries = 20
+  val Bm25QueryTerms = 8
+  val Bm25K = 10
+
+  /** BM25 lexical retrieval in exact integer arithmetic — the classical
+    * ranked retriever the RRF fusion's lexical side simplifies away: raw
+    * overlap counts ignore term rarity, term-frequency saturation, and
+    * document length; BM25 scores each shared term as
+    * `IDF · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with k1=1.2, b=0.75.
+    * Everything is rational here: multiplying through by 10·T (T = corpus
+    * token count) makes the per-term score
+    * `(idf_e6 · 22·T·tf) div (10·T·tf + 3·T + 9·dl·N)` — pure integer ops,
+    * so both engines agree bit-for-bit (IDF is the same rational `N·10⁶ div
+    * df` simplification as `q_tfidf_terms`, documented there; the log-IDF
+    * form ranks near-identically but floats drift cross-engine). At corpus
+    * scales where `idf_e6 · 22·T·tf` would overflow 64 bits the production
+    * variant computes the same formula in doubles (ranking needs no
+    * exactness contract); the fixed point is what makes THIS query
+    * hash-checkable.
+    *
+    * Queries are the first [[Bm25Queries]] docs, each represented by its
+    * [[Bm25QueryTerms]] most distinctive terms (the tf-idf keyword
+    * extraction) — which also keeps the retrieval join selective: candidates
+    * come from the posting lists of 8 rare-ish terms, not from every doc
+    * sharing "the". The term equi-join IS the inverted index at scale.
+    */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scalars = d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("t_tokens")))
+
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("q_score_e6").desc, col("term").asc)
+    val qterms = tf.filter(col("doc_id") < Bm25Queries)
+      .join(dfTbl, "term").crossJoin(broadcast(scalars))
+      .withColumn("q_score_e6", expr("tf * ((n_docs * 1000000) div df)"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= Bm25QueryTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+
+    val scored = qterms
+      .join(tf.select(col("doc_id").as("cand_id"), col("term"), col("tf")), "term")
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(dl.select(col("doc_id").as("cand_id"), col("dl")), "cand_id")
+      .join(dfTbl, "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("term_score",
+        expr("""(((n_docs * 1000000) div df) * (22 * t_tokens * tf))
+                div (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"""))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("term_score")).as("bm25_e6"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25_e6").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= Bm25K)
+      .select(col("query_id"), col("cand_id"), col("bm25_e6"), col("rank"))
+  }
+
   /** Deterministic per-source quota sampling: keep at most 15 documents per
     * source, chosen by descending md5-derived hash (replayable, unlike
     * `rand()`) with id tie-break. Ranking runs through the bounded
@@ -485,7 +548,8 @@ object CurationQueries {
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_quota" -> (sourceQuota _),
     "q_weighted_sample" -> (weightedSample _),
-    "q_doc_rank" -> (docRank _))
+    "q_doc_rank" -> (docRank _),
+    "q_bm25_topk" -> (bm25Rank _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
     * symmetric edges → transitive closure by recursive CTE → min reachable
@@ -588,6 +652,40 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_rank" -> docRankOracle,
+    "q_bm25_topk" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+          dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+          dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          sc AS (SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+                        (SELECT count(*)::BIGINT FROM tok) AS t_tokens),
+          qterms AS (
+            SELECT doc_id AS query_id, term FROM (
+              SELECT tf.doc_id, tf.term,
+                row_number() OVER (PARTITION BY tf.doc_id
+                  ORDER BY tf * ((n_docs * 1000000) // df) DESC, tf.term ASC) AS rn
+              FROM tf JOIN dfx USING (term) CROSS JOIN sc
+              WHERE tf.doc_id < $Bm25Queries)
+            WHERE rn <= $Bm25QueryTerms),
+          scored AS (
+            SELECT q.query_id, c.doc_id AS cand_id,
+              sum((((n_docs * 1000000) // df) * (22 * t_tokens * c.tf))
+                  // (10 * t_tokens * c.tf + 3 * t_tokens + 9 * dl.dl * n_docs))::BIGINT
+                AS bm25_e6
+            FROM qterms q
+            JOIN tf c USING (term)
+            JOIN dl ON dl.doc_id = c.doc_id
+            JOIN dfx USING (term)
+            CROSS JOIN sc
+            WHERE c.doc_id <> q.query_id
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, bm25_e6, rank FROM (
+            SELECT query_id, cand_id, bm25_e6,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY bm25_e6 DESC, cand_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= $Bm25K""",
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          bg AS (

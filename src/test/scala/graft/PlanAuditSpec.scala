@@ -63,6 +63,8 @@ class PlanAuditSpec extends SparkSpec {
       // row-count-preserving-or-reducing wrappers over a scalar stay scalar
       case f: org.apache.spark.sql.execution.FilterExec => scalarOut(f.child)
       case s: org.apache.spark.sql.execution.SerializeFromObjectExec => scalarOut(s.child)
+      // a cross of two 1-row sides is still 1 row (scalar × scalar attach)
+      case j2: BroadcastNestedLoopJoinExec => scalarOut(j2.left) && scalarOut(j2.right)
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.groupingExpressions.isEmpty
       case _ => false
@@ -130,6 +132,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),
       "q_passage_overlap" -> Set("doc_id", "text"),
       "q_doc_rank" -> Set("doc_id", "text"),
+      "q_bm25_topk" -> Set("doc_id", "text"),
       "q_lm_score" -> Set("doc_id", "text"),
       "q_data_split" -> Set("doc_id", "text"),
       "q_seq_pack" -> Set("doc_id", "text"),

@@ -442,6 +442,40 @@ object CurationQueries {
         coalesce(expr("sp div nb"), lit(0L)).as("lm_score_e6"))
   }
 
+  /** Train/eval split LEAKAGE audit: near-duplicate pairs whose endpoints
+    * landed in DIFFERENT splits of the [[dataSplit]] assignment — the quiet
+    * failure mode of random splitting (a val/test doc with a training-set
+    * near-twin inflates eval scores exactly where the model memorized).
+    * Both evidence families feed the audit: lexical MinHash-LSH pairs and
+    * semantic IVF-blocked cosine pairs, tagged with which signal (or both)
+    * caught them, so triage can prioritize the semantic-only pairs the
+    * cheap lexical pass would have missed. Plan: the two pair generators
+    * (both sub-quadratic), one tiny aggregation over the pair union, split
+    * labels joined onto the endpoints — shuffles scale with the evidence,
+    * never the corpus.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lex = TextDedup.minhashDedupPairs(d, "doc_id", "text", n = 3,
+        thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("lex").as("sig"))
+    val emb = graft.operators.Embeddings.ivfNearDupPairs(
+        Tables(spark, dir, "embeddings"), EmbeddingQueries.NumCentroids,
+        EmbeddingQueries.NearDupAssign, EmbeddingQueries.NearDupThreshold)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), lit("emb").as("sig"))
+    val tagged = lex.union(emb).groupBy("a", "b")
+      .agg(when(count(lit(1)) === 2, "both").otherwise(min(col("sig"))).as("signal"))
+    val b = pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(50L))
+    val splits = d.select(col("doc_id"),
+      when(b < 48, "train").when(b === 48, "val").otherwise("test").as("split"))
+    tagged
+      .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("split_a"), col("split_b"), col("signal"))
+  }
+
   /** Multi-signal dedup groups: LEXICAL near-dup evidence (MinHash-LSH
     * verified Jaccard pairs over text) and SEMANTIC evidence (IVF-blocked
     * cosine pairs over the documents' embeddings) unioned into ONE edge set,
@@ -549,7 +583,8 @@ object CurationQueries {
     "q_source_quota" -> (sourceQuota _),
     "q_weighted_sample" -> (weightedSample _),
     "q_doc_rank" -> (docRank _),
-    "q_bm25_topk" -> (bm25Rank _))
+    "q_bm25_topk" -> (bm25Rank _),
+    "q_split_leakage" -> (splitLeakage _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
     * symmetric edges → transitive closure by recursive CTE → min reachable
@@ -730,6 +765,29 @@ object CurationQueries {
             UNION
             SELECT e.ev, reach.r FROM reach JOIN all_edges e ON e.eu = reach.x)
           SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x""",
+    // both pair families' CTEs composed (as in q_unified_groups), the pair
+    // union tagged by signal, split labels from the q_data_split hash bucket
+    "q_split_leakage" ->
+      s"""WITH $textPairsCte,
+          ${EmbeddingQueries.nearDupBase.trim.stripPrefix("WITH ")},
+          sigs AS (
+            SELECT doc_a AS a, doc_b AS b, 'lex' AS sig FROM tpairs
+            UNION ALL SELECT vec_a, vec_b, 'emb' FROM blocked_pairs),
+          tagged AS (
+            SELECT a, b, CASE WHEN count(*) = 2 THEN 'both' ELSE min(sig) END AS signal
+            FROM sigs GROUP BY 1, 2),
+          splits AS (
+            SELECT doc_id,
+              CASE WHEN b < 48 THEN 'train' WHEN b = 48 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 50 AS b
+                  FROM documents))
+          SELECT t.a AS doc_a, t.b AS doc_b, sa.split AS split_a,
+                 sb.split AS split_b, t.signal
+          FROM tagged t
+          JOIN splits sa ON sa.doc_id = t.a
+          JOIN splits sb ON sb.doc_id = t.b
+          WHERE sa.split <> sb.split""",
     "q_data_split" ->
       s"""WITH s AS ($langTokensCte),
           h AS (

@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_sq8_topk", "q_sq8_recall", "q_srp_recall", "q_retrieval_mrr",
     "q_embed_neardup", "q_embed_neardup_ivf",
     "q_embed_neardup_recall", "q_embed_neardup_recall_sampled", "q_embed_dedup",
-    "q_media_neardup")
+    "q_media_neardup", "q_split_leakage")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

@@ -464,6 +464,53 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(D2)).cast("double").as("sum_value"))
 
+  /** Event-rate anomaly report: 10-minute tumbling windows per event type,
+    * each window flagged when its count reaches twice the type's MEDIAN
+    * window count — the ops-monitoring read over the event firehose (a spike
+    * in one type against its own baseline, not a global threshold). The
+    * median is an exact order statistic computed the histogram way (same
+    * scheme as the quality gate): one aggregation to (type, count) → counts
+    * of counts, a window over the few distinct count values per type, never
+    * a sort of the window table — and window counts per type are the
+    * bounded-cardinality frame here (periods, not events). Integer end to
+    * end.
+    */
+  def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val win = ev(s, dir)
+      .withColumn("w_start", expr("(tus div 600000000) * 600000000"))
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(count(lit(1)).as("n"))
+    val nW = win.groupBy("event_type").agg(count(lit(1)).as("n_windows"))
+    val h = win.groupBy(col("event_type"), col("n")).agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n").asc)
+    val med = h.withColumn("cum", sum(col("c")).over(wc))
+      .join(nW, "event_type")
+      .filter(col("cum") >= expr("(n_windows + 1) div 2"))
+      .groupBy("event_type").agg(min(col("n")).as("median_n"))
+    win.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("w_start"), col("n"), col("median_n"),
+        (col("n") >= col("median_n") * 2).cast("long").as("flagged"))
+  }
+
+  /** Cohort retention: users cohorted by the WEEK of their first event, each
+    * later active week reported as (cohort_week, week_offset, active_users)
+    * — the standard product-analytics retention triangle. Two aggregations:
+    * per-user first event (one shuffle on user), then distinct (user, week)
+    * activity joined to the cohort and rolled up per (cohort, offset).
+    * Weeks are epoch-µs divided into 7-day buckets — pure integer
+    * arithmetic, no calendar dependency to drift between engines.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val e = ev(s, dir).select(col("user_id"), expr(s"tus div $weekUs").as("week"))
+    val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    e.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
   // ------------------------------------------------- interval / as-of joins
 
   /** Interval join: purchases matched to same-user clicks in the prior hour. */
@@ -554,6 +601,8 @@ object AnalyticQueries {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_tumbling" -> (qTumbling _),
+    "q_rate_anomaly" -> (qRateAnomaly _),
+    "q_cohort_retention" -> (qCohortRetention _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -698,6 +747,33 @@ object AnalyticQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "q_rate_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+         win AS (
+           SELECT event_type, (tus // 600000000) * 600000000 AS w_start,
+                  count(*)::BIGINT AS n
+           FROM e GROUP BY 1, 2),
+         nw AS (SELECT event_type, count(*)::BIGINT AS n_windows FROM win GROUP BY 1),
+         h AS (SELECT event_type, n, count(*)::BIGINT AS c FROM win GROUP BY 1, 2),
+         cm AS (
+           SELECT event_type, n,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY n ASC) AS cum
+           FROM h),
+         med AS (
+           SELECT cm.event_type, min(cm.n) AS median_n
+           FROM cm JOIN nw USING (event_type)
+           WHERE cm.cum >= (n_windows + 1) // 2 GROUP BY 1)
+         SELECT w.event_type, w.w_start, w.n, m.median_n,
+                (CASE WHEN w.n >= m.median_n * 2 THEN 1 ELSE 0 END)::BIGINT AS flagged
+         FROM win w JOIN med m USING (event_type)""",
+    "q_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+         d AS (SELECT DISTINCT user_id, week FROM e)
+         SELECT c.cohort_week, d.week - c.cohort_week AS week_offset,
+                count(DISTINCT d.user_id)::BIGINT AS active_users
+         FROM d JOIN c USING (user_id) GROUP BY 1, 2""",
     "q_percentiles" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,

@@ -379,6 +379,49 @@ object Embeddings {
     recallOf(cosineNearDupPairs(vectors, threshold),
       srpNearDupPairs(vectors, nBits, threshold))
 
+  /** MULTI-PROBE SRP near-dup pairs: each (vec, band) additionally probes the
+    * [[SrpBandBits]] buckets at Hamming distance 1 from its own signature
+    * (single-bit flips) — the multi-probe LSH recipe: a near-threshold pair
+    * that disagrees in exactly one bit of a band still collides, so recall
+    * rises steeply WITHOUT adding planes or bands (more planes cost signature
+    * compute everywhere; extra probes only multiply the candidate join's
+    * probe side ×(1+bits)). Probing is one narrow 1→5 fan-out on one side of
+    * the bucket join; the Hamming-1 relation is symmetric, so probing one
+    * side catches every such pair exactly once after the `<` ordering.
+    * Verification stays the exact cosine — precision is still exact, only
+    * candidate volume grows.
+    */
+  def srpNearDupPairsMultiProbe(vectors: DataFrame, nBits: Int,
+                                threshold: Double): DataFrame = {
+    val sig = srpSignatures(vectors, nBits)
+    val probeSigs = array((col("sig") +: (0 until SrpBandBits)
+      .map(m => expr(s"sig ^ ${1L << m}"))): _*)
+    val probes = sig.select(col("vec_id"), col("band"),
+      explode(probeSigs).as("psig"))
+    val cands = probes.alias("x")
+      .join(sig.alias("y"),
+        col("x.band") === col("y.band") && col("x.psig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+      l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+      l2Norm(col("embedding")).as("b_norm"))
+    cands.join(a, "vec_a").join(b, "vec_b")
+      .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Recall of the multi-probe SRP path vs exact all-pairs — read next to
+    * [[srpNearDupRecall]] to see what the extra probes buy.
+    */
+  def srpNearDupRecallMultiProbe(vectors: DataFrame, nBits: Int,
+                                 threshold: Double): DataFrame =
+    recallOf(cosineNearDupPairs(vectors, threshold),
+      srpNearDupPairsMultiProbe(vectors, nBits, threshold))
+
   /** Stream-static ANN serving: an unbounded stream of query vectors probed
     * per micro-batch against a STATIC corpus — the enrichment/serving shape
     * (index built once, queries arrive forever). Each trigger runs the

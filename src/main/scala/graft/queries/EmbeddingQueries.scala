@@ -88,6 +88,12 @@ object EmbeddingQueries {
   def srpNearDupRecall(spark: SparkSession, dir: String): DataFrame =
     Embeddings.srpNearDupRecall(vectors(spark, dir), SrpBits, NearDupThreshold)
 
+  def srpMpNearDup(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.srpNearDupPairsMultiProbe(vectors(spark, dir), SrpBits, NearDupThreshold)
+
+  def srpMpNearDupRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.srpNearDupRecallMultiProbe(vectors(spark, dir), SrpBits, NearDupThreshold)
+
   /** Retrieval fidelity of the IVF path as a rank metric, not just set
     * overlap: per query, the reciprocal rank (e6 fixed point) at which the
     * IVF list retrieves the EXACT top-1 neighbor — the MRR decomposition
@@ -186,6 +192,8 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_srp_neardup" -> (srpNearDup _),
     "q_srp_recall" -> (srpNearDupRecall _),
+    "q_srp_mp_neardup" -> (srpMpNearDup _),
+    "q_srp_mp_recall" -> (srpMpNearDupRecall _),
     "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
     "q_hybrid_rrf" -> (hybridRrf _),
@@ -324,6 +332,23 @@ object EmbeddingQueries {
           JOIN nrm na ON na.vec_id = a.vec_id
           JOIN nrm nb ON nb.vec_id = b.vec_id
           WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                  / (na.nm * nb.nm) >= $NearDupThreshold),
+        sprobes AS (
+          SELECT vec_id, band,
+                 unnest([sg, xor(sg, 1), xor(sg, 2), xor(sg, 4), xor(sg, 8)]) AS psig
+          FROM sig),
+        mcand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM sprobes x JOIN sig y
+            ON x.band = y.band AND x.psig = y.sg AND x.vec_id < y.vec_id),
+        srp_mp_pairs AS (
+          SELECT c.vec_a, c.vec_b
+          FROM mcand c
+          JOIN v a ON a.vec_id = c.vec_a
+          JOIN v b ON b.vec_id = c.vec_b
+          JOIN nrm na ON na.vec_id = c.vec_a
+          JOIN nrm nb ON nb.vec_id = c.vec_b
+          WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
                   / (na.nm * nb.nm) >= $NearDupThreshold)
      """
 
@@ -333,6 +358,11 @@ object EmbeddingQueries {
       """SELECT count(l.vec_a) AS hits, count(*) AS total
          FROM exact_pairs e
          LEFT JOIN srp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    "q_srp_mp_neardup" -> (srpBase + "SELECT vec_a, vec_b FROM srp_mp_pairs"),
+    "q_srp_mp_recall" -> (srpBase +
+      """SELECT count(l.vec_a) AS hits, count(*) AS total
+         FROM exact_pairs e
+         LEFT JOIN srp_mp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
     "q_retrieval_mrr" -> (base +
       """SELECT e.query_id,
                 coalesce(1000000 // a.rank, 0)::BIGINT AS rr_e6

@@ -167,4 +167,22 @@ class EmbeddingsSpec extends SparkSpec {
     info(s"srp recall on sf0.001: $hits/$total")
     assert(total > 0 && hits > 0)
   }
+
+  /** Multi-probe dominance: probing Hamming-1 buckets can only ADD candidate
+    * pairs, so multi-probe recall is ≥ single-probe recall (and on the
+    * harness data strictly better coverage of the candidate space).
+    */
+  test("multi-probe SRP recall >= single-probe recall") {
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sp = Embeddings.srpNearDupPairs(vecs001, 32, 0.45)
+      .as[(Long, Long)].collect().toSet
+    val mp = Embeddings.srpNearDupPairsMultiProbe(vecs001, 32, 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(sp.subsetOf(mp), s"single-probe pairs missing from multi-probe: ${sp.diff(mp)}")
+    val (h1, t1) = Embeddings.srpNearDupRecall(vecs001, 32, 0.45).as[(Long, Long)].head()
+    val (h2, t2) = Embeddings.srpNearDupRecallMultiProbe(vecs001, 32, 0.45)
+      .as[(Long, Long)].head()
+    info(s"recall single=$h1/$t1 multi=$h2/$t2")
+    assert(t1 === t2 && h2 >= h1)
+  }
 }

@@ -335,6 +335,24 @@ object CurationQueries {
       .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** The token-budget sample through the SCALABLE prefix-scan realization
+    * ([[graft.operators.PrefixScan]]) instead of the window form — same
+    * semantics, same oracle, but no per-language sort ever lands on one task:
+    * the documented 100 TB path, executed and driver-checked rather than
+    * described. Registered under the identical DuckDB SQL as
+    * [[tokenBudgetSample]], so the gate proves the two realizations agree.
+    */
+  def tokenBudgetSampleScalable(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+    graft.operators.PrefixScan.langTokenCumsum(s)
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic stratified train/val/test split report: every document
     * lands in a split by md5-hash bucket of its id (48/1/1 of 50 buckets —
     * replayable on re-run and stable under re-sharding, unlike `rand()`;
@@ -573,6 +591,7 @@ object CurationQueries {
     "q_seq_pack" -> (seqPack _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
+    "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
     "q_mixture_report" -> (mixtureReport _),
     "q_quality_gate" -> (qualityQuantileGate _),
     "q_dedup_groups" -> (dedupGroups _),
@@ -684,6 +703,20 @@ object CurationQueries {
         $iterCtes
         SELECT id AS doc_id, r AS rank_e6 FROM r5"""
   }
+
+  private lazy val tokenBudgetOracle =
+    s"""WITH s AS ($langTokensCte),
+        h AS (
+          SELECT s.*,
+            CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+          FROM s),
+        c AS (
+          SELECT doc_id, lang_id, n_tokens,
+            (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+              AS cum_tokens
+          FROM h)
+        SELECT doc_id, lang_id, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= $TokenBudget"""
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_rank" -> docRankOracle,
@@ -814,19 +847,9 @@ object CurationQueries {
           SELECT doc_id, lang_id, strt // $SeqLen AS pack_id,
                  strt % $SeqLen AS pack_offset
           FROM c""",
-    "q_token_budget" ->
-      s"""WITH s AS ($langTokensCte),
-          h AS (
-            SELECT s.*,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
-            FROM s),
-          c AS (
-            SELECT doc_id, lang_id, n_tokens,
-              (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
-                AS cum_tokens
-            FROM h)
-          SELECT doc_id, lang_id, n_tokens, cum_tokens
-          FROM c WHERE cum_tokens <= $TokenBudget""",
+    "q_token_budget" -> tokenBudgetOracle,
+    // the scalable prefix-scan realization must produce the IDENTICAL table
+    "q_token_budget_scan" -> tokenBudgetOracle,
     "q_mixture_report" ->
       s"""WITH s AS ($langTokensCte),
           d2 AS (

@@ -128,6 +128,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_decontaminate" -> Set("doc_id", "text"),
       "q_decon_bloom" -> Set("doc_id", "text"),
       "q_token_budget" -> Set("doc_id", "text"),
+      "q_token_budget_scan" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),

@@ -403,6 +403,23 @@ object CurationQueries {
         expr(s"start % $SeqLen").as("pack_offset"))
   }
 
+  /** [[seqPack]] through the bucketed prefix scan — same packing table, no
+    * per-language sort on one task (see [[tokenBudgetSampleScalable]]);
+    * registered under the identical oracle as the window form.
+    */
+  def seqPackScalable(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+    graft.operators.PrefixScan.langTokenCumsum(s)
+      .withColumn("start", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("lang_id"),
+        expr(s"start div $SeqLen").as("pack_id"),
+        expr(s"start % $SeqLen").as("pack_offset"))
+  }
+
   /** Training-mixture report: documents, tokens, and exact fixed-point token
     * share per (language, source) cell — the sanity table every mixture
     * re-weighting decision reads. One aggregation plus a 1-row broadcast for
@@ -589,6 +606,7 @@ object CurationQueries {
     "q_lm_score" -> (lmScore _),
     "q_data_split" -> (dataSplit _),
     "q_seq_pack" -> (seqPack _),
+    "q_seq_pack_scan" -> (seqPackScalable _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
@@ -703,6 +721,21 @@ object CurationQueries {
         $iterCtes
         SELECT id AS doc_id, r AS rank_e6 FROM r5"""
   }
+
+  private lazy val seqPackOracle =
+    s"""WITH s AS ($langTokensCte),
+        h AS (
+          SELECT s.*,
+            CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+          FROM s),
+        c AS (
+          SELECT doc_id, lang_id,
+            (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+              - n_tokens AS strt
+          FROM h)
+        SELECT doc_id, lang_id, strt // $SeqLen AS pack_id,
+               strt % $SeqLen AS pack_offset
+        FROM c"""
 
   private lazy val tokenBudgetOracle =
     s"""WITH s AS ($langTokensCte),
@@ -833,20 +866,8 @@ object CurationQueries {
                       WHEN b = 48 THEN 'val' ELSE 'test' END AS split,
                  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
           FROM h GROUP BY 1, 2""",
-    "q_seq_pack" ->
-      s"""WITH s AS ($langTokensCte),
-          h AS (
-            SELECT s.*,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
-            FROM s),
-          c AS (
-            SELECT doc_id, lang_id,
-              (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
-                - n_tokens AS strt
-            FROM h)
-          SELECT doc_id, lang_id, strt // $SeqLen AS pack_id,
-                 strt % $SeqLen AS pack_offset
-          FROM c""",
+    "q_seq_pack" -> seqPackOracle,
+    "q_seq_pack_scan" -> seqPackOracle,
     "q_token_budget" -> tokenBudgetOracle,
     // the scalable prefix-scan realization must produce the IDENTICAL table
     "q_token_budget_scan" -> tokenBudgetOracle,

@@ -138,6 +138,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_lm_score" -> Set("doc_id", "text"),
       "q_data_split" -> Set("doc_id", "text"),
       "q_seq_pack" -> Set("doc_id", "text"),
+      "q_seq_pack_scan" -> Set("doc_id", "text"),
       "q_containment" -> Set("doc_id", "text"),
       "q_keyframes" -> Set("doc_id", "text"),
       "q_heavy_hitters" -> Set("text"),

@@ -440,6 +440,37 @@ object CurationQueries {
         col("n_tokens"), col("share_e6"))
   }
 
+  /** Per-source vocabulary profile: tokens, distinct terms, and the
+    * type-token ratio in e6 fixed point — the lexical-diversity staple of a
+    * corpus QA dashboard (template-generated or repetitive sources show a
+    * collapsed TTR long before a human reads them). One tokenize fan-out,
+    * one distinct on (source, term), two small aggregations.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val nTok = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val nTerm = toks.distinct().groupBy("source").agg(count(lit(1)).as("n_terms"))
+    nTok.join(nTerm, "source")
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        expr("(n_terms * 1000000) div n_tokens").as("ttr_e6"))
+  }
+
+  /** Per-source document-length histogram in log₂ character buckets — the
+    * size-distribution QA read (truncation, boilerplate stubs, and runaway
+    * concatenations each bend a different end of the curve). Bucketing is
+    * floor-log₂ via the BIT LENGTH of the integer (`length(bin(n)) − 1`),
+    * never a float `log2` — a double log at an exact power of two can land
+    * on 8.9999…/9.0000…1 differently per engine, exactly the cross-engine
+    * drift the gate bans. One narrow scan + one tiny aggregation.
+    */
+  def lengthHist(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        (length(bin(greatest(col("n_chars"), lit(1L)))) - 1).cast("long").as("len_bucket"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Corpus-trained bigram LM quality score — the exact-arithmetic skeleton
     * of the CCNet/KenLM perplexity filter: train P(w2|w1) on the corpus
     * itself (bigram count over prefix count), score each document by its
@@ -621,6 +652,8 @@ object CurationQueries {
     "q_weighted_sample" -> (weightedSample _),
     "q_doc_rank" -> (docRank _),
     "q_bm25_topk" -> (bm25Rank _),
+    "q_vocab_stats" -> (vocabStats _),
+    "q_length_hist" -> (lengthHist _),
     "q_split_leakage" -> (splitLeakage _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
@@ -753,6 +786,22 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_rank" -> docRankOracle,
+    "q_vocab_stats" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+         nt AS (SELECT source, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1),
+         nd AS (SELECT source, count(*)::BIGINT AS n_terms
+                FROM (SELECT DISTINCT source, term FROM toks) GROUP BY 1)
+         SELECT source, n_tokens, n_terms,
+                (n_terms * 1000000) // n_tokens AS ttr_e6
+         FROM nt JOIN nd USING (source)""",
+    // floor-log2 via bit length on both engines (bin() string length), never
+    // a float log
+    "q_length_hist" ->
+      """SELECT source,
+              (length(bin(greatest(n_chars, 1))) - 1)::BIGINT AS len_bucket,
+              count(*)::BIGINT AS n_docs
+         FROM documents GROUP BY 1, 2""",
     "q_bm25_topk" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -142,7 +142,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_containment" -> Set("doc_id", "text"),
       "q_keyframes" -> Set("doc_id", "text"),
       "q_heavy_hitters" -> Set("text"),
-      "q_dedup_report" -> Set("text")).foreach { case (name, allowed) =>
+      "q_dedup_report" -> Set("text"),
+      "q_vocab_stats" -> Set("source", "text"),
+      "q_length_hist" -> Set("source", "n_chars")).foreach { case (name, allowed) =>
       scansOf(name).foreach { scan =>
         val readCols = scan.schema.fieldNames.toSet
         assert(readCols.subsetOf(allowed),

@@ -552,7 +552,7 @@ object CurationQueries {
     * edge, and connected components reconciles overlapping clusters from
     * both detectors into a consistent grouping.
     */
-  def unifiedGroups(spark: SparkSession, dir: String): DataFrame = {
+  private def unifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val textPairs = TextDedup.minhashDedupPairs(d, "doc_id", "text", n = 3,
         thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
@@ -561,9 +561,67 @@ object CurationQueries {
         Tables(spark, dir, "embeddings"), EmbeddingQueries.NumCentroids,
         EmbeddingQueries.NearDupAssign, EmbeddingQueries.NearDupThreshold)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
-    ConnectedComponents.run(textPairs.union(embPairs), "a", "b",
-        vertices = Some(d.select("doc_id")))
+    textPairs.union(embPairs)
+  }
+
+  def unifiedGroups(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(unifiedPairs(spark, dir), "a", "b",
+        vertices = Some(docs(spark, dir).select("doc_id")))
       .select(col("id").as("doc_id"), col("comp").as("group_id"))
+
+  /** The capstone per-document DECISION table: what actually happens to every
+    * document when the whole dedup layer runs, with the reason and the
+    * canonical document it defers to. Precedence mirrors pipeline cost —
+    * cheapest signal wins the explanation:
+    *
+    *   1. `exact_dup`   — identical text exists under a smaller id
+    *                      (canonical = min id of the content hash);
+    *   2. `near_dup`    — loser of its unified lexical∪semantic dedup group
+    *                      (canonical = the group's longest text, ties → min
+    *                      id — the [[dedupCanonical]] rule over the
+    *                      [[unifiedGroups]] clustering);
+    *   3. `contained`   — ≥80% shingle-contained in some longer doc
+    *                      (canonical = its smallest-id container) without
+    *                      tripping the symmetric near-dup cut;
+    *   4. `kept`        — survives, canonical = itself.
+    *
+    * This is the table a pipeline run ships to reviewers: every drop is
+    * attributable to one auditable signal and one kept document. Each signal
+    * is the already-oracle-checked sub-quadratic generator; the decision
+    * itself is three joins on doc_id.
+    */
+  def dedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val h = d.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exactCanon = h.groupBy("h").agg(min(col("doc_id")).as("exact_canon"))
+    val ex = h.join(exactCanon, "h").select(col("doc_id"), col("exact_canon"))
+
+    val groups = unifiedGroups(spark, dir)
+    val canon = groups
+      .join(d.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .groupBy("group_id")
+      .agg(max_by(col("doc_id"), struct(col("len"), (-col("doc_id")).as("nid")))
+        .as("group_canon"))
+    val grp = groups.join(canon, "group_id").select(col("doc_id"), col("group_canon"))
+
+    val container = TextDedup.containmentPairs(d, "doc_id", "text", n = 3,
+        thresholdPct = 80)
+      .groupBy(col("contained").as("doc_id"))
+      .agg(min(col("container")).as("container"))
+
+    d.select(col("doc_id"))
+      .join(ex, "doc_id")
+      .join(grp, "doc_id")
+      .join(container, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_canon") =!= col("doc_id"), "exact_dup")
+          .when(col("group_canon") =!= col("doc_id"), "near_dup")
+          .when(col("container").isNotNull, "contained")
+          .otherwise("kept").as("verdict"),
+        when(col("exact_canon") =!= col("doc_id"), col("exact_canon"))
+          .when(col("group_canon") =!= col("doc_id"), col("group_canon"))
+          .when(col("container").isNotNull, col("container"))
+          .otherwise(col("doc_id")).as("canonical_id"))
   }
 
   /** Cross-document repeated passages: md5 fingerprints of the same 16-token
@@ -654,6 +712,7 @@ object CurationQueries {
     "q_bm25_topk" -> (bm25Rank _),
     "q_vocab_stats" -> (vocabStats _),
     "q_length_hist" -> (lengthHist _),
+    "q_dedup_decision" -> (dedupDecision _),
     "q_split_leakage" -> (splitLeakage _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
@@ -880,6 +939,57 @@ object CurationQueries {
             UNION
             SELECT e.ev, reach.r FROM reach JOIN all_edges e ON e.eu = reach.x)
           SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x""",
+    // every signal's CTEs composed: unified groups (recursive closure),
+    // exact-hash canon, group canonical, containment direction split — the
+    // LSH ≡ exact-Jaccard caveat of q_unified_groups applies unchanged
+    "q_dedup_decision" ->
+      s"""WITH RECURSIVE $textPairsCte,
+          ${EmbeddingQueries.nearDupBase.trim.stripPrefix("WITH ")},
+          all_edges AS (
+            SELECT doc_a AS eu, doc_b AS ev FROM tpairs
+            UNION SELECT doc_b, doc_a FROM tpairs
+            UNION SELECT vec_a, vec_b FROM blocked_pairs
+            UNION SELECT vec_b, vec_a FROM blocked_pairs),
+          reach(x, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.ev, reach.r FROM reach JOIN all_edges e ON e.eu = reach.x),
+          ugroups AS (SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x),
+          hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+          ecanon AS (SELECT h, min(doc_id) AS exact_canon FROM hx GROUP BY 1),
+          exd AS (SELECT hx.doc_id, exact_canon FROM hx JOIN ecanon USING (h)),
+          gm AS (SELECT g.group_id, d.doc_id, len(d.text)::BIGINT AS len
+                 FROM ugroups g JOIN documents d USING (doc_id)),
+          gcanon AS (
+            SELECT group_id, doc_id AS group_canon FROM (
+              SELECT group_id, doc_id,
+                row_number() OVER (PARTITION BY group_id
+                  ORDER BY len DESC, doc_id) AS rn
+              FROM gm) WHERE rn = 1),
+          grp AS (SELECT gm.doc_id, gcanon.group_canon
+                  FROM gm JOIN gcanon USING (group_id)),
+          contd AS (
+            SELECT doc_id, min(container) AS container FROM (
+              SELECT i.doc_a AS doc_id, i.doc_b AS container
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+              WHERE i.inter * 100 >= 80 * sa.sz
+              UNION ALL
+              SELECT i.doc_b, i.doc_a
+              FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE i.inter * 100 >= 80 * sb.sz) GROUP BY 1)
+          SELECT d.doc_id,
+            CASE WHEN e.exact_canon <> d.doc_id THEN 'exact_dup'
+                 WHEN g.group_canon <> d.doc_id THEN 'near_dup'
+                 WHEN c.container IS NOT NULL THEN 'contained'
+                 ELSE 'kept' END AS verdict,
+            CASE WHEN e.exact_canon <> d.doc_id THEN e.exact_canon
+                 WHEN g.group_canon <> d.doc_id THEN g.group_canon
+                 WHEN c.container IS NOT NULL THEN c.container
+                 ELSE d.doc_id END AS canonical_id
+          FROM documents d
+          JOIN exd e USING (doc_id)
+          JOIN grp g USING (doc_id)
+          LEFT JOIN contd c USING (doc_id)""",
     // both pair families' CTEs composed (as in q_unified_groups), the pair
     // union tagged by signal, split labels from the q_data_split hash bucket
     "q_split_leakage" ->

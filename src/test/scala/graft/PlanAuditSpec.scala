@@ -144,7 +144,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_heavy_hitters" -> Set("text"),
       "q_dedup_report" -> Set("text"),
       "q_vocab_stats" -> Set("source", "text"),
-      "q_length_hist" -> Set("source", "n_chars")).foreach { case (name, allowed) =>
+      "q_length_hist" -> Set("source", "n_chars"),
+      "q_dedup_decision" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
       scansOf(name).foreach { scan =>
         val readCols = scan.schema.fieldNames.toSet
         assert(readCols.subsetOf(allowed),

@@ -121,6 +121,29 @@ object Multimodal {
       }
   }
 
+  /** Keyframe selection over [[frameFeatures]]: a frame is kept when it opens
+    * its payload or its feature cosine to the PREDECESSOR frame drops below
+    * `threshold` (the scene-change signal — consecutive near-identical frames
+    * are the first redundancy a video pipeline drops). The lag window spans k
+    * frames per document, so no sort scales with the corpus; stateless across
+    * payloads, so the same plan serves batch tables and per-micro-batch
+    * streaming ingest ([[graft.streaming.MediaIngestStream]]).
+    */
+  def keyframes(df: DataFrame, idCol: String, payloadCol: String,
+                k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val E = Embeddings
+    val f = frameFeatures(df, idCol, payloadCol, k).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    f.withColumn("prev", lag(col("embedding"), 1).over(w))
+      .withColumn("cos",
+        E.dotD(col("embedding"), col("prev"))
+          / (E.l2Norm(col("embedding")) * E.l2Norm(col("prev"))))
+      .select(col("doc_id"), col("frame_idx"),
+        when(col("prev").isNull || col("cos") < threshold, 1L)
+          .otherwise(0L).as("is_keyframe"))
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_len: Long)
 
   /** Sample `k` evenly-sized frames per payload (last frame takes the

@@ -60,21 +60,9 @@ object MediaQueries {
     * sort is bounded by k, never by corpus size; the verdict is a comparison
     * of bit-identical doubles, so the boolean output is oracle-exact.
     */
-  def keyframes(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{lag, when, lit}
-    val E = graft.operators.Embeddings
-    val f = Multimodal.frameFeatures(payloads(spark, dir), "doc_id", "payload", k = 4)
-      .toDF()
-    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    f.withColumn("prev", lag(col("embedding"), 1).over(w))
-      .withColumn("cos",
-        E.dotD(col("embedding"), col("prev"))
-          / (E.l2Norm(col("embedding")) * E.l2Norm(col("prev"))))
-      .select(col("doc_id"), col("frame_idx"),
-        when(col("prev").isNull || col("cos") < KeyframeThreshold, 1L)
-          .otherwise(0L).as("is_keyframe"))
-  }
+  def keyframes(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.keyframes(payloads(spark, dir), "doc_id", "payload",
+      k = 4, threshold = KeyframeThreshold)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta _),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, row_number}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, row_number}
 import graft.operators.Embeddings
 import graft.sources.Tables
 
@@ -93,6 +93,23 @@ object EmbeddingQueries {
 
   def srpMpNearDupRecall(spark: SparkSession, dir: String): DataFrame =
     Embeddings.srpNearDupRecallMultiProbe(vectors(spark, dir), SrpBits, NearDupThreshold)
+
+  /** SRP bucket-balance report — the hyperplane index's health view, read
+    * the way `q_ivf_stats` is read for the centroid index: per (band,
+    * signature) member counts and corpus share in e6. Bucket balance is what
+    * keeps the band self-join sub-quadratic; correlated dimensions collapse
+    * sign bits and show up here as runaway buckets long before the join cost
+    * does. One narrow signature projection + one aggregation + a scalar
+    * attach.
+    */
+  def srpStats(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Embeddings.srpSignatures(vectors(spark, dir), SrpBits)
+    val tot = vectors(spark, dir).agg(count(lit(1)).as("n_total"))
+    sig.groupBy("band", "sig").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("sig"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n_total").as("share_e6"))
+  }
 
   /** Retrieval fidelity of the IVF path as a rank metric, not just set
     * overlap: per query, the reciprocal rank (e6 fixed point) at which the
@@ -194,6 +211,7 @@ object EmbeddingQueries {
     "q_srp_recall" -> (srpNearDupRecall _),
     "q_srp_mp_neardup" -> (srpMpNearDup _),
     "q_srp_mp_recall" -> (srpMpNearDupRecall _),
+    "q_srp_stats" -> (srpStats _),
     "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
     "q_hybrid_rrf" -> (hybridRrf _),
@@ -358,6 +376,10 @@ object EmbeddingQueries {
       """SELECT count(l.vec_a) AS hits, count(*) AS total
          FROM exact_pairs e
          LEFT JOIN srp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    "q_srp_stats" -> (srpBase +
+      """SELECT band, sg AS sig, count(*)::BIGINT AS n_vecs,
+                (count(*) * 1000000) // (SELECT count(*) FROM v) AS share_e6
+         FROM sig GROUP BY band, sg"""),
     "q_srp_mp_neardup" -> (srpBase + "SELECT vec_a, vec_b FROM srp_mp_pairs"),
     "q_srp_mp_recall" -> (srpBase +
       """SELECT count(l.vec_a) AS hits, count(*) AS total

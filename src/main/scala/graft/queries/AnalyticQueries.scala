@@ -205,6 +205,37 @@ object AnalyticQueries {
       .agg(count(lit(1)))
       .na.fill(0) // empty pivot cells are NULL in Spark, 0 in the oracle's FILTER count
 
+  /** UNPIVOT (melt): the wide pivot table stacked back to long form — wide →
+    * long is the other half of the reshaping pair, and the round trip through
+    * BOTH operators must land exactly on the plain GROUP BY the oracle
+    * computes directly. `stack` is the codegen'd built-in (one narrow 1→5
+    * fan-out over the tiny pivoted frame).
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val stackArgs = priorities.map(p => s"'$p', `$p`").mkString(", ")
+    qPivot(s, dir)
+      .select(col("o_orderstatus"),
+        expr(s"stack(${priorities.length}, $stackArgs) AS (o_orderpriority, n)"))
+      .filter(col("n") > 0)
+  }
+
+  /** ntile quartiles of customers by total spend — the cohorting form of
+    * ranking (equal-size buckets, not equal-score): bucket boundaries are
+    * data-driven but deterministic under the (spend DESC, custkey) total
+    * order. Spend stays exact DECIMAL through the ordering; the output
+    * projection is the one cast to DOUBLE on both sides (decimal repr rule).
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(D2)).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    spend.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("o_custkey"), col("spend").cast("double").as("spend"),
+        col("quartile"))
+  }
+
   /** String-distance / transform functions (levenshtein is the classic DP in
     * both engines — identical integers).
     */
@@ -592,6 +623,8 @@ object AnalyticQueries {
     "q_percentiles" -> (qPercentiles _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_ntile" -> (qNtile _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_estimate" -> (qKmvEstimate _),
@@ -792,6 +825,18 @@ object AnalyticQueries {
            count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
            count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
          FROM orders GROUP BY o_orderstatus""",
+    // the pivot→stack round trip must land exactly on the direct GROUP BY
+    "q_unpivot" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY 1, 2""",
+    "q_ntile" ->
+      """WITH s AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+           FROM orders GROUP BY 1)
+         SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
+                (ntile(4) OVER (ORDER BY spend DESC, o_custkey))::BIGINT AS quartile
+         FROM s""",
     "q_kmv_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
          FROM orders GROUP BY o_orderstatus""",

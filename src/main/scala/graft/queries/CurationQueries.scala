@@ -675,19 +675,37 @@ object CurationQueries {
     * rank round is one edge-list join + one aggregation, integer arithmetic
     * end to end so the DuckDB oracle chains the identical recurrence.
     */
-  def docRank(spark: SparkSession, dir: String): DataFrame = {
+  private def passageEdges(spark: SparkSession, dir: String): DataFrame = {
     val ph = passageHashes(spark, dir).distinct()
     val ok = ph.groupBy("passage_hash").agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, RankPassageCap))
       .select("passage_hash")
     val phF = ph.join(ok, Seq("passage_hash"), "left_semi")
-    val edges = phF.alias("a")
+    phF.alias("a")
       .join(phF.alias("b"), "passage_hash")
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    graft.operators.GraphRank.pageRank(edges, "src", "dst",
+  }
+
+  def docRank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphRank.pageRank(passageEdges(spark, dir), "src", "dst",
         docs(spark, dir).select("doc_id"), iters = 5)
       .select(col("id").as("doc_id"), col("rank_e6"))
+
+  /** Passage-graph degree distribution — the health view under [[docRank]]:
+    * how many documents have how many passage-sharing neighbors (degree 0 =
+    * the isolated majority). A fat tail here is the early warning that the
+    * hot-passage cap needs lowering (degree drives both the rank iteration's
+    * join volume and the plausibility of the centrality signal). One tiny
+    * aggregation over the capped edge list plus a left join for the zeros.
+    */
+  def graphDegree(spark: SparkSession, dir: String): DataFrame = {
+    val deg = passageEdges(spark, dir).distinct()
+      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_docs"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -713,6 +731,7 @@ object CurationQueries {
     "q_vocab_stats" -> (vocabStats _),
     "q_length_hist" -> (lengthHist _),
     "q_dedup_decision" -> (dedupDecision _),
+    "q_graph_degree" -> (graphDegree _),
     "q_split_leakage" -> (splitLeakage _))
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
@@ -786,6 +805,22 @@ object CurationQueries {
     * integer fixed-point update as [[graft.operators.GraphRank]], so every
     * iterate is bit-equal across engines.
     */
+  /** Shared passage-graph CTEs (chunking, hot-passage cap, distinct edges,
+    * out-degrees) for the centrality and degree-distribution oracles.
+    */
+  private lazy val passageGraphCtes =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        ch AS (
+          SELECT DISTINCT doc_id, array_to_string(t[k*8+1 : k*8+16], ' ') AS ph
+          FROM tok, unnest(generate_series(0, CAST(ceil(greatest(len(t)-16, 0) / 8.0) AS BIGINT))) AS u(k)),
+        okp AS (SELECT ph FROM ch GROUP BY 1
+                HAVING count(*) BETWEEN 2 AND $RankPassageCap),
+        edges AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM ch a JOIN ch b USING (ph) JOIN okp USING (ph)
+          WHERE a.doc_id <> b.doc_id),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1)"""
+
   private def docRankOracle: String = {
     val iterCtes = (1 to 5).map { i =>
       s"""r$i AS (
@@ -798,17 +833,7 @@ object CurationQueries {
               JOIN deg d ON d.src = e.src
               GROUP BY 1) s USING (id))"""
     }.mkString(",\n")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        ch AS (
-          SELECT DISTINCT doc_id, array_to_string(t[k*8+1 : k*8+16], ' ') AS ph
-          FROM tok, unnest(generate_series(0, CAST(ceil(greatest(len(t)-16, 0) / 8.0) AS BIGINT))) AS u(k)),
-        okp AS (SELECT ph FROM ch GROUP BY 1
-                HAVING count(*) BETWEEN 2 AND $RankPassageCap),
-        edges AS (
-          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-          FROM ch a JOIN ch b USING (ph) JOIN okp USING (ph)
-          WHERE a.doc_id <> b.doc_id),
-        deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    s"""$passageGraphCtes,
         r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r FROM documents),
         $iterCtes
         SELECT id AS doc_id, r AS rank_e6 FROM r5"""
@@ -845,6 +870,11 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_rank" -> docRankOracle,
+    "q_graph_degree" ->
+      s"""$passageGraphCtes
+          SELECT coalesce(deg.deg, 0) AS deg, count(*)::BIGINT AS n_docs
+          FROM documents d LEFT JOIN deg ON deg.src = d.doc_id
+          GROUP BY 1""",
     "q_vocab_stats" ->
       """WITH toks AS (
            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -36,6 +36,33 @@ object TextQueries {
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     TextDedup.containmentPairs(docs(spark, dir), "doc_id", "text", n = 3, thresholdPct = 80)
 
+  /** Canonicalization-collision report: documents whose texts differ raw but
+    * collide after lowercasing and whitespace collapse — the
+    * casing/formatting near-copies that byte-exact dedup misses and MinHash
+    * overkills (they are EXACT duplicates under the right equality). Output
+    * is per COLLIDING canonical hash: total copies, distinct raw variants
+    * (`n_raw > 1` = canonicalization did work beyond byte equality), and the
+    * smallest id. The harness corpus contains no formatting variants (all
+    * 500 texts are byte-distinct), so this operator is spec-proven on
+    * synthetic variants rather than registered as a permanently-empty
+    * query. Same one-shuffle hash-groupBy shape as exact dedup;
+    * the canonical form is `trim(lower + collapse-spaces)` — in the shared
+    * Java∩RE2 regex subset, so both engines canonicalize identically.
+    */
+  def canonCollisionsOf(d: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), " +", " "))
+    d.select(col("doc_id"), md5(canon.cast("binary")).as("canon_hash"),
+        md5(col("text").cast("binary")).as("raw_hash"))
+      .groupBy("canon_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("raw_hash")).as("n_raw"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
+  def canonCollisions(spark: SparkSession, dir: String): DataFrame =
+    canonCollisionsOf(docs(spark, dir))
+
   /** Corpus dedup economics in one row: how many docs, how many distinct
     * contents, and how many documents / characters exact dedup would drop —
     * the before/after accounting a pipeline run reports (and the number that

@@ -171,4 +171,25 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("en") === 4L)     // the, the, and, is
     assert(r.getAs[String]("lang") === "en")
   }
+
+  /** Canonicalization collisions: formatting variants (case, runs of spaces,
+    * edge whitespace) collide; genuinely different texts do not; the n_raw
+    * column separates formatting variants from byte-identical copies.
+    */
+  test("canonCollisions catches case/whitespace variants only") {
+    val docs = Seq(
+      (1L, "The Quick  Brown Fox"),
+      (2L, "the quick brown fox "),   // case + spacing variant of 1
+      (3L, "the quick brown fox"),    // canonical twin of 1 and 2
+      (4L, "a different text"),
+      (5L, "a different text"),       // byte-identical to 4
+      (6L, "an unrelated document")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.canonCollisionsOf(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (_, n, nRaw, first) => (first, n, nRaw) }.toSet
+    // group of 1/2/3: three copies, three raw variants (formatting dupes);
+    // group of 4/5: two copies, ONE raw variant (plain exact dupes)
+    assert(out === Set((1L, 3L, 3L), (4L, 2L, 1L)))
+  }
 }

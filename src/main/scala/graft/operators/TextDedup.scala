@@ -89,10 +89,13 @@ object TextDedup {
   /** Shared exact-pair stage: distinct-shingle equi-join → per-pair
     * intersection counts with both docs' shingle-set sizes attached,
     * unthresholded — [[jaccardPairs]] and [[containmentPairs]] differ only in
-    * the normalization they filter by.
+    * the normalization they filter by, and a composed pipeline that needs
+    * BOTH signals (the decision table) checkpoints this frame once and
+    * filters it twice instead of running two candidate joins. The
+    * `maxShingleFreq` prefix-filter cap is the 100 TB skew guard.
     */
-  private def shingleIntersections(docs: DataFrame, idCol: String, textCol: String,
-                                   n: Int, maxShingleFreq: Long): DataFrame = {
+  def shingleIntersections(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val filtered =
       if (maxShingleFreq == Long.MaxValue) sh
@@ -199,6 +202,17 @@ object TextDedup {
                         rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val sigs = minhashSignatures(sh, numHashes, withShingleSet = true)
+    minhashDedupPairsFromSigs(sigs, numHashes, rowsPerBand, thresholdPct)
+  }
+
+  /** The LSH candidate → exact-verify stage over a PRE-BUILT signature frame
+    * (a [[minhashSignatures]] result with `withShingleSet = true`) — the seam
+    * a composed pipeline uses to share ONE shingle/signature build across
+    * several consumers of the LSH path. Pure composition:
+    * [[minhashDedupPairs]] is exactly shingles → signatures → this.
+    */
+  def minhashDedupPairsFromSigs(sigs: DataFrame, numHashes: Int, rowsPerBand: Int,
+                                thresholdPct: Int): DataFrame = {
     val cands = lshCandidatePairs(sigs, numHashes, rowsPerBand)
     val sets = sigs.select(col("doc_id"), col("sz"), col("sh_set"))
     cands
@@ -212,6 +226,7 @@ object TextDedup {
       .filter(col("inter") * 100 >= lit(thresholdPct) * (col("size_a") + col("size_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
+
 
   /** Static LSH index over a reference corpus, for stream probing: one row
     * per (band, bucket) membership carrying the doc's size and distinct

@@ -576,49 +576,105 @@ object CurationQueries {
     *
     *   1. `exact_dup`   — identical text exists under a smaller id
     *                      (canonical = min id of the content hash);
-    *   2. `near_dup`    — loser of its unified lexical∪semantic dedup group
+    *   2. `canon_dup`   — identical AFTER lowercasing + whitespace collapse
+    *                      (the [[TextQueries.canonCollisionsOf]] equality;
+    *                      canonical = min id of the canonical hash) without
+    *                      being byte-identical to it;
+    *   3. `near_dup`    — loser of its unified lexical∪semantic dedup group
     *                      (canonical = the group's longest text, ties → min
     *                      id — the [[dedupCanonical]] rule over the
     *                      [[unifiedGroups]] clustering);
-    *   3. `contained`   — ≥80% shingle-contained in some longer doc
+    *   4. `contained`   — ≥80% shingle-contained in some longer doc
     *                      (canonical = its smallest-id container) without
     *                      tripping the symmetric near-dup cut;
-    *   4. `kept`        — survives, canonical = itself.
+    *   5. `kept`        — survives, canonical = itself.
     *
     * This is the table a pipeline run ships to reviewers: every drop is
-    * attributable to one auditable signal and one kept document. Each signal
-    * is the already-oracle-checked sub-quadratic generator; the decision
-    * itself is three joins on doc_id.
+    * attributable to one auditable signal and one kept document.
+    *
+    * Scale shape: the corpus is scanned exactly TWICE, each scan checkpointed
+    * once and fanned out to every signal — (1) a doc-level facts frame
+    * (content hash, canonical hash, length) feeding the exact & canonical
+    * passes, the group-canonical rule, and the vertex universe; (2) ONE
+    * [[TextDedup.shingleIntersections]] frame feeding BOTH the lexical
+    * near-dup signal (exact-Jaccard filter — precisely the oracle's `tpairs`
+    * CTE, so this is the one composition where LSH would be pure redundancy:
+    * the containment signal needs the full shingle equi-join regardless, and
+    * filtering it twice costs nothing more) and the containment signal
+    * (directional filters). Without the checkpoints,
+    * [[ConnectedComponents]]' own lineage cut makes AQE stage reuse
+    * impossible across the CC boundary, and each signal would re-scan
+    * documents and rebuild 3-gram shingles independently — the redundancy
+    * that multiplies at 100 TB where the scan is the dominant cost. At that
+    * scale the intersections stage takes the hot-shingle `maxShingleFreq`
+    * cap (the prefix-filter skew guard); standalone near-dup detection
+    * WITHOUT a containment signal should keep using the LSH path
+    * ([[unifiedGroups]]), which avoids the shingle equi-join entirely.
     */
-  def dedupDecision(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val h = d.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val exactCanon = h.groupBy("h").agg(min(col("doc_id")).as("exact_canon"))
-    val ex = h.join(exactCanon, "h").select(col("doc_id"), col("exact_canon"))
+  def dedupDecision(spark: SparkSession, dir: String): DataFrame =
+    dedupDecisionOf(docs(spark, dir), Tables(spark, dir, "embeddings"))
 
-    val groups = unifiedGroups(spark, dir)
-    val canon = groups
-      .join(d.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+  /** Decision-table core over explicit (doc_id, text) and (vec_id, embedding)
+    * frames — the seam the canonical-variant spec drives with synthetic
+    * corpora (the harness corpus has no formatting variants, so `canon_dup`
+    * never fires there and the registered query's output is unchanged by the
+    * canonical pass).
+    */
+  private[graft] def dedupDecisionOf(d: DataFrame, emb: DataFrame): DataFrame = {
+    val canonText = trim(regexp_replace(lower(col("text")), " +", " "))
+    val facts = d.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        md5(canonText.cast("binary")).as("ch"),
+        length(col("text")).cast("long").as("len"))
+      .localCheckpoint(true)
+    val w = TextDedup.shingleIntersections(d, "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+
+    val ex = facts
+      .join(facts.groupBy("h").agg(min(col("doc_id")).as("exact_canon")), "h")
+      .select(col("doc_id"), col("exact_canon"))
+    val cn = facts
+      .join(facts.groupBy("ch").agg(min(col("doc_id")).as("canon_canon")), "ch")
+      .select(col("doc_id"), col("canon_canon"))
+
+    val textPairs = w
+      .filter(col("inter") * 100 >=
+        lit(60) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val embPairs = graft.operators.Embeddings.ivfNearDupPairs(emb,
+        EmbeddingQueries.NumCentroids, EmbeddingQueries.NearDupAssign,
+        EmbeddingQueries.NearDupThreshold)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val groups = ConnectedComponents.run(textPairs.union(embPairs), "a", "b",
+        vertices = Some(facts.select("doc_id")))
+      .select(col("id").as("doc_id"), col("comp").as("group_id"))
+    val gcanon = groups.join(facts.select("doc_id", "len"), "doc_id")
       .groupBy("group_id")
       .agg(max_by(col("doc_id"), struct(col("len"), (-col("doc_id")).as("nid")))
         .as("group_canon"))
-    val grp = groups.join(canon, "group_id").select(col("doc_id"), col("group_canon"))
+    val grp = groups.join(gcanon, "group_id").select(col("doc_id"), col("group_canon"))
 
-    val container = TextDedup.containmentPairs(d, "doc_id", "text", n = 3,
-        thresholdPct = 80)
-      .groupBy(col("contained").as("doc_id"))
+    val container = w
+      .filter(col("inter") * 100 >= lit(80) * col("size_a"))
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("container"))
+      .union(w.filter(col("inter") * 100 >= lit(80) * col("size_b"))
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("container")))
+      .groupBy("doc_id")
       .agg(min(col("container")).as("container"))
 
-    d.select(col("doc_id"))
+    facts.select(col("doc_id"))
       .join(ex, "doc_id")
+      .join(cn, "doc_id")
       .join(grp, "doc_id")
       .join(container, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_canon") =!= col("doc_id"), "exact_dup")
+          .when(col("canon_canon") =!= col("doc_id"), "canon_dup")
           .when(col("group_canon") =!= col("doc_id"), "near_dup")
           .when(col("container").isNotNull, "contained")
           .otherwise("kept").as("verdict"),
         when(col("exact_canon") =!= col("doc_id"), col("exact_canon"))
+          .when(col("canon_canon") =!= col("doc_id"), col("canon_canon"))
           .when(col("group_canon") =!= col("doc_id"), col("group_canon"))
           .when(col("container").isNotNull, col("container"))
           .otherwise(col("doc_id")).as("canonical_id"))
@@ -988,6 +1044,11 @@ object CurationQueries {
           hx AS (SELECT doc_id, md5(text) AS h FROM documents),
           ecanon AS (SELECT h, min(doc_id) AS exact_canon FROM hx GROUP BY 1),
           exd AS (SELECT hx.doc_id, exact_canon FROM hx JOIN ecanon USING (h)),
+          cx AS (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS chh
+                 FROM documents),
+          ccanon AS (SELECT chh, min(doc_id) AS canon_canon FROM cx GROUP BY 1),
+          cnd AS (SELECT cx.doc_id, canon_canon FROM cx JOIN ccanon USING (chh)),
           gm AS (SELECT g.group_id, d.doc_id, len(d.text)::BIGINT AS len
                  FROM ugroups g JOIN documents d USING (doc_id)),
           gcanon AS (
@@ -1009,15 +1070,18 @@ object CurationQueries {
               WHERE i.inter * 100 >= 80 * sb.sz) GROUP BY 1)
           SELECT d.doc_id,
             CASE WHEN e.exact_canon <> d.doc_id THEN 'exact_dup'
+                 WHEN n.canon_canon <> d.doc_id THEN 'canon_dup'
                  WHEN g.group_canon <> d.doc_id THEN 'near_dup'
                  WHEN c.container IS NOT NULL THEN 'contained'
                  ELSE 'kept' END AS verdict,
             CASE WHEN e.exact_canon <> d.doc_id THEN e.exact_canon
+                 WHEN n.canon_canon <> d.doc_id THEN n.canon_canon
                  WHEN g.group_canon <> d.doc_id THEN g.group_canon
                  WHEN c.container IS NOT NULL THEN c.container
                  ELSE d.doc_id END AS canonical_id
           FROM documents d
           JOIN exd e USING (doc_id)
+          JOIN cnd n USING (doc_id)
           JOIN grp g USING (doc_id)
           LEFT JOIN contd c USING (doc_id)""",
     // both pair families' CTEs composed (as in q_unified_groups), the pair

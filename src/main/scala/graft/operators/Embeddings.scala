@@ -379,6 +379,19 @@ object Embeddings {
     recallOf(cosineNearDupPairs(vectors, threshold),
       srpNearDupPairs(vectors, nBits, threshold))
 
+  /** [[srpNearDupRecall]] on a deterministic id-sample — the 100 TB-safe
+    * form, same construction as [[ivfNearDupRecallSampled]]: the O(n²) exact
+    * baseline runs only on the 1/`mod` sample while the SRP path under
+    * measurement runs on the FULL corpus; sampled recall is unbiased because
+    * hyperplane blocking is id-blind.
+    */
+  def srpNearDupRecallSampled(vectors: DataFrame, nBits: Int, threshold: Double,
+                              mod: Int): DataFrame = {
+    val sample = vectors.filter(pmod(col("vec_id"), lit(mod)) === 0)
+    recallOf(cosineNearDupPairs(sample, threshold),
+      srpNearDupPairs(vectors, nBits, threshold))
+  }
+
   /** MULTI-PROBE SRP near-dup pairs: each (vec, band) additionally probes the
     * [[SrpBandBits]] buckets at Hamming distance 1 from its own signature
     * (single-bit flips) — the multi-probe LSH recipe: a near-threshold pair
@@ -421,6 +434,16 @@ object Embeddings {
                                  threshold: Double): DataFrame =
     recallOf(cosineNearDupPairs(vectors, threshold),
       srpNearDupPairsMultiProbe(vectors, nBits, threshold))
+
+  /** [[srpNearDupRecallMultiProbe]] with the exact baseline on the 1/`mod`
+    * id-sample — see [[srpNearDupRecallSampled]].
+    */
+  def srpNearDupRecallMultiProbeSampled(vectors: DataFrame, nBits: Int,
+                                        threshold: Double, mod: Int): DataFrame = {
+    val sample = vectors.filter(pmod(col("vec_id"), lit(mod)) === 0)
+    recallOf(cosineNearDupPairs(sample, threshold),
+      srpNearDupPairsMultiProbe(vectors, nBits, threshold))
+  }
 
   /** Stream-static ANN serving: an unbounded stream of query vectors probed
     * per micro-batch against a STATIC corpus — the enrichment/serving shape

@@ -94,6 +94,19 @@ object EmbeddingQueries {
   def srpMpNearDupRecall(spark: SparkSession, dir: String): DataFrame =
     Embeddings.srpNearDupRecallMultiProbe(vectors(spark, dir), SrpBits, NearDupThreshold)
 
+  /** Sampled twins of the two SRP recall measurements — the forms a 100 TB
+    * run schedules (exact baseline only on the 1/[[RecallSampleMod]]
+    * id-sample, SRP path on the full corpus); the full-recall forms above
+    * stay registered as this-sf oracles of the sampling itself.
+    */
+  def srpNearDupRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.srpNearDupRecallSampled(vectors(spark, dir), SrpBits,
+      NearDupThreshold, RecallSampleMod)
+
+  def srpMpNearDupRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.srpNearDupRecallMultiProbeSampled(vectors(spark, dir), SrpBits,
+      NearDupThreshold, RecallSampleMod)
+
   /** SRP bucket-balance report — the hyperplane index's health view, read
     * the way `q_ivf_stats` is read for the centroid index: per (band,
     * signature) member counts and corpus share in e6. Bucket balance is what
@@ -211,6 +224,8 @@ object EmbeddingQueries {
     "q_srp_recall" -> (srpNearDupRecall _),
     "q_srp_mp_neardup" -> (srpMpNearDup _),
     "q_srp_mp_recall" -> (srpMpNearDupRecall _),
+    "q_srp_recall_sampled" -> (srpNearDupRecallSampled _),
+    "q_srp_mp_recall_sampled" -> (srpMpNearDupRecallSampled _),
     "q_srp_stats" -> (srpStats _),
     "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
@@ -385,6 +400,19 @@ object EmbeddingQueries {
       """SELECT count(l.vec_a) AS hits, count(*) AS total
          FROM exact_pairs e
          LEFT JOIN srp_mp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    // exact_pairs restricted to both endpoints in the id-sample ≡ all-pairs
+    // over the sample (the cosine predicate is per-pair) — the same oracle
+    // reuse argument as q_embed_neardup_recall_sampled
+    "q_srp_recall_sampled" -> (srpBase +
+      s"""SELECT count(l.vec_a) AS hits, count(*) AS total
+          FROM (SELECT * FROM exact_pairs
+                WHERE vec_a % $RecallSampleMod = 0 AND vec_b % $RecallSampleMod = 0) e
+          LEFT JOIN srp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    "q_srp_mp_recall_sampled" -> (srpBase +
+      s"""SELECT count(l.vec_a) AS hits, count(*) AS total
+          FROM (SELECT * FROM exact_pairs
+                WHERE vec_a % $RecallSampleMod = 0 AND vec_b % $RecallSampleMod = 0) e
+          LEFT JOIN srp_mp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
     "q_retrieval_mrr" -> (base +
       """SELECT e.query_id,
                 coalesce(1000000 // a.rank, 0)::BIGINT AS rr_e6

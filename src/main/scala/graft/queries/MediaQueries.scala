@@ -29,19 +29,38 @@ object MediaQueries {
     */
   val MediaNearDupThreshold = 0.999
 
+  /** Centroid count / probe width for the bucketed media blocking: first-C
+    * feature vectors serve as centroids (deterministic, oracle-mirrorable —
+    * same convention as [[EmbeddingQueries.NumCentroids]]), each vector lands
+    * in its top-[[MediaNearDupAssign]] buckets.
+    */
+  val MediaNumCentroids = 8
+  val MediaNearDupAssign = 2
+
+  private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(payloads(spark, dir), "doc_id", "payload").toDF()
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+
   /** Multimodal → similarity-search composition: payloads through the batched
-    * feature extractor, then the embedding near-dup operator — the cross-modal
-    * dedup shape (payload → encoder → cosine blocking) with the stub encoder
-    * in the encoder seat. All-pairs here is the oracle baseline form; the
-    * bucketed [[graft.operators.Embeddings.ivfNearDupPairsWith]] takes the
-    * same feature frame at scale.
+    * feature extractor, then the BUCKETED embedding near-dup operator — the
+    * cross-modal dedup shape (payload → encoder → centroid blocking → exact
+    * cosine verify) with the stub encoder in the encoder seat. This is the
+    * production seat, so it runs the sub-quadratic
+    * [[graft.operators.Embeddings.ivfNearDupPairs]] plan; the all-pairs form
+    * is demoted to the recall oracle [[mediaNearDupRecall]].
     */
   def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Embeddings.cosineNearDupPairs(
-      Multimodal.extractFeatures(payloads(spark, dir), "doc_id", "payload").toDF()
-        .select(col("doc_id").as("vec_id"), col("embedding")),
-      MediaNearDupThreshold)
+    graft.operators.Embeddings.ivfNearDupPairs(mediaFeatures(spark, dir),
+      MediaNumCentroids, MediaNearDupAssign, MediaNearDupThreshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+
+  /** Recall of the bucketed media near-dup path vs the exact all-pairs
+    * baseline (one integer row) — the all-pairs plan's one remaining job,
+    * mirroring the `q_embed_neardup_recall` pattern.
+    */
+  def mediaNearDupRecall(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.ivfNearDupRecall(mediaFeatures(spark, dir),
+      MediaNumCentroids, MediaNearDupAssign, MediaNearDupThreshold)
 
   /** Keyframe gate: a frame opens a new "scene" when its feature cosine to
     * the previous frame drops below this (stub features of distinct byte
@@ -68,7 +87,58 @@ object MediaQueries {
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
     "q_media_neardup" -> (mediaNearDup _),
+    "q_media_neardup_recall" -> (mediaNearDupRecall _),
     "q_keyframes" -> (keyframes _))
+
+  /** Shared oracle CTEs: stub features recomputed from md5 hex (24-bit ints /
+    * 2^24 are exact in float32 and double; dot/norm arithmetic evaluates in
+    * the same left-to-right double sequence as the Spark DotProduct
+    * expression), then the bucketed blocking mirrored
+    * operation-for-operation — first-[[MediaNumCentroids]] centroids,
+    * top-[[MediaNearDupAssign]] assignment by (cosine DESC, cent_id ASC),
+    * bucket-local candidate self-join, exact cosine verify — plus the
+    * all-pairs `exact_pairs` baseline the recall query scores against.
+    */
+  private lazy val mediaPairsBase =
+    s"""WITH f AS (
+          SELECT doc_id,
+            CAST('0x' || substring(md5(text), 1, 6) AS INT)::DOUBLE / 16777216.0 AS a1,
+            CAST('0x' || substring(md5(text), 7, 6) AS INT)::DOUBLE / 16777216.0 AS a2,
+            CAST('0x' || substring(md5(text), 13, 6) AS INT)::DOUBLE / 16777216.0 AS a3,
+            CAST('0x' || substring(md5(text), 19, 6) AS INT)::DOUBLE / 16777216.0 AS a4,
+            CAST('0x' || substring(md5(text), 25, 6) AS INT)::DOUBLE / 16777216.0 AS a5
+          FROM documents
+        ), n AS (
+          SELECT doc_id, a1, a2, a3, a4, a5,
+                 sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4 + a5*a5) AS nm
+          FROM f),
+        c AS (SELECT doc_id AS cent_id, a1, a2, a3, a4, a5, nm
+              FROM n WHERE doc_id < $MediaNumCentroids),
+        massign AS (
+          SELECT doc_id, cent_id FROM (
+            SELECT n.doc_id, c.cent_id,
+              row_number() OVER (PARTITION BY n.doc_id ORDER BY
+                ((n.a1*c.a1 + n.a2*c.a2 + n.a3*c.a3 + n.a4*c.a4 + n.a5*c.a5)
+                  / (n.nm * c.nm)) DESC, c.cent_id ASC) AS rn
+            FROM n CROSS JOIN c)
+          WHERE rn <= $MediaNearDupAssign),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM massign x JOIN massign y
+            ON x.cent_id = y.cent_id AND x.doc_id < y.doc_id),
+        blocked_pairs AS (
+          SELECT cd.doc_a, cd.doc_b
+          FROM cand cd
+          JOIN n x ON x.doc_id = cd.doc_a
+          JOIN n y ON y.doc_id = cd.doc_b
+          WHERE (x.a1*y.a1 + x.a2*y.a2 + x.a3*y.a3 + x.a4*y.a4 + x.a5*y.a5)
+                  / (x.nm * y.nm) >= $MediaNearDupThreshold),
+        exact_pairs AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM n x JOIN n y ON x.doc_id < y.doc_id
+          WHERE (x.a1*y.a1 + x.a2*y.a2 + x.a3*y.a3 + x.a4*y.a4 + x.a5*y.a5)
+                  / (x.nm * y.nm) >= $MediaNearDupThreshold)
+     """
 
   val oracleSql: Map[String, String] = Map(
     "q_media_meta" ->
@@ -83,26 +153,12 @@ object MediaQueries {
                  ELSE strlen(text) - 2 * (strlen(text) // 3)
             END)::BIGINT AS frame_len
          FROM documents, unnest([0, 1, 2]) AS u(i)""",
-    // stub features recomputed from md5 hex: 24-bit ints / 2^24 are exact in
-    // float32 and double, and the dot/norm arithmetic below evaluates in the
-    // same left-to-right double sequence as the Spark DotProduct expression
-    "q_media_neardup" ->
-      s"""WITH f AS (
-            SELECT doc_id,
-              CAST('0x' || substring(md5(text), 1, 6) AS INT)::DOUBLE / 16777216.0 AS a1,
-              CAST('0x' || substring(md5(text), 7, 6) AS INT)::DOUBLE / 16777216.0 AS a2,
-              CAST('0x' || substring(md5(text), 13, 6) AS INT)::DOUBLE / 16777216.0 AS a3,
-              CAST('0x' || substring(md5(text), 19, 6) AS INT)::DOUBLE / 16777216.0 AS a4,
-              CAST('0x' || substring(md5(text), 25, 6) AS INT)::DOUBLE / 16777216.0 AS a5
-            FROM documents
-          ), n AS (
-            SELECT doc_id, a1, a2, a3, a4, a5,
-                   sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4 + a5*a5) AS nm
-            FROM f)
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM n x JOIN n y ON x.doc_id < y.doc_id
-          WHERE (x.a1*y.a1 + x.a2*y.a2 + x.a3*y.a3 + x.a4*y.a4 + x.a5*y.a5)
-                  / (x.nm * y.nm) >= $MediaNearDupThreshold""",
+    "q_media_neardup" -> (mediaPairsBase +
+      "SELECT doc_a, doc_b FROM blocked_pairs"),
+    "q_media_neardup_recall" -> (mediaPairsBase +
+      """SELECT count(l.doc_a) AS hits, count(*) AS total
+         FROM exact_pairs e
+         LEFT JOIN blocked_pairs l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b"""),
     // frame boundaries mirror q_media_frames (i*base slices, last takes the
     // remainder); per-frame features re-derive from md5 of the slice, and the
     // keyframe verdict compares bit-identical doubles, so booleans hash-match

@@ -31,10 +31,11 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed: Set[String] = Set(
     "q_knn_topk", "q_ann_topk", "q_ann_recall", "q_ivf_stats", "q_hybrid_rrf",
     "q_sq8_topk", "q_sq8_recall", "q_srp_recall", "q_srp_mp_recall",
+    "q_srp_recall_sampled", "q_srp_mp_recall_sampled",
     "q_retrieval_mrr",
     "q_embed_neardup", "q_embed_neardup_ivf",
     "q_embed_neardup_recall", "q_embed_neardup_recall_sampled", "q_embed_dedup",
-    "q_media_neardup", "q_split_leakage")
+    "q_media_neardup", "q_media_neardup_recall", "q_split_leakage")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

@@ -27,6 +27,15 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries whose designs legitimately contain a broadcast nested-loop stage:
     * exact KNN / all-pairs verification / centroid probing against a BROADCAST
     * small side (see graft.operators.Embeddings scaladoc).
+    *
+    * Every entry is provably CURRENT (the minimality test below fails on any
+    * entry whose plan stops producing a BNLJ), and none is convertible to an
+    * equi-join in substance: the probe patterns have no join key (scoring n
+    * rows against C broadcast centroids / queries is O(n·C) by definition),
+    * so the only way to remove the node is cosmetic (a constant-key join
+    * plans as BroadcastHashJoin while doing identical work) or a scale
+    * regression (literal-embedded centroids à la srpSignatures cap C at
+    * codegen-size limits; a real index wants C in the tens of thousands).
     */
   private val nestedLoopAllowed: Set[String] = Set(
     "q_knn_topk", "q_ann_topk", "q_ann_recall", "q_ivf_stats", "q_hybrid_rrf",
@@ -88,6 +97,23 @@ class PlanAuditSpec extends SparkSpec {
         assert(bnlj.isEmpty,
           s"$name plans a BroadcastNestedLoopJoin outside the embedding family " +
             s"— a join key was probably lost: ${bnlj.map(_.joinType)}")
+    }
+  }
+
+  /** The allowlist must stay MINIMAL: every entry must actually plan a
+    * non-scalar nested-loop stage, so a query whose plan improves to pure
+    * equi-joins (or whose all-pairs stage moves behind a lineage cut) fails
+    * here until its stale exemption is removed — the list can only ever
+    * document real, current broadcast-probe/all-pairs designs.
+    */
+  test("every BNLJ-allowlisted query still plans a nested-loop stage") {
+    nestedLoopAllowed.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val bnlj = collectPlan(plan)
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
+        .filterNot(isScalarAttach)
+      assert(bnlj.nonEmpty,
+        s"$name is BNLJ-allowlisted but plans no nested-loop join — remove the stale entry")
     }
   }
 

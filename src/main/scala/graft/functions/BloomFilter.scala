@@ -52,7 +52,12 @@ object BloomFilter {
   def mightContain(bitsCol: Column, hash60: Column): Column =
     positions(hash60)
       .map { p =>
-        val word = element_at(bitsCol, (p / lit(64L)).cast("int") + lit(1))
+        // word index by shift (exact integer division for the non-negative
+        // position), never Column `/` (double division — a precision trap if
+        // NumBits grows past 2^53)
+        val word = element_at(bitsCol,
+          org.apache.spark.sql.functions.call_function("shiftright", p, lit(6))
+            .cast("int") + lit(1))
         val shifted = org.apache.spark.sql.functions.call_function(
           "shiftright", word, pmod(p, lit(64L)).cast("int"))
         shifted.bitwiseAND(lit(1L)) === lit(1L)

@@ -196,7 +196,9 @@ object Embeddings {
   def ivfBucketStats(vectors: DataFrame, numCentroids: Int): DataFrame = {
     val assigned = ivfAssign(vectors, firstCentroids(vectors, numCentroids))
     val buckets = assigned.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
-    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    // total from the (metadata-sized) bucket table — Σ n_vecs ≡ the assigned
+    // count, one assignment scan instead of two
+    val tot = buckets.agg(sum(col("n_vecs")).as("n_total"))
     buckets.crossJoin(broadcast(tot))
       .select(col("cent_id"), col("n_vecs"),
         expr("(n_vecs * 1000000) div n_total").as("share_e6"))

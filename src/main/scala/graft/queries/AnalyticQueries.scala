@@ -225,6 +225,14 @@ object AnalyticQueries {
     * data-driven but deterministic under the (spend DESC, custkey) total
     * order. Spend stays exact DECIMAL through the ordering; the output
     * projection is the one cast to DOUBLE on both sides (decimal repr rule).
+    *
+    * SCALE CAVEAT: the unpartitioned global window sorts every customer on
+    * ONE task — exactly the single-task-sort shape
+    * [[graft.operators.PrefixScan]] exists to kill. It is kept here because
+    * the oracle pins a total order at harness scale; a 100 TB run derives
+    * ntile boundaries from per-range-bucket counts over a spend-bucketed
+    * PrefixScan-style cumulative count (ntile(k) of row r = the bucket whose
+    * cumulative row range contains r·k/n), never a global sort.
     */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")

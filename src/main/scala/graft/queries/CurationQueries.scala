@@ -180,8 +180,20 @@ object CurationQueries {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // 1-row guard on the fixed point's worst case: idf_e6 ≤ n_docs·10⁶
+    // (df = 1) times 22·t_tokens·max_tf must fit in a Long, else the exact
+    // e6 arithmetic dies HERE with an explicit message instead of an ANSI
+    // overflow mid-join (or, worse, a silent DuckDB HUGEINT divergence);
+    // past that scale use the double-scored production form (see scaladoc).
+    // assert_true sits under a filter so column pruning cannot drop it.
     val scalars = d.agg(count(lit(1)).as("n_docs"))
       .crossJoin(toks.agg(count(lit(1)).as("t_tokens")))
+      .crossJoin(tf.agg(max(col("tf")).as("max_tf")))
+      .filter(assert_true(
+        expr("n_docs * 1000000 <= 9223372036854775807 div (22 * t_tokens * max_tf)"),
+        lit("BM25 e6 fixed point overflows Long at this corpus scale; " +
+          "switch to the double-scored production variant")).isNull)
+      .select("n_docs", "t_tokens")
 
     val wQ = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("q_score_e6").desc, col("term").asc)

@@ -203,6 +203,51 @@ object AvroSerde {
     }
   }
 
+  /** Registry-aware decode: the per-row schema id in the Confluent frame is
+    * resolved to its WRITER schema through the [[SchemaRegistryClient]] seam
+    * and Avro schema resolution reads it under the pipeline's READER schema
+    * (`rowSchema`) — so frames written under an evolved schema (added
+    * defaulted fields, reordered fields) decode correctly instead of
+    * assuming every frame was written under the reader's schema the way
+    * [[decode]]'s fixed-framing mode does. This always runs the datum-reader
+    * path: per-row writer schemas are exactly what the native `from_avro`
+    * expression cannot express (one schema per COLUMN) — the same reason
+    * Confluent's own deserializer lives outside it. Readers are cached per
+    * (partition, schema id), so a connected HTTP client sees lookups
+    * proportional to distinct schema count, not rows.
+    */
+  def decodeRegistered(frame: DataFrame, rowSchema: StructType,
+                       registry: SchemaRegistryClient): DataFrame = {
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(rowSchema)
+    val nFields = rowSchema.fields.length
+    frame.select(col("value").cast("binary").as("value")).mapPartitions { it =>
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      var decoder: BinaryDecoder = null
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        if (bytes == null) Row.fromSeq(Seq.fill[Any](nFields)(null))
+        else {
+          require(bytes.length > RegistryHeaderLen && bytes(0) == 0,
+            s"not a registry-framed Avro value (${bytes.length} bytes)")
+          val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+            ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+          val reader = readers.getOrElseUpdate(id, {
+            val writerSchema = new Schema.Parser().parse(registry.schemaById(id))
+            // Avro resolution demands matching record names, so the reader
+            // schema is derived PER writer id under the writer's own record
+            // name (all graft writers share the graft.cdc namespace)
+            val readerSchema = new Schema.Parser().parse(
+              avroSchemaJson(rowSchema, writerSchema.getName))
+            new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
+          })
+          decoder = DecoderFactory.get().binaryDecoder(bytes, RegistryHeaderLen,
+            bytes.length - RegistryHeaderLen, decoder)
+          toRow(reader.read(null, decoder), rowSchema)
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------------ encode
 
   /** Project a result into the Kafka sink frame with an Avro-encoded value —
@@ -210,6 +255,18 @@ object AvroSerde {
     * topic) with binary key/value, value framed for the registry when
     * `registryFraming` (the reference's serde always frames).
     */
+  /** [[sinkFrame]] with the schema id obtained by REGISTERING the payload's
+    * derived Avro schema under `subject` through the [[SchemaRegistryClient]]
+    * seam — the producer half of the registry protocol (the reference serde
+    * auto-registers on first produce), replacing the fixed-id stand-in.
+    * Registration happens once at plan build (driver side), not per row.
+    */
+  def sinkFrameRegistered(df: DataFrame, keyCols: Seq[String], topic: String,
+                          subject: String, registry: SchemaRegistryClient): DataFrame = {
+    val id = registry.register(subject, avroSchemaJson(df.schema, "sink_value"))
+    sinkFrame(df, keyCols, topic, registryFraming = true, schemaId = id)
+  }
+
   def sinkFrame(df: DataFrame, keyCols: Seq[String], topic: String,
                 registryFraming: Boolean = true, schemaId: Int = 1): DataFrame = {
     val payloadSchema = df.schema

@@ -128,6 +128,46 @@ class AvroSerdeSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("schema registry seam: ids round-trip, idempotent registration") {
+    val reg = new graft.sources.InMemorySchemaRegistry
+    val json = AvroSerde.avroSchemaJson(NearSchemas.receipts, "sink_value")
+    val id1 = reg.register("receipts-value", json)
+    assert(id1 === 1) // Confluent convention: ids start at 1
+    assert(reg.register("receipts-value", json) === id1, "re-registration must be idempotent")
+    val other = AvroSerde.avroSchemaJson(NearSchemas.receipts, "other_value")
+    assert(reg.register("other-value", other) === 2)
+    assert(reg.schemaById(id1) === json)
+    intercept[NoSuchElementException](reg.schemaById(99))
+  }
+
+  test("sinkFrameRegistered -> decodeRegistered round-trips via the registry id") {
+    val reg = new graft.sources.InMemorySchemaRegistry
+    val frame = AvroSerde.sinkFrameRegistered(receiptsDf, Seq("receipt_id"), "t",
+      "receipts-value", reg)
+    // the frame carries the id the registry handed out, not a fixed stand-in
+    val value = frame.filter(col("key").cast("string") === "r1")
+      .select("value").head.getAs[Array[Byte]](0)
+    assert(java.nio.ByteBuffer.wrap(value, 1, 4).getInt === 1)
+    val back = AvroSerde.decodeRegistered(frame, NearSchemas.receipts, reg)
+    assert(back.collect().toSet === receiptsDf.collect().toSet)
+  }
+
+  test("decodeRegistered resolves an evolved reader schema (added defaulted field)") {
+    val reg = new graft.sources.InMemorySchemaRegistry
+    val frame = AvroSerde.sinkFrameRegistered(receiptsDf, Seq("receipt_id"), "t",
+      "receipts-value", reg)
+    // reader adds a nullable column the writer never had: Avro resolution
+    // fills the default (null) instead of failing or misaligning fields
+    val evolved = org.apache.spark.sql.types.StructType(
+      NearSchemas.receipts.fields :+
+        org.apache.spark.sql.types.StructField("new_col",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    val back = AvroSerde.decodeRegistered(frame, evolved, reg)
+    assert(back.schema === evolved)
+    assert(back.filter(col("new_col").isNotNull).count() === 0L)
+    assert(back.drop("new_col").collect().toSet === receiptsDf.collect().toSet)
+  }
+
   test("classpath probe is deterministic and decode dispatches without error") {
     // In this sandbox only avro core + the Avro file connector are present; a
     // connected deployment's spark-avro jar flips the probe and the same calls

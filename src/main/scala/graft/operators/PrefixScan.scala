@@ -33,12 +33,35 @@ import org.apache.spark.sql.functions._
   */
 object PrefixScan {
 
+  /** Session conf key overriding the range-bucket count; unset, the count
+    * tracks `spark.sql.shuffle.partitions` — the same knob that already
+    * encodes the cluster's parallelism, so a 1000-executor session spreads
+    * the hot group over ~its task slots without a second tuning surface.
+    */
+  val NumRangesConfKey = "spark.graft.prefixScan.numRanges"
+
+  /** Bucket count for the current session: the [[NumRangesConfKey]] override,
+    * else `spark.sql.shuffle.partitions`. A CONSTANT here would silently pin
+    * the hot group's spread to a value chosen for one cluster size.
+    */
+  def configuredNumRanges(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(NumRangesConfKey)
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "8")).toInt
+
+  /** [[langTokenCumsum]] with the bucket count from the session conf. */
+  def langTokenCumsum(s: DataFrame): DataFrame =
+    langTokenCumsum(s, configuredNumRanges(s.sparkSession))
+
   /** Grouped running token sum over (lang_id, hk, doc_id, n_tokens) rows:
     * returns (doc_id, lang_id, n_tokens, cum_tokens) where cum_tokens is the
     * within-language running total in (hk, doc_id) order. `hk` must lie in
-    * [0, 2⁶⁰) — the md5-derived [[TextDedup.tokenHash60]] domain.
+    * [0, 2⁶⁰) — the md5-derived [[TextDedup.tokenHash60]] domain. The result
+    * is numRanges-invariant (bucketing is monotone in the sort key), so the
+    * bucket count is purely a parallelism knob — spec-proven at 1 and 64.
     */
-  def langTokenCumsum(s: DataFrame, numRanges: Int = 8): DataFrame = {
+  def langTokenCumsum(s: DataFrame, numRanges: Int): DataFrame = {
+    require(numRanges >= 1 && numRanges <= (1 << 20),
+      s"numRanges must be in [1, 2^20], got $numRanges")
     val width = (1L << 60) / numRanges
     val rows = s.select(col("lang_id"), col("hk").cast("long"),
         col("doc_id").cast("long"), col("n_tokens").cast("long"))

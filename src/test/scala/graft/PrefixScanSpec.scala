@@ -35,6 +35,34 @@ class PrefixScanSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** numRanges is a pure parallelism knob: the degenerate single-bucket form
+    * (≡ the window plan) and a 64-way spread must both equal the window form
+    * on the same skewed data — the invariance that lets the bucket count
+    * track cluster size (spark.sql.shuffle.partitions) instead of a constant.
+    */
+  test("result is numRanges-invariant at the extremes (1 and 64) on skewed data") {
+    val mask = (1L << 60) - 1
+    val rows = (0 until 3000).map { i =>
+      val lang = if (i % 10 < 9) "hot" else if (i % 2 == 0) "aa" else "zz"
+      (i.toLong, lang, (i * 37 % 101 + 1).toLong, (i * 1181783497276652981L) & mask)
+    }
+    val df = rows.toDF("doc_id", "lang_id", "n_tokens", "hk")
+    val want = windowForm(df).as[(Long, String, Long, Long)].collect().toSet
+    Seq(1, 64).foreach { nr =>
+      val got = PrefixScan.langTokenCumsum(df, numRanges = nr)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === want, s"numRanges=$nr diverged from the window form")
+    }
+  }
+
+  test("bucket count follows the session conf override, else shuffle partitions") {
+    assert(PrefixScan.configuredNumRanges(spark) ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    spark.conf.set(PrefixScan.NumRangesConfKey, "64")
+    try assert(PrefixScan.configuredNumRanges(spark) === 64)
+    finally spark.conf.unset(PrefixScan.NumRangesConfKey)
+  }
+
   test("equals the window form on the harness documents") {
     val t = col("text")
     val s = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -32,14 +32,27 @@ object MediaQueries {
   /** Centroid count / probe width for the bucketed media blocking: first-C
     * feature vectors serve as centroids (deterministic, oracle-mirrorable —
     * same convention as [[EmbeddingQueries.NumCentroids]]), each vector lands
-    * in its top-[[MediaNearDupAssign]] buckets.
+    * in its top-[[MediaNearDupAssign]] buckets. C is deliberately HIGH for
+    * the dimensionality: the stub features are near-random positive
+    * 5-vectors (weakly clusterable), so coarse buckets barely prune — 8
+    * centroids kept ~50% of all pairs as candidates, turning the bucket join
+    * into a worse all-pairs; 64 buckets × top-2 cuts candidates ~10×. At a
+    * real deployment the encoder's features cluster and C tracks sqrt(n).
     */
-  val MediaNumCentroids = 8
+  val MediaNumCentroids = 64
   val MediaNearDupAssign = 2
 
+  /** One checkpointed (vec_id, 5-float embedding) frame per query: the IVF
+    * blocking consumes its vector frame from several plan branches (both
+    * assignment sides, both verify sides, the centroid slice), and a lazy
+    * frame would re-run the payload scan + codec extraction once PER branch —
+    * the decode is the expensive stage, the feature frame is doc-level and
+    * tiny, so materializing it once is the only sane trade at any scale.
+    */
   private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(payloads(spark, dir), "doc_id", "payload").toDF()
       .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
 
   /** Multimodal → similarity-search composition: payloads through the batched
     * feature extractor, then the BUCKETED embedding near-dup operator — the

@@ -228,11 +228,11 @@ object AnalyticQueries {
     *
     * SCALE CAVEAT: the unpartitioned global window sorts every customer on
     * ONE task — exactly the single-task-sort shape
-    * [[graft.operators.PrefixScan]] exists to kill. It is kept here because
-    * the oracle pins a total order at harness scale; a 100 TB run derives
-    * ntile boundaries from per-range-bucket counts over a spend-bucketed
-    * PrefixScan-style cumulative count (ntile(k) of row r = the bucket whose
-    * cumulative row range contains r·k/n), never a global sort.
+    * [[graft.operators.PrefixScan]] exists to kill. [[qNtileScan]] is the
+    * executed 100 TB realization (range-bucketed global rank + the closed
+    * ntile formula), registered under the IDENTICAL oracle so the gate
+    * proves the two forms agree; this window form stays as the declarative
+    * statement of the semantics.
     */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
@@ -240,6 +240,42 @@ object AnalyticQueries {
       .agg(sum(col("o_totalprice").cast(D2)).as("spend"))
     val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
     spend.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("o_custkey"), col("spend").cast("double").as("spend"),
+        col("quartile"))
+  }
+
+  /** [[qNtile]] with bounded per-task sorts — the PrefixScan recipe applied
+    * to a global (no-group) ranking: range-bucket on the leading sort key
+    * (`spend div 65536` — monotone in spend and a pure function of the row,
+    * so deterministic under AQE/recomputation), rank locally within each
+    * bucket, cumulate bucket counts over the metadata-sized bucket table
+    * (sorted descending: higher-spend buckets precede), and global rank =
+    * offset + local rank. The quartile then comes from ntile's closed form —
+    * with q = n div 4 and rem = n mod 4 the first rem buckets take q+1 rows —
+    * instead of any global sort. Same output, same oracle.
+    */
+  def qNtileScan(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(D2)).as("spend"))
+      .withColumn("bkt", expr("CAST(spend / 65536 AS BIGINT)"))
+    val wLocal = Window.partitionBy("bkt")
+      .orderBy(col("spend").desc, col("o_custkey").asc)
+    val local = spend.withColumn("lr", row_number().over(wLocal).cast("long"))
+    val counts = spend.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("bkt"),
+      coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"))
+    val n = spend.agg(count(lit(1)).as("n"))
+    local.join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(n))
+      .withColumn("r", col("off") + col("lr"))
+      .withColumn("quartile", expr(
+        """CASE WHEN r <= (n % 4) * (n div 4 + 1)
+                THEN (r - 1) div (n div 4 + 1) + 1
+                ELSE (n % 4) + (r - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+           END""").cast("long"))
       .select(col("o_custkey"), col("spend").cast("double").as("spend"),
         col("quartile"))
   }
@@ -633,6 +669,7 @@ object AnalyticQueries {
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_ntile" -> (qNtile _),
+    "q_ntile_scan" -> (qNtileScan _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_estimate" -> (qKmvEstimate _),
@@ -648,6 +685,16 @@ object AnalyticQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_date_parts" -> (qDateParts _))
+
+  /** Shared by the window form and the bucketed realization — one truth. */
+  private val ntileOracle =
+    """WITH s AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+         FROM orders GROUP BY 1)
+       SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
+              (ntile(4) OVER (ORDER BY spend DESC, o_custkey))::BIGINT AS quartile
+       FROM s"""
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -837,14 +884,9 @@ object AnalyticQueries {
     "q_unpivot" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
          FROM orders GROUP BY 1, 2""",
-    "q_ntile" ->
-      """WITH s AS (
-           SELECT o_custkey,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
-           FROM orders GROUP BY 1)
-         SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
-                (ntile(4) OVER (ORDER BY spend DESC, o_custkey))::BIGINT AS quartile
-         FROM s""",
+    "q_ntile" -> ntileOracle,
+    // the bucketed realization must produce the IDENTICAL table
+    "q_ntile_scan" -> ntileOracle,
     "q_kmv_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
          FROM orders GROUP BY o_orderstatus""",

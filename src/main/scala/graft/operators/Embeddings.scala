@@ -525,6 +525,94 @@ object Embeddings {
       .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
   }
 
+  // ---------------------------------------------------- product quantization
+
+  /** PQ geometry: [[PqM]] subspaces × [[PqDsub]] dims (= the 64-dim corpus),
+    * [[PqK]] codewords per subspace → a vector compresses to 8 nibble-sized
+    * codes (16× smaller than float32; 4× below SQ8) — the memory tier that
+    * makes a 100 TB ANN corpus RAM-resident. Codebooks are the first-[[PqK]]
+    * vectors' subvectors (the deterministic first-C convention every oracle
+    * query pins); production swaps in per-subspace k-means without touching
+    * the encode/score plans.
+    */
+  val PqM = 8
+  val PqDsub = 8
+  val PqK = 16
+
+  /** PQ codebook: (m, k, cw) — subspace m's k-th codeword is vector k's m-th
+    * subvector. PqM·PqK rows; broadcast everywhere it is consumed.
+    */
+  def pqCodebook(vectors: DataFrame): DataFrame = {
+    val subs = (0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)").as("cw"))
+    }
+    vectors.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("k"), explode(array(subs: _*)).as("s"))
+      .select(col("s.m").as("m"), col("k"), col("s.cw").as("cw"))
+  }
+
+  /** PQ encode: per (vector, subspace) the L2-nearest codeword —
+    * argmin ‖v_sub − c‖² = argmin (c·c − 2·v_sub·c), ties to the smaller
+    * code. One narrow pass against the broadcast codebook, then a map-side
+    * combinable min_by; output is the (vec_id, m, code) table an index
+    * stores instead of the vectors.
+    */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(codebook))
+      .withColumn("vsub", expr(s"slice(embedding, m * $PqDsub + 1, $PqDsub)"))
+      .withColumn("dist",
+        dotD(col("cw"), col("cw")) - lit(2d) * dotD(col("vsub"), col("cw")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"))
+
+  /** PQ top-k by asymmetric-distance (ADC) scoring: the query precomputes
+    * its dot with EVERY codeword (a PqM×PqK table, broadcast), and a
+    * candidate's approximate cosine needs only its 8 codes — one equi-join
+    * on (m, code) plus a map-side-combinable sum, never the original
+    * vectors. Per-subspace terms are e6-floored to INTEGERS before summing
+    * so the cross-partition sum is order-independent (doubles would make
+    * the score partitioning-dependent and the oracle unmatchable); the
+    * final score divides by the exact query norm and the reconstructed
+    * candidate norm √(Σ‖c‖²), all from deterministic inputs, so both
+    * engines rank identically. Recall vs exact is priced by [[pqRecall]].
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cb = pqCodebook(vectors)
+    val codes = pqEncode(vectors, cb)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val qtab = queries.crossJoin(broadcast(cb))
+      .select(col("vec_id").as("query_id"), col("m"), col("k").as("code"),
+        floor(dotD(expr(s"slice(embedding, m * $PqDsub + 1, $PqDsub)"), col("cw"))
+          * lit(1e6)).cast("long").as("qdot_e6"),
+        floor(dotD(col("cw"), col("cw")) * lit(1e6)).cast("long").as("cwn2_e6"),
+        l2Norm(col("embedding")).as("q_norm"))
+    val scored = codes.join(broadcast(qtab), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "q_norm", "neighbor_id")
+      .agg(sum(col("qdot_e6")).as("adc_e6"), sum(col("cwn2_e6")).as("vn2_e6"))
+      .withColumn("score", col("adc_e6").cast("double") /
+        (col("q_norm") *
+          sqrt(greatest(col("vn2_e6").cast("double") / lit(1e6), lit(1e-30)))))
+    topKPerQuery(scored.select("query_id", "score", "neighbor_id"), k)
+  }
+
+  /** PQ-vs-exact recall per query — what the 16× compression costs, measured
+    * the same way as [[sq8Recall]].
+    */
+  def pqRecall(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val exact = knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = pqTopK(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.alias("e")
+      .join(approx.alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+        col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
+  }
+
   /** KNN recall over an explicit centroid set (see [[ivfTopKWith]]). */
   def ivfRecallWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
                     nProbe: Int, k: Int): DataFrame = {

@@ -44,6 +44,12 @@ object EmbeddingQueries {
   def sq8Recall(spark: SparkSession, dir: String): DataFrame =
     Embeddings.sq8Recall(vectors(spark, dir), queryVectors(spark, dir), K)
 
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.pqTopK(vectors(spark, dir), queryVectors(spark, dir), K)
+
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.pqRecall(vectors(spark, dir), queryVectors(spark, dir), K)
+
   /** Cosine threshold for the near-dup query (the harness data's top pair is
     * ~0.51, so 0.45 yields a small, stable set).
     */
@@ -236,6 +242,8 @@ object EmbeddingQueries {
     "q_ann_recall" -> (ivfRecall _),
     "q_sq8_topk" -> (sq8TopK _),
     "q_sq8_recall" -> (sq8Recall _),
+    "q_pq_topk" -> (pqTopK _),
+    "q_pq_recall" -> (pqRecall _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
     "q_embed_neardup_recall" -> (ivfNearDupRecall _),
@@ -318,6 +326,53 @@ object EmbeddingQueries {
             JOIN sqn nq ON nq.vec_id = sqq.query_id
             JOIN sqn nv ON nv.vec_id = s2.vec_id)
           WHERE rank <= $K)
+     """
+
+  /** PQ CTEs appended to [[base]]: codebook = first-16 vectors' 8-dim
+    * subvectors, L2-nearest encode (c·c − 2·v·c, ties to the smaller code),
+    * the query's per-codeword ADC table, and the integer-stabilized score —
+    * per-subspace terms e6-FLOORED to BIGINT before summing (an integer sum
+    * is order-independent, so both engines agree at any parallelism), final
+    * score over the exact query norm and the reconstructed candidate norm.
+    * Every double feeding a comparison is the same sequential list_sum both
+    * engines compute, mirroring the Spark plan operation-for-operation.
+    */
+  private lazy val pqCtes =
+    s""", cbk AS (
+          SELECT t.m, c.vec_id AS k, c.e[t.m*8+1 : t.m*8+8] AS cw
+          FROM (SELECT vec_id, e FROM v WHERE vec_id < 16) c, range(0, 8) t(m)),
+        cbn AS (SELECT m, k, cw,
+                  list_sum(list_transform(range(1, 9), i -> cw[i]*cw[i])) AS cwn2
+                FROM cbk),
+        pcodes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT v.vec_id, cb.m, cb.k AS code,
+              row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
+                (cb.cwn2 - 2 * list_sum(list_transform(range(1, 9),
+                   i -> v.e[cb.m*8+i]*cb.cw[i]))) ASC, cb.k ASC) AS rn
+            FROM v CROSS JOIN cbn cb) WHERE rn = 1),
+        pqtab AS (
+          SELECT q.query_id, cb.m, cb.k AS code,
+            CAST(floor(list_sum(list_transform(range(1, 9),
+              i -> q.qe[cb.m*8+i]*cb.cw[i])) * 1000000) AS BIGINT) AS qdot_e6,
+            CAST(floor(cb.cwn2 * 1000000) AS BIGINT) AS cwn2_e6
+          FROM q CROSS JOIN cbn cb),
+        pqscore AS (
+          SELECT t.query_id, c.vec_id AS neighbor_id,
+            CAST(sum(t.qdot_e6) AS DOUBLE)
+              / (nq.nm * sqrt(greatest(CAST(sum(t.cwn2_e6) AS DOUBLE) / 1000000.0,
+                                       1e-30))) AS score
+          FROM pcodes c
+          JOIN pqtab t ON t.m = c.m AND t.code = c.code
+          JOIN nrm nq ON nq.vec_id = t.query_id
+          WHERE c.vec_id <> t.query_id
+          GROUP BY t.query_id, c.vec_id, nq.nm),
+        pq AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM pqscore) WHERE rank <= $K)
      """
 
   /** SRP oracle CTEs: the hyperplane signs, banded signatures, bucket-join
@@ -479,6 +534,14 @@ object EmbeddingQueries {
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
          FROM exact e
          LEFT JOIN sq8 a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id"""),
+    "q_pq_topk" -> (base + pqCtes +
+      "SELECT query_id, neighbor_id, rank FROM pq"),
+    "q_pq_recall" -> (base + pqCtes +
+      """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+         FROM exact e
+         LEFT JOIN pq a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
     "q_ann_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM approx"),

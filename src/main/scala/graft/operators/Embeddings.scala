@@ -597,6 +597,77 @@ object Embeddings {
     topKPerQuery(scored.select("query_id", "score", "neighbor_id"), k)
   }
 
+  /** IVF∘PQ top-k — the two index structures composed the way a production
+    * ANN service runs them: the inverted file prunes candidates to the
+    * `nProbe` nearest centroid buckets (sublinear candidate volume), and PQ's
+    * ADC table scores the survivors from their 8 codes alone — the original
+    * vectors are touched by NEITHER stage after the one-time index build, so
+    * the serving working set is codes + codebook + centroids. Every stage is
+    * the already-oracle-checked building block ([[ivfAssign]], [[pqEncode]],
+    * the integer-stabilized ADC sum), joined on equi-keys with the small
+    * sides broadcast.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+                nProbe: Int, k: Int): DataFrame = {
+    val cb = pqCodebook(vectors)
+    val codes = pqEncode(vectors, cb)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val assigned = ivfAssign(vectors, firstCentroids(vectors, numCentroids))
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+
+    val c = firstCentroids(vectors, numCentroids).select(
+      col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_score").desc, col("cent_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_norm"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_score",
+        dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select("query_id", "cent_id")
+
+    val qtab = queries.crossJoin(broadcast(cb))
+      .select(col("vec_id").as("query_id"), col("m"), col("k").as("code"),
+        floor(dotD(expr(s"slice(embedding, m * $PqDsub + 1, $PqDsub)"), col("cw"))
+          * lit(1e6)).cast("long").as("qdot_e6"),
+        floor(dotD(col("cw"), col("cw")) * lit(1e6)).cast("long").as("cwn2_e6"),
+        l2Norm(col("embedding")).as("q_norm"))
+
+    val cands = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = cands.join(codes, Seq("neighbor_id"))
+      .join(broadcast(qtab), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "q_norm", "neighbor_id")
+      .agg(sum(col("qdot_e6")).as("adc_e6"), sum(col("cwn2_e6")).as("vn2_e6"))
+      .withColumn("score", col("adc_e6").cast("double") /
+        (col("q_norm") *
+          sqrt(greatest(col("vn2_e6").cast("double") / lit(1e6), lit(1e-30)))))
+    topKPerQuery(scored.select("query_id", "score", "neighbor_id"), k)
+  }
+
+  /** IVF∘PQ-vs-exact recall per query — the end-to-end fidelity of the
+    * composed index (blocking loss × quantization loss), next to
+    * [[ivfRecall]] and [[pqRecall]] which price each stage alone.
+    */
+  def ivfPqRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+                  nProbe: Int, k: Int): DataFrame = {
+    val exact = knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqTopK(vectors, queries, numCentroids, nProbe, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.alias("e")
+      .join(approx.alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+        col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
+  }
+
   /** PQ-vs-exact recall per query — what the 16× compression costs, measured
     * the same way as [[sq8Recall]].
     */

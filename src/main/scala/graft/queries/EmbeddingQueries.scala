@@ -50,6 +50,14 @@ object EmbeddingQueries {
   def pqRecall(spark: SparkSession, dir: String): DataFrame =
     Embeddings.pqRecall(vectors(spark, dir), queryVectors(spark, dir), K)
 
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfPqTopK(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, K)
+
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfPqRecall(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, K)
+
   /** Cosine threshold for the near-dup query (the harness data's top pair is
     * ~0.51, so 0.45 yields a small, stable set).
     */
@@ -244,6 +252,8 @@ object EmbeddingQueries {
     "q_sq8_recall" -> (sq8Recall _),
     "q_pq_topk" -> (pqTopK _),
     "q_pq_recall" -> (pqRecall _),
+    "q_ivfpq_topk" -> (ivfPqTopK _),
+    "q_ivfpq_recall" -> (ivfPqRecall _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
     "q_embed_neardup_recall" -> (ivfNearDupRecall _),
@@ -373,6 +383,30 @@ object EmbeddingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM pqscore) WHERE rank <= $K)
+     """
+
+  /** The IVF∘PQ composition CTE: probed-bucket candidates scored by the PQ
+    * ADC sum — the same integer-stabilized arithmetic as `pqscore`, with the
+    * candidate set cut to the `probes`×`assign` bucket intersection.
+    */
+  private lazy val ivfPqCte =
+    s""", ivfpqscore AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            CAST(sum(t.qdot_e6) AS DOUBLE)
+              / (nq.nm * sqrt(greatest(CAST(sum(t.cwn2_e6) AS DOUBLE) / 1000000.0,
+                                       1e-30))) AS score
+          FROM probes p
+          JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+          JOIN pcodes c ON c.vec_id = a.vec_id
+          JOIN pqtab t ON t.query_id = p.query_id AND t.m = c.m AND t.code = c.code
+          JOIN nrm nq ON nq.vec_id = p.query_id
+          GROUP BY p.query_id, a.vec_id, nq.nm),
+        ivfpq AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM ivfpqscore) WHERE rank <= $K)
      """
 
   /** SRP oracle CTEs: the hyperplane signs, banded signatures, bucket-join
@@ -542,6 +576,16 @@ object EmbeddingQueries {
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
          FROM exact e
          LEFT JOIN pq a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id"""),
+    // IVF probe pruning (base's assign/probes) composed with PQ ADC scoring
+    // (pqCtes) — candidates from the probed buckets, scored from codes alone
+    "q_ivfpq_topk" -> (base + pqCtes + ivfPqCte +
+      "SELECT query_id, neighbor_id, rank FROM ivfpq"),
+    "q_ivfpq_recall" -> (base + pqCtes + ivfPqCte +
+      """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+         FROM exact e
+         LEFT JOIN ivfpq a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
     "q_ann_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM approx"),

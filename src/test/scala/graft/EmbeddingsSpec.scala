@@ -185,4 +185,21 @@ class EmbeddingsSpec extends SparkSpec {
     info(s"recall single=$h1/$t1 multi=$h2/$t2")
     assert(t1 === t2 && h2 >= h1)
   }
+
+  /** PQ self-consistency: a vector that IS a codebook source must encode to
+    * its own codewords in every subspace (its reconstruction distance is
+    * exactly 0 there, and ties break to the smaller code = itself), and all
+    * codes stay inside [0, PqK).
+    */
+  test("pqEncode: codebook vectors encode to themselves; codes in range") {
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Embeddings.pqCodebook(vecs001)
+    val codes = Embeddings.pqEncode(vecs001, cb)
+    val bad = codes.filter($"code" < 0 || $"code" >= Embeddings.PqK).count()
+    assert(bad === 0L)
+    val self = codes.filter($"vec_id" < Embeddings.PqK)
+      .filter($"code" =!= $"vec_id".cast("int")).count()
+    assert(self === 0L,
+      "a codebook-source vector must be its own nearest codeword in every subspace")
+  }
 }

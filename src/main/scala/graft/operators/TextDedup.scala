@@ -93,10 +93,17 @@ object TextDedup {
     * BOTH signals (the decision table) checkpoints this frame once and
     * filters it twice instead of running two candidate joins. The
     * `maxShingleFreq` prefix-filter cap is the 100 TB skew guard.
+    *
+    * The join/aggregation keys are the shingles' 64-bit xxhash64 values, not
+    * the strings — the shuffle moves fixed 8-byte keys instead of n-word
+    * text. Counts are exact unless two DISTINCT shingles of the same
+    * candidate pair collide in 64 bits (P ≈ sz_a·sz_b/2⁶⁴ per pair — the
+    * same accepted argument as [[minhashSignatures]]' carried hash sets).
     */
   def shingleIntersections(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val filtered =
       if (maxShingleFreq == Long.MaxValue) sh
       else {

@@ -186,6 +186,30 @@ object EmbeddingQueries {
       .select(col("id").as("vec_id"), col("comp").as("group_id"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of the lexical
+    * `q_decontaminate`/`q_decon_bloom` gates: a training item whose embedding
+    * sits above the near-dup cosine threshold against ANY benchmark item is
+    * flagged as leakage even when it shares no n-grams (paraphrased eval
+    * questions are exactly what the lexical gates miss). Eval set = the
+    * first-[[NumQueries]] vectors (the same pinned convention as the ANN
+    * queries); the corpus streams once against the BROADCAST eval side — the
+    * benchmark-sized side is the only thing shipped, the 100 TB side is
+    * never shuffled, mirroring the broadcast-shingle decon argument.
+    */
+  def semanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val eval = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        Embeddings.l2Norm(col("embedding")).as("e_norm"))
+    v.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("train_id"), col("embedding").as("t_emb"),
+        Embeddings.l2Norm(col("embedding")).as("t_norm"))
+      .join(broadcast(eval),
+        Embeddings.dotD(col("t_emb"), col("e_emb"))
+          / (col("t_norm") * col("e_norm")) >= NearDupThreshold)
+      .select(col("train_id"), col("eval_id"))
+  }
+
   /** IVF bucket-balance report over the oracle-pinned first-C centroids —
     * the ops view of the ANN index (see [[Embeddings.ivfBucketStats]]).
     */
@@ -254,6 +278,7 @@ object EmbeddingQueries {
     "q_pq_recall" -> (pqRecall _),
     "q_ivfpq_topk" -> (ivfPqTopK _),
     "q_ivfpq_recall" -> (ivfPqRecall _),
+    "q_decon_semantic" -> (semanticDecon _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
     "q_embed_neardup_recall" -> (ivfNearDupRecall _),
@@ -588,6 +613,18 @@ object EmbeddingQueries {
          LEFT JOIN ivfpq a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
+    "q_decon_semantic" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          nrm AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                  FROM v)
+          SELECT t.vec_id AS train_id, b.vec_id AS eval_id
+          FROM v t JOIN v b
+            ON t.vec_id >= $NumQueries AND b.vec_id < $NumQueries
+          JOIN nrm nt ON nt.vec_id = t.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          WHERE list_sum(list_transform(range(1, 65), i -> t.e[i]*b.e[i]))
+                  / (nt.nm * nb.nm) >= $NearDupThreshold""",
     "q_ann_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM approx"),
     "q_ann_recall" -> (base +
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k

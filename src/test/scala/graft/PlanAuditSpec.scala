@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_retrieval_mrr",
     "q_embed_neardup", "q_embed_neardup_ivf",
     "q_embed_neardup_recall", "q_embed_neardup_recall_sampled", "q_embed_dedup",
-    "q_media_neardup", "q_media_neardup_recall", "q_split_leakage")
+    "q_media_neardup", "q_media_neardup_recall", "q_decon_semantic",
+    "q_split_leakage")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

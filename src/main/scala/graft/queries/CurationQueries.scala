@@ -319,6 +319,46 @@ object CurationQueries {
       .select(col("doc_id"), col("lang_id"), col("quality_e4"))
   }
 
+  /** Sample bound for [[quantileSketch]] — small enough that the harness
+    * corpus drives the sketch into its ESTIMATING regime (languages hold
+    * more than k documents), which the oracle replays exactly.
+    */
+  val QuantileSampleK = 64
+
+  /** Sketched per-language length quantiles — the BOUNDED-STATE companion to
+    * [[qualityQuantileGate]]'s exact histogram median: a
+    * [[graft.functions.QuantileSample]] keeps the k=[[QuantileSampleK]]
+    * documents with the smallest md5-derived row hashes (a uniform,
+    * replayable sample — O(k) state per language with map-side combine,
+    * never a per-language sort or full histogram shuffle), and p50/p90 are
+    * integer-indexed order statistics of the sampled `n_chars`. The exact
+    * histogram form costs a shuffle of (lang, value) cells — fine when the
+    * value domain is bounded (quality_e4), wrong for unbounded domains at
+    * 100 TB; the sketch costs k rows per language regardless of domain.
+    * Because the "random" draw is the deterministic 60-bit hash, DuckDB
+    * reproduces the sample bit-for-bit (`row_number() OVER (ORDER BY hash,
+    * value) <= k`) — the estimating regime is hash-checked, not just the
+    * degenerate exact regime.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sk = new graft.functions.QuantileSample(QuantileSampleK)
+    docs(spark, dir)
+      .select(col("lang"),
+        TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"),
+        col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(sk.toColumn.name("vals"))
+      .toDF("lang", "vals")
+      .select(col("lang"),
+        element_at(col("vals"), expr("CAST((size(vals) + 1) DIV 2 AS INT)"))
+          .as("p50_chars"),
+        element_at(col("vals"), expr("CAST((9 * size(vals) + 9) DIV 10 AS INT)"))
+          .as("p90_chars"))
+  }
+
   /** Per-language token budget for the sampler: small enough that both
     * languages in the harness corpus hit the cap (the budget binds).
     */
@@ -787,6 +827,7 @@ object CurationQueries {
     "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
     "q_mixture_report" -> (mixtureReport _),
     "q_quality_gate" -> (qualityQuantileGate _),
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_dedup_groups" -> (dedupGroups _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_decontaminate" -> (decontaminate _),
@@ -1177,6 +1218,23 @@ object CurationQueries {
            WHERE c.cum >= (n.n + 1) // 2 GROUP BY 1)
          SELECT s.doc_id, s.lang_id, s.quality_e4
          FROM s JOIN thr USING (lang_id) WHERE s.quality_e4 >= thr.t""",
+    // the QuantileSample draw replayed exactly: k smallest (60-bit md5 hash,
+    // value) pairs per language, integer-indexed order statistics
+    "q_quantile_sketch" ->
+      s"""WITH h AS (
+            SELECT lang, n_chars,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+            FROM documents),
+          r AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY hv, n_chars) AS rn
+            FROM h),
+          g AS (
+            SELECT lang, list_sort(list(n_chars)) AS vs, count(*)::BIGINT AS m
+            FROM r WHERE rn <= $QuantileSampleK GROUP BY lang)
+          SELECT lang, vs[(m + 1) // 2] AS p50_chars,
+                 vs[(9 * m + 9) // 10] AS p90_chars
+          FROM g""",
     "q_dedup_groups" ->
       s"""$groupsCte
           SELECT doc_id, group_id FROM groups""",

@@ -349,6 +349,45 @@ object AnalyticQueries {
       .toDF("event_type", "est_users")
   }
 
+  /** The HLL ESTIMATING regime, driver-checked: the fixed-2-KiB-state tier
+    * below KMV — 256 registers of min-remainder over the same 60-bit hashes,
+    * so DuckDB replays register state (`min(hv // 256)` per `hv % 256`
+    * bucket), the exact-integer harmonic sum (`2^length(bin(w))` terms), and
+    * the single-multiply-single-divide estimate bit-for-bit. At sf0.01 every
+    * event type holds ~150 distinct users across 256 registers — a mixed
+    * occupied/empty register population, not the degenerate all-empty case.
+    */
+  def qHllEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = new graft.functions.HllSketch(hashBits = 60)
+    t(s, dir, "events")
+      .select(col("event_type"),
+        graft.operators.TextDedup.tokenHash60(col("user_id").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sketch.toColumn.name("est_users"))
+      .toDF("event_type", "est_users")
+  }
+
+  /** The RAW-HARMONIC HLL branch, driver-checked: distinct customers per
+    * order status — ~1.4k distinct keys per group at sf0.01 pushes the raw
+    * estimate past the 2.5·m linear-counting threshold, so the driver
+    * hash-checks the harmonic-mean branch that [[qHllEstimate]]'s ~150-key
+    * groups never reach (the spec covers it, but a hash-checked oracle is
+    * stronger).
+    */
+  def qHllCustkeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = new graft.functions.HllSketch(hashBits = 60)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        graft.operators.TextDedup.tokenHash60(col("o_custkey").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sketch.toColumn.name("est_custkeys"))
+      .toDF("o_orderstatus", "est_custkeys")
+  }
+
   /** Correlated scalar subquery, equality-correlated so Catalyst decorrelates
     * it into an aggregate + equi-join (an inequality correlation would plan
     * as a nested-loop over all pairs — the formulation matters at scale).
@@ -673,6 +712,8 @@ object AnalyticQueries {
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_estimate" -> (qKmvEstimate _),
+    "q_hll_estimate" -> (qHllEstimate _),
+    "q_hll_custkeys" -> (qHllCustkeys _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "q_skew_join" -> (qSkewJoin _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
@@ -685,6 +726,36 @@ object AnalyticQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_date_parts" -> (qDateParts _))
+
+  /** HllSketch.finish replayed in DuckDB, parameterized over (table, key,
+    * group) — shared by every registered HLL query so the register replay,
+    * harmonic sum, and branch logic have one SQL truth.
+    */
+  private def hllOracleSql(table: String, key: String, grp: String, out: String): String =
+    s"""WITH h AS (
+          SELECT $grp,
+            CAST('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+          FROM $table
+        ), r AS (
+          SELECT $grp, hv % 256 AS reg, min(hv // 256) AS w
+          FROM h GROUP BY 1, 2
+        ), s AS (
+          SELECT $grp,
+                 sum(CASE WHEN w = 0 THEN 1::BIGINT
+                          ELSE (1::BIGINT << length(bin(w))) END)
+                   + (256 - count(*)) * (1::BIGINT << 53) AS s_int,
+                 256 - count(*) AS v_empty
+          FROM r GROUP BY 1
+        ), e AS (
+          SELECT $grp, v_empty,
+                 0.7213 / (1 + 1.079 / 256.0)
+                   * CAST('590295810358705651712' AS DOUBLE) / s_int AS raw
+          FROM s)
+        SELECT $grp,
+               CAST(round(CASE WHEN v_empty > 0 AND raw <= 640.0
+                               THEN 256 * ln(256.0 / v_empty)
+                               ELSE raw END) AS BIGINT) AS $out
+        FROM e"""
 
   /** Shared by the window form and the bucketed realization — one truth. */
   private val ntileOracle =
@@ -907,6 +978,12 @@ object AnalyticQueries {
                      ELSE CAST(round(63 / (hv / 1152921504606846976.0)) AS BIGINT)
                 END AS est_users
          FROM r WHERE rn = least(nd, 64)""",
+    // the HLL estimator replayed in SQL: per-register min remainder, exact
+    // integer harmonic sum (2^sigbits terms via bin()), one multiply + one
+    // divide by the 2^69 scale, linear counting under the 2.5m threshold —
+    // the same IEEE sequence as HllSketch.finish
+    "q_hll_estimate" -> hllOracleSql("events", "user_id", "event_type", "est_users"),
+    "q_hll_custkeys" -> hllOracleSql("orders", "o_custkey", "o_orderstatus", "est_custkeys"),
     "q_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Concurrent materialization of INDEPENDENT DataFrames.
+  *
+  * Spark parallelizes the independent branches of ONE action automatically
+  * (stages with no parent dependency schedule together), but SEPARATE eager
+  * checkpoints are separate actions and run back-to-back — a pipeline that
+  * materializes a doc-facts frame, a shingle-intersection frame, and an
+  * embedding-pair frame as three sequential `localCheckpoint(true)` calls
+  * pays the SUM of the three jobs even though they share nothing. Submitting
+  * the actions from separate threads lets the scheduler interleave their
+  * tasks, so the wall-clock cost is the max, not the sum — on a cluster this
+  * is the difference between utilizing the executors and draining them
+  * between jobs.
+  *
+  * Beyond the flat barrier ([[checkpointAll]]), [[ckpt]]/[[await]] expose the
+  * futures directly so a caller can express a DATAFLOW: a stage that needs
+  * only one of the base frames (`fut.map(...)`) starts the moment that frame
+  * lands, overlapping with the still-running siblings — e.g. the decision
+  * table's hash-canonical windows run while the shingle join and the
+  * iterative connected-components rounds are still in flight.
+  *
+  * `SparkSession` job submission is thread-safe; results are unchanged (the
+  * frames are independent by contract). Exceptions propagate from whichever
+  * materialization failed.
+  */
+object Par {
+
+  /** Shared pool for materialization threads — the threads only BLOCK on
+    * Spark actions (the work happens on Spark's scheduler), so the global
+    * pool's cores-sized default is plenty.
+    */
+  implicit val ec: ExecutionContext = ExecutionContext.global
+
+  /** Submit an eager localCheckpoint on a pool thread. */
+  def ckpt(df: DataFrame): Future[DataFrame] = Future(df.localCheckpoint(true))
+
+  def await[A](f: Future[A]): A = Await.result(f, Duration.Inf)
+
+  /** Eagerly localCheckpoint every frame, submitting the materialization jobs
+    * concurrently; returns the checkpointed frames in input order.
+    */
+  def checkpointAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val futs = dfs.map(ckpt)
+    futs.map(await)
+  }
+}

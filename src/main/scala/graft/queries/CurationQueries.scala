@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ConnectedComponents, TextDedup}
+import graft.operators.{ConnectedComponents, Par, TextDedup}
 import graft.sources.Tables
 
 /** Corpus-curation layer of the training-data pipeline: dedup GROUPS (the
@@ -673,50 +673,72 @@ object CurationQueries {
     * canonical pass).
     */
   private[graft] def dedupDecisionOf(d: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Par.ec
     val canonText = trim(regexp_replace(lower(col("text")), " +", " "))
-    val facts = d.select(col("doc_id"),
-        md5(col("text").cast("binary")).as("h"),
-        md5(canonText.cast("binary")).as("ch"),
-        length(col("text")).cast("long").as("len"))
-      .localCheckpoint(true)
-    val w = TextDedup.shingleIntersections(d, "doc_id", "text", n = 3)
-      .localCheckpoint(true)
-
-    val ex = facts
-      .join(facts.groupBy("h").agg(min(col("doc_id")).as("exact_canon")), "h")
-      .select(col("doc_id"), col("exact_canon"))
-    val cn = facts
-      .join(facts.groupBy("ch").agg(min(col("doc_id")).as("canon_canon")), "ch")
-      .select(col("doc_id"), col("canon_canon"))
-
-    val textPairs = w
-      .filter(col("inter") * 100 >=
-        lit(60) * (col("size_a") + col("size_b") - col("inter")))
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val embPairs = graft.operators.Embeddings.ivfNearDupPairs(emb,
+    // DATAFLOW materialization: the three base frames are independent, and
+    // each downstream signal starts the moment ITS inputs land — sequential
+    // eager checkpoints would pay the SUM of the doc scan, the shingle
+    // equi-join, the IVF pair pipeline, the hash-canonical windows, the
+    // containment aggregation, and the CC rounds; the future graph pays the
+    // critical path max(shingles, ivf) + CC, with every side signal hidden
+    // under the CC rounds.
+    val fFacts = Par.ckpt(d.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"),
+      md5(canonText.cast("binary")).as("ch"),
+      length(col("text")).cast("long").as("len")))
+    val fW = Par.ckpt(TextDedup.shingleIntersections(d, "doc_id", "text", n = 3))
+    val fEmbPairs = Par.ckpt(graft.operators.Embeddings.ivfNearDupPairs(emb,
         EmbeddingQueries.NumCentroids, EmbeddingQueries.NearDupAssign,
         EmbeddingQueries.NearDupThreshold)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
-    val groups = ConnectedComponents.run(textPairs.union(embPairs), "a", "b",
-        vertices = Some(facts.select("doc_id")))
-      .select(col("id").as("doc_id"), col("comp").as("group_id"))
-    val gcanon = groups.join(facts.select("doc_id", "len"), "doc_id")
-      .groupBy("group_id")
-      .agg(max_by(col("doc_id"), struct(col("len"), (-col("doc_id")).as("nid")))
-        .as("group_canon"))
-    val grp = groups.join(gcanon, "group_id").select(col("doc_id"), col("group_canon"))
+      .select(col("vec_a").as("a"), col("vec_b").as("b")))
 
-    val container = w
-      .filter(col("inter") * 100 >= lit(80) * col("size_a"))
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("container"))
-      .union(w.filter(col("inter") * 100 >= lit(80) * col("size_b"))
-        .select(col("doc_b").as("doc_id"), col("doc_a").as("container")))
-      .groupBy("doc_id")
-      .agg(min(col("container")).as("container"))
+    // hash-canonical labels as WINDOW mins (one shuffle each, no join-back):
+    // `min(doc_id) over (partition by h)` ≡ the groupBy(h)+self-join form but
+    // with half the exchanges — the frame stays doc_id-keyed throughout.
+    // Needs only `facts`, so it overlaps with the shingle/IVF/CC work.
+    val fHashCanons = fFacts.map { facts =>
+      facts
+        .withColumn("exact_canon", min(col("doc_id")).over(Window.partitionBy("h")))
+        .withColumn("canon_canon", min(col("doc_id")).over(Window.partitionBy("ch")))
+        .select(col("doc_id"), col("len"), col("exact_canon"), col("canon_canon"))
+        .localCheckpoint(true)
+    }
+    // containment needs only the shingle-intersection frame — overlaps with CC
+    val fContainer = fW.map { w =>
+      w.filter(col("inter") * 100 >= lit(80) * col("size_a"))
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("container"))
+        .union(w.filter(col("inter") * 100 >= lit(80) * col("size_b"))
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("container")))
+        .groupBy("doc_id")
+        .agg(min(col("container")).as("container"))
+        .localCheckpoint(true)
+    }
+    // the iterative CC rounds are the longest dependent chain: start as soon
+    // as both pair generators land
+    val fGroups = for { w <- fW; embPairs <- fEmbPairs; facts <- fFacts } yield {
+      val textPairs = w
+        .filter(col("inter") * 100 >=
+          lit(60) * (col("size_a") + col("size_b") - col("inter")))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      ConnectedComponents.run(textPairs.union(embPairs), "a", "b",
+          vertices = Some(facts.select("doc_id")))
+        .select(col("id").as("doc_id"), col("comp").as("group_id"))
+    }
 
-    facts.select(col("doc_id"))
-      .join(ex, "doc_id")
-      .join(cn, "doc_id")
+    val hashCanons = Par.await(fHashCanons)
+    val groups = Par.await(fGroups)
+    val container = Par.await(fContainer)
+
+    // group canonical as a window max_by over the group partition — again one
+    // shuffle instead of groupBy + join-back
+    val grp = groups.join(hashCanons.select("doc_id", "len"), "doc_id")
+      .withColumn("group_canon",
+        max_by(col("doc_id"), struct(col("len"), (-col("doc_id")).as("nid")))
+          .over(Window.partitionBy("group_id")))
+      .select(col("doc_id"), col("group_canon"))
+
+    hashCanons.select(col("doc_id"), col("exact_canon"), col("canon_canon"))
       .join(grp, "doc_id")
       .join(container, Seq("doc_id"), "left")
       .select(col("doc_id"),

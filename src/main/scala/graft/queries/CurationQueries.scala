@@ -838,8 +838,64 @@ object CurationQueries {
       .groupBy("deg").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Corpus snapshot diff over a deterministically-derived previous snapshot:
+    * the harness ships one corpus version, so "previous" is reconstructed
+    * from it by pure arithmetic — every 17th id is withheld (appears `added`
+    * in current), every 13th carries a ` v1` suffix (appears `changed`), and
+    * every 19th contributes an id-shifted ghost row absent from current
+    * (appears `removed`) — exercising all four [[SnapshotDiff]] verdicts
+    * under an oracle that replays the same derivation. The synthetic-prev
+    * trick parallels the PII-scrub query's planted emails: the OPERATOR under
+    * test is real; only the second input is manufactured.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cur = docs(spark, dir).select(col("doc_id"), col("text"))
+    val prev = cur.filter(pmod(col("doc_id"), lit(17L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13L)) === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+      .union(cur.filter(pmod(col("doc_id"), lit(19L)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+    graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
+  }
+
+  /** Token budget anchoring [[mixtureWeights]]' expected-epochs column: how
+    * many passes over each source a 10⁹-token training run implies. A
+    * constant (not Σ tokens) keeps the e6 fixed-point product inside Long
+    * range at ANY corpus size: 10⁹·10⁶ = 10¹⁵ ≪ 2⁶³.
+    */
+  val MixtureBudgetTokens = 1000000000L
+
+  /** Temperature-scaled source mixture weights — the sampling-schedule
+    * companion to [[mixtureReport]]: w_i ∝ n_i^τ at τ = ½ (the standard
+    * multilingual/multi-source rebalancing that up-samples small sources),
+    * plus the expected epochs over each source implied by a
+    * [[MixtureBudgetTokens]]-token run (epochs > 1e6 ⇒ the schedule repeats
+    * that source — the overfitting signal mixture designers watch).
+    *
+    * τ is pinned to ½ because n^½ is IEEE `sqrt` — correctly rounded and
+    * bit-identical in Spark and DuckDB, so `floor(sqrt(n))` is a
+    * deterministic integer and everything downstream is exact fixed-point;
+    * a general τ needs `pow`, whose libm rounding the cross-engine gate
+    * cannot trust. Shape: one narrow scan, a per-source aggregation over a
+    * tiny key domain, one broadcast scalar.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val s = n.withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = s.agg(sum(col("s")).as("s_tot"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("weight_e6", expr("(s * 1000000) div s_tot"))
+      .select(col("source"), col("n_tokens"), col("weight_e6"),
+        expr(s"($MixtureBudgetTokens * weight_e6) div n_tokens").as("epochs_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_passage_overlap" -> (passageOverlap _),
+    "q_corpus_diff" -> (corpusDiff _),
+    "q_mixture_weights" -> (mixtureWeights _),
     "q_lm_score" -> (lmScore _),
     "q_data_split" -> (dataSplit _),
     "q_seq_pack" -> (seqPack _),
@@ -1199,6 +1255,34 @@ object CurationQueries {
     "q_token_budget" -> tokenBudgetOracle,
     // the scalable prefix-scan realization must produce the IDENTICAL table
     "q_token_budget_scan" -> tokenBudgetOracle,
+    // same synthetic-prev derivation (17/13/19 arithmetic), then the diff is
+    // one full-outer hash compare
+    "q_corpus_diff" ->
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+         prev AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END AS text
+           FROM cur WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM cur WHERE doc_id % 19 = 0)
+         SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+                CASE WHEN p.doc_id IS NULL THEN 'added'
+                     WHEN c.doc_id IS NULL THEN 'removed'
+                     WHEN md5(p.text) <> md5(c.text) THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""",
+    // floor(sqrt) is IEEE-exact in both engines; everything after is integer
+    "q_mixture_weights" ->
+      """WITH n AS (
+           SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         s AS (SELECT source, n_tokens,
+                      CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s FROM n),
+         t AS (SELECT sum(s)::BIGINT AS s_tot FROM s)
+         SELECT source, n_tokens,
+                ((s * 1000000) // s_tot)::BIGINT AS weight_e6,
+                ((1000000000 * ((s * 1000000) // s_tot)) // n_tokens)::BIGINT AS epochs_e6
+         FROM s CROSS JOIN t""",
     "q_mixture_report" ->
       s"""WITH s AS ($langTokensCte),
           d2 AS (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{FingerprintExpression, ShinglesExpression, TextFunctions}
 import graft.operators.TextDedup
@@ -268,8 +268,66 @@ object TextQueries {
       .filter(col("bucket") === 0)
       .select(col("doc_id"), col("lang_id"))
 
+  /** Count-Min sketch geometry: depth (independent hash rows) × width
+    * (buckets per row). 4×1024 cells bound the sketch at 32 KiB of counters
+    * regardless of corpus size — the point-frequency companion to the
+    * heavy-hitter (Misra-Gries), distinct (KMV/HLL), membership (Bloom) and
+    * quantile sketches already in the layer.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Probe terms for the CMS report — the true top-K by exact count, where
+    * the sketch's overestimate bias is proportionally smallest (the regime
+    * CMS is deployed for).
+    */
+  val CmsProbeK = 20
+
+  /** Row-`j` CMS bucket of a term: an independent 32-bit slice of the term's
+    * md5 (non-overlapping 8-hex windows, so the [[CmsDepth]] rows disagree on
+    * which terms collide) reduced mod [[CmsWidth]]. Pure string/integer ops —
+    * replayed verbatim by the DuckDB oracle.
+    */
+  private def cmsBucket(term: Column, j: Int): Column =
+    pmod(conv(substring(md5(term.cast("binary")), 1 + 8 * j, 8), 16, 10).cast("long"),
+      lit(CmsWidth.toLong))
+
+  /** Count-Min point-frequency sketch over the corpus token stream, reported
+    * against exact counts on the true top-[[CmsProbeK]] terms (estimate ≥
+    * exact always; equality when no heavier term collides in every row).
+    *
+    * Scale shape: the sketch side never materializes per-term counts — each
+    * token occurrence fans out to [[CmsDepth]] (row, bucket) cells and
+    * aggregates straight to the bounded CmsDepth×[[CmsWidth]] cell table with
+    * map-side combine (the classic streaming CMS update, expressed as one
+    * relational aggregation). The exact-count side exists only to select and
+    * label the probe terms — the measurement role, same pattern as the ANN
+    * recall queries — and its top-K plans as TakeOrdered (per-partition
+    * heaps, no global sort). The estimate join broadcasts the 4096-cell
+    * table.
+    */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
+    val rows = (0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(col("term"), j).as("bucket")))
+    val cells = toks
+      .select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val probes = toks.groupBy("term").agg(count(lit(1)).as("exact_freq"))
+      .orderBy(col("exact_freq").desc, col("term").asc)
+      .limit(CmsProbeK)
+    probes
+      .select(col("term"), col("exact_freq"), explode(array(rows: _*)).as("e"))
+      .select(col("term"), col("exact_freq"), col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("term", "exact_freq")
+      .agg(min(col("cell")).as("cms_freq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_sample" -> (hashSample _),
+    "q_cms_freq" -> (cmsFreq _),
     "q_repetition" -> (repetition _),
     "q_pii_scrub" -> (piiScrub _),
     "q_doc_chunks" -> (docChunks _),
@@ -393,6 +451,25 @@ object TextQueries {
          SELECT term, count(*) AS freq, n_total
          FROM tok, tot GROUP BY term, n_total
          HAVING count(*) * 1000 >= n_total""",
+    // the CMS replayed in SQL: cells built from per-term counts (≡ the
+    // per-occurrence stream update, summed), probe buckets re-derived from
+    // the same md5 slices, estimate = min cell across the 4 rows
+    "q_cms_freq" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         cnt AS (SELECT term, count(*)::BIGINT AS freq FROM tok GROUP BY term),
+         js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         cells AS (
+           SELECT j,
+                  CAST('0x' || substring(md5(term), 1 + 8 * j, 8) AS BIGINT) % 1024 AS bucket,
+                  sum(freq)::BIGINT AS cell
+           FROM cnt CROSS JOIN js GROUP BY 1, 2),
+         top AS (SELECT term, freq FROM cnt ORDER BY freq DESC, term LIMIT 20)
+         SELECT t.term, t.freq AS exact_freq, min(c.cell)::BIGINT AS cms_freq
+         FROM top t
+         CROSS JOIN js j
+         JOIN cells c ON c.j = j.j
+           AND c.bucket = CAST('0x' || substring(md5(t.term), 1 + 8 * j.j, 8) AS BIGINT) % 1024
+         GROUP BY 1, 2""",
     "q_text_stats" ->
       """SELECT doc_id,
            CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'

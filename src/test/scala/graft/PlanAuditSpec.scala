@@ -177,7 +177,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_length_hist" -> Set("source", "n_chars"),
       "q_quantile_sketch" -> Set("doc_id", "lang", "n_chars"),
       "q_dedup_decision" -> Set("doc_id", "text"),
-      "q_graph_degree" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
+      "q_graph_degree" -> Set("doc_id", "text"),
+      "q_cms_freq" -> Set("text"),
+      "q_corpus_diff" -> Set("doc_id", "text"),
+      "q_mixture_weights" -> Set("source", "text")).foreach { case (name, allowed) =>
       scansOf(name).foreach { scan =>
         val readCols = scan.schema.fieldNames.toSet
         assert(readCols.subsetOf(allowed),

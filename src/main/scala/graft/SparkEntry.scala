@@ -12,12 +12,20 @@ import graft.queries.{AnalyticQueries, CurationQueries, EmbeddingQueries, MediaQ
   */
 object SparkEntry {
 
-  /** Sessions must read `events.parquet` (parquet TIMESTAMP(NANOS)); Spark only
-    * accepts it as a long with this legacy conf — it is a runtime SQLConf, so
-    * setting it here also covers driver-created sessions.
+  /** Session confs every query path depends on — runtime SQLConfs, so setting
+    * them here also covers driver-created sessions:
+    *   - `nanosAsLong`: if the harness ships `events.ts` as parquet
+    *     TIMESTAMP(NANOS) again (it did through round 7), Spark only reads it
+    *     (as an epoch-ns long) with this legacy conf; the schema-adaptive
+    *     [[graft.sources.Events]] accessor handles either encoding;
+    *   - UTC session timezone: the NTZ→timestamp cast in `Events.tsMicros`
+    *     reinterprets wall-clock fields in the session zone, and DuckDB's
+    *     `epoch_ns(ts)` oracle treats naive timestamps as UTC — any other
+    *     zone silently shifts every derived event time.
     */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 

@@ -19,8 +19,9 @@ import graft.sources.Tables
   *     before arithmetic, sums cast to a fixed output type — bit-exact in both
   *     engines, so results hash-match;
   *   - averages are expressed as integer floor-division (×10⁴) — exact;
-  *   - event time is epoch-µs integers (`ts DIV 1000`), matching DuckDB's
-  *     µs-truncated read of the nanosecond parquet column.
+  *   - event time is epoch-µs integers via the schema-adaptive
+  *     [[graft.sources.Events]] accessor, matching DuckDB's
+  *     `epoch_ns(ts) // 1000` on the same parquet column.
   */
 object AnalyticQueries {
 
@@ -28,11 +29,15 @@ object AnalyticQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** events with epoch-µs long time; the shared normalization for time queries. */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
-      col("event_id"), expr("ts DIV 1000").as("tus"), col("user_id"),
+  /** events with epoch-µs long time; the shared normalization for time queries
+    * (schema-adaptive — see [[graft.sources.Events]]).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(
+      col("event_id"), graft.sources.Events.tsMicros(e).as("tus"), col("user_id"),
       col("event_type"), col("value"))
+  }
 
   // ------------------------------------------------------------- aggregation
 

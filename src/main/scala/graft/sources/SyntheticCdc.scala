@@ -11,8 +11,9 @@ import graft.schema.NearSchemas.{Amount, TimestampNs}
   *
   * Every derivation is integer/string arithmetic that DuckDB reproduces
   * byte-for-byte (`oracleCtes` below is the SQL twin of this mapping):
-  * no floats ever reach an output column. `ts` arrives as an epoch-ns long
-  * (see [[Tables]]); DuckDB sees the same integer via `epoch_ns(ts)`.
+  * no floats ever reach an output column. Event time is normalized to a
+  * µs-truncated epoch-ns long by the schema-adaptive [[Events]] accessor;
+  * DuckDB sees the same integer via `epoch_ns(ts)`.
   *
   * The mapping covers every code path of the pipeline: all five handled
   * methods plus an unhandled one, FAILURE outcomes, non-FUNCTION_CALL
@@ -29,9 +30,9 @@ object SyntheticCdc {
     */
   def base(events: DataFrame): DataFrame = events.select(
     col("event_id"),
-    // ns truncated to µs: DuckDB reads parquet TIMESTAMP(NANOS) as a µs
-    // TIMESTAMP (floor), so its epoch_ns(ts) is exactly this value.
-    expr("(ts DIV 1000) * CAST(1000 AS BIGINT)").as("tns"),
+    // µs-truncated epoch ns, schema-adaptive: DuckDB's epoch_ns(ts) yields
+    // exactly this value for either physical encoding (see Events.tsNanos).
+    Events.tsNanos(events).as("tns"),
     col("user_id"),
     col("event_type"),
     col("value"),

@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the harness's deterministic parquet testdata (TESTDATA.md).
   *
-  * Note: `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-  * reads with `spark.sql.legacy.parquet.nanosAsLong=true` — every session in
-  * this project sets it, so `ts` surfaces as an epoch-nanosecond LongType.
-  * That exactly mirrors the reference's nanosecond-decimal block timestamps
-  * (reference: up.sql:213, Schemas.java:59-70) and keeps full precision;
-  * `graft.schema.NearSchemas.eventTime` derives a µs TimestampType when stream
-  * time is needed.
+  * Note: the physical type of `events.ts` has changed across harness rounds
+  * (parquet TIMESTAMP(NANOS) through round 7, `timestamp[us]` NTZ since
+  * round 8) — never assume it. All event-time derivation goes through the
+  * schema-adaptive [[Events]] accessor, which mirrors the reference's
+  * "derive event time from whatever the upstream ships" contract (reference:
+  * up.sql:213, Schemas.java:59-70). Sessions still set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` so the legacy encoding stays
+  * readable, and `spark.sql.session.timeZone=UTC` so NTZ casts are
+  * value-preserving; `graft.schema.NearSchemas.eventTime` derives a µs
+  * TimestampType when stream time is needed.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",

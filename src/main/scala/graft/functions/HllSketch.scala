@@ -100,3 +100,39 @@ final class HllSketch(hashBits: Int = 60)
 
   def column: TypedColumn[Long, Long] = this.toColumn.name("est_distinct")
 }
+
+/** [[HllSketch]] variant that RETURNS the register state instead of the
+  * estimate — the materialized-sketch form of the 100 TB fan-in pattern:
+  * per-source/per-partition sketches are small (2 KiB) rows that can be
+  * stored, shipped, and later combined by [[HllMerge]] without touching the
+  * raw data again. Union semantics come for free: registers are mins, and
+  * min over a union = elementwise min of the per-source mins.
+  */
+final class HllSketchState(hashBits: Int = 60)
+    extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+  private val inner = new HllSketch(hashBits)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], hash: Long): Array[Long] = inner.reduce(buf, hash)
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  def finish(buf: Array[Long]): Array[Long] = buf
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Folds ALREADY-BUILT [[HllSketchState]] registers into one estimate —
+  * `estimate(merge(sketches))`, never re-reading raw keys. Exactness
+  * contract: because a register is the MIN remainder, merging per-source
+  * states is indistinguishable from having built one sketch over the
+  * concatenated sources, so the estimate (and therefore the DuckDB replay,
+  * which computes the global register state directly) is bit-identical.
+  */
+final class HllMerge(hashBits: Int = 60)
+    extends Aggregator[Array[Long], Array[Long], Long] with Serializable {
+  private val inner = new HllSketch(hashBits)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], state: Array[Long]): Array[Long] = inner.merge(buf, state)
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  def finish(buf: Array[Long]): Long = inner.finish(buf)
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
+}

@@ -31,11 +31,29 @@ import scala.concurrent.duration.Duration
   */
 object Par {
 
+  /** `GRAFT_PAR_SERIAL=1` degrades the whole future graph to strict
+    * program-order execution (every `Future`/`map`/`for` body runs inline on
+    * the calling thread) — the measurement baseline for pricing the overlap.
+    * Measured on `Explain q_dedup_decision <sf0.1> time2` (warm run 2,
+    * local[32], r9): serial 7.13 s vs overlapped 5.20 s — the dataflow buys
+    * **1.37×** at sf0.1, i.e. the side signals (hash-canonical windows,
+    * containment aggregation) and the slower base materializations really do
+    * hide under the CC rounds rather than adding to them. Re-price after any
+    * scheduler/AQE behavior change; if the two numbers converge, the
+    * machinery has silently stopped helping and should be removed.
+    */
+  private[graft] val serial: Boolean =
+    sys.env.get("GRAFT_PAR_SERIAL").contains("1")
+
   /** Shared pool for materialization threads — the threads only BLOCK on
     * Spark actions (the work happens on Spark's scheduler), so the global
     * pool's cores-sized default is plenty.
     */
-  implicit val ec: ExecutionContext = ExecutionContext.global
+  implicit val ec: ExecutionContext =
+    if (serial) new ExecutionContext {
+      def execute(r: Runnable): Unit = r.run()
+      def reportFailure(t: Throwable): Unit = throw t
+    } else ExecutionContext.global
 
   /** Submit an eager localCheckpoint on a pool thread. */
   def ckpt(df: DataFrame): Future[DataFrame] = Future(df.localCheckpoint(true))

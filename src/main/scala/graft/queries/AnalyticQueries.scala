@@ -393,6 +393,33 @@ object AnalyticQueries {
       .toDF("o_orderstatus", "est_custkeys")
   }
 
+  /** Sketch MERGEABILITY, driver-checked — the property that makes fixed-state
+    * sketches the 100 TB fan-in answer: per-event-type HLL register states are
+    * materialized as 2 KiB rows ([[graft.functions.HllSketchState]]), then the
+    * 'ALL' row is produced by [[graft.functions.HllMerge]] folding those FIVE
+    * STATES — never re-reading raw keys — and its estimate is bit-identical to
+    * a sketch built over the full feed (register = min remainder ⇒ merge-of-
+    * mins ≡ min-over-union), which is exactly what the oracle's global replay
+    * computes. Users overlap across event types, so the merged row is a true
+    * union cardinality, not a sum of the per-type rows.
+    */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hll = new graft.functions.HllSketch(hashBits = 60)
+    val states = t(s, dir, "events")
+      .select(col("event_type"),
+        graft.operators.TextDedup.tokenHash60(col("user_id").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.HllSketchState(hashBits = 60).toColumn.name("sk"))
+    val perType = states.map { case (et, sk) => (et, hll.finish(sk)) }
+      .toDF("event_type", "est_users")
+    val merged = states.map(_._2)
+      .select(new graft.functions.HllMerge(hashBits = 60).toColumn.name("est_users"))
+      .withColumn("event_type", lit("ALL"))
+    perType.unionByName(merged.select(col("event_type"), col("est_users")))
+  }
+
   /** Correlated scalar subquery, equality-correlated so Catalyst decorrelates
     * it into an aggregate + equi-join (an inequality correlation would plan
     * as a nested-loop over all pairs — the formulation matters at scale).
@@ -719,6 +746,7 @@ object AnalyticQueries {
     "q_kmv_estimate" -> (qKmvEstimate _),
     "q_hll_estimate" -> (qHllEstimate _),
     "q_hll_custkeys" -> (qHllCustkeys _),
+    "q_hll_merge" -> (qHllMerge _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "q_skew_join" -> (qSkewJoin _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
@@ -989,6 +1017,12 @@ object AnalyticQueries {
     // the same IEEE sequence as HllSketch.finish
     "q_hll_estimate" -> hllOracleSql("events", "user_id", "event_type", "est_users"),
     "q_hll_custkeys" -> hllOracleSql("orders", "o_custkey", "o_orderstatus", "est_custkeys"),
+    // the 'ALL' row replays the GLOBAL register state — merge-of-mins ≡
+    // min-over-union, so the engine's fold-of-5-states must hash-match it
+    "q_hll_merge" ->
+      s"""SELECT * FROM (${hllOracleSql("events", "user_id", "event_type", "est_users")})
+          UNION ALL
+          SELECT * FROM (${hllOracleSql("events", "user_id", "'ALL' AS event_type", "est_users")})""",
     "q_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",

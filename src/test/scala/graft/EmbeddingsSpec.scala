@@ -202,4 +202,94 @@ class EmbeddingsSpec extends SparkSpec {
     assert(self === 0L,
       "a codebook-source vector must be its own nearest codeword in every subspace")
   }
+
+  /** Per-subspace Lloyd guarantee + the recall it buys: one
+    * [[Embeddings.pqCodebookRefined]] pass cannot increase the total PQ
+    * quantization distortion Σ min_k ‖v_sub − cw_k‖² (assign = argmin given
+    * codewords, update = L2 centroid given assignment), and on the harness
+    * data the refined codebook's top-k recall is at least the first-C
+    * codebook's.
+    */
+  test("pqCodebookRefined: distortion non-increasing; recall >= first-C") {
+    import org.apache.spark.sql.functions.{broadcast, col, min, struct, sum}
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = Embeddings.pqCodebook(vecs001)
+    val refined = Embeddings.pqCodebookRefined(vecs001, init)
+    assert(refined.count() === Embeddings.PqM.toLong * Embeddings.PqK)
+    assert(refined.select("cw").head.getSeq[Float](0).length === Embeddings.PqDsub)
+
+    def distortion(cb: DataFrame): Double = {
+      val subs = (0 until Embeddings.PqM).map { m =>
+        struct(org.apache.spark.sql.functions.lit(m).as("m"),
+          org.apache.spark.sql.functions
+            .expr(s"slice(embedding, ${m * Embeddings.PqDsub + 1}, ${Embeddings.PqDsub})")
+            .as("vsub"))
+      }
+      vecs001
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array(subs: _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.vsub").as("vsub"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d2",
+          Embeddings.dotD(col("vsub"), col("vsub"))
+            - org.apache.spark.sql.functions.lit(2d) * Embeddings.dotD(col("vsub"), col("cw"))
+            + Embeddings.dotD(col("cw"), col("cw")))
+        .groupBy("vec_id", "m").agg(min("d2").as("best"))
+        .agg(sum("best")).head.getDouble(0)
+    }
+    val before = distortion(init)
+    val after = distortion(refined)
+    info(f"PQ distortion first-C=$before%.3f refined=$after%.3f")
+    assert(after <= before + 1e-6, f"Lloyd pass increased distortion: $after%.3f > $before%.3f")
+
+    val queries = vecs001.filter(col("vec_id") % 7 === 3)
+    def recall(cb: DataFrame): Double = {
+      val (h, t) = Embeddings.pqRecallWith(vecs001, queries, cb, k = 10)
+        .agg(sum("hits"), sum("k")).as[(Long, Long)].head()
+      h.toDouble / t
+    }
+    val rFirst = recall(init)
+    val rRefined = recall(refined)
+    info(f"PQ recall first-C=$rFirst%.3f refined=$rRefined%.3f")
+    assert(rRefined >= rFirst,
+      f"refined codebook lost recall: $rRefined%.3f < $rFirst%.3f")
+  }
+
+  /** Stream-static IVF∘PQ serving parity: micro-batched queries answered from
+    * the codes index ([[Embeddings.ivfPqProbeSink]]) must equal the batch
+    * [[Embeddings.ivfPqTopK]] results for the same query set — the serving
+    * path holds codes + codebook + centroids only, and per-batch plans see a
+    * static index, so nothing can drift across triggers.
+    */
+  test("ivfPqProbeSink: streamed queries equal the batch IVF-PQ results") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val centroids = corpus.filter(col("vec_id") < 16)
+    val codebook = Embeddings.pqCodebook(corpus).cache()
+    val queryIds = Seq(3L, 17L, 31L, 45L)
+    val queryRows = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = Embeddings.ivfPqProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), corpus, centroids, codebook,
+      nProbe = 4, k = 5,
+      java.nio.file.Files.createTempDirectory("ivfpq-ck").toString) { res =>
+      got.synchronized { got ++= res.as[(Long, Long, Int)].collect() }
+      ()
+    }
+    queryRows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val batch = Embeddings.ivfPqTopK(corpus,
+        corpus.filter(col("vec_id").isin(queryIds: _*)), numCentroids = 16,
+        nProbe = 4, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    corpus.unpersist(); codebook.unpersist()
+    assert(got.synchronized(got.toSet) === batch)
+    assert(batch.map(_._1) === queryIds.toSet)
+  }
 }

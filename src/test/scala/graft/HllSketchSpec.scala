@@ -98,4 +98,19 @@ class HllSketchSpec extends SparkSpec {
     val alpha = 0.7213 / (1 + 1.079 / 256.0)
     assert(agg.finish(buf) === math.round(alpha * 5.90295810358705651712e20 / s.toDouble))
   }
+
+  test("HllMerge over per-source states equals one sketch over the union") {
+    import graft.functions.{HllMerge, HllSketchState}
+    val agg = new HllSketch(60)
+    val state = new HllSketchState(60)
+    val merger = new HllMerge(60)
+    // overlapping sources, so mergeability ≠ additivity is actually exercised
+    val sources = Seq((1L to 800L).map(h60), (400L to 1200L).map(h60),
+      (1000L to 1500L).map(h60))
+    val states = sources.map(xs => xs.foldLeft(state.zero)((b, x) => state.reduce(b, x)))
+    val merged = states.foldLeft(merger.zero)((b, st) => merger.reduce(b, st))
+    val direct = build(agg, sources.flatten)
+    assert(merged.sameElements(direct), "merged registers differ from direct build")
+    assert(merger.finish(merged) === agg.finish(direct))
+  }
 }

@@ -127,3 +127,39 @@ final class QuantileSample(k: Int) extends Aggregator[(Long, Long), Array[Long],
 
   def column: TypedColumn[(Long, Long), Array[Long]] = this.toColumn.name("sample_vals")
 }
+
+/** [[QuantileSample]] variant that RETURNS the compacted (key, value) pair
+  * state instead of the value sample — the materialized-sketch form (≤ k
+  * pairs per group) that [[QuantileMerge]] later folds, mirroring
+  * [[HllSketchState]]/[[HllMerge]] on the cardinality side. Exactness
+  * contract: each state retains its group's k lexicographically-smallest
+  * (hash, value) pairs, and any member of the UNION's k smallest is
+  * necessarily within its own group's k smallest — so merging states loses
+  * nothing and reproduces the direct-sketch sample bit-for-bit.
+  */
+final class QuantileSampleState(k: Int)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] with Serializable {
+  private val inner = new QuantileSample(k)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = inner.reduce(buf, in)
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  /** Compacted canonical buffer — already ≤ k sorted pairs, merge-ready. */
+  def finish(buf: Array[Long]): Array[Long] = inner.merge(buf, inner.zero)
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Folds ALREADY-BUILT [[QuantileSampleState]] buffers into the k-smallest
+  * sample of their union and finishes to the value order statistics — the
+  * second hop of a sketch-merge fan-in, never re-reading raw rows.
+  */
+final class QuantileMerge(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] with Serializable {
+  private val inner = new QuantileSample(k)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], state: Array[Long]): Array[Long] = inner.merge(buf, state)
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  def finish(buf: Array[Long]): Array[Long] = inner.finish(buf)
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}

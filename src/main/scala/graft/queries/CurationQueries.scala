@@ -359,6 +359,39 @@ object CurationQueries {
           .as("p90_chars"))
   }
 
+  /** Sketch-merge fan-in for the quantile sample, driver-checked: per-(lang,
+    * source) [[graft.functions.QuantileSampleState]] pair-states (≤ k rows
+    * each) are merged per language by [[graft.functions.QuantileMerge]] —
+    * the two-hop shape of a 100 TB rollup, where leaf states are built close
+    * to the data and only sketches travel. Registered under the IDENTICAL
+    * oracle as [[quantileSketch]]: any member of the union's k smallest
+    * (hash, value) pairs is within its own source's k smallest, so the merge
+    * reconstructs the direct per-language sample exactly and the driver
+    * proves both plans agree bit-for-bit.
+    */
+  def quantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val states = docs(spark, dir)
+      .select(col("lang"), col("source"),
+        TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"),
+        col("n_chars"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => (r._3, r._4))
+      .agg(new graft.functions.QuantileSampleState(QuantileSampleK).toColumn.name("st"))
+    states
+      .map { case ((lang, _), st) => (lang, st) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.QuantileMerge(QuantileSampleK).toColumn.name("vals"))
+      .toDF("lang", "vals")
+      .select(col("lang"),
+        element_at(col("vals"), expr("CAST((size(vals) + 1) DIV 2 AS INT)"))
+          .as("p50_chars"),
+        element_at(col("vals"), expr("CAST((9 * size(vals) + 9) DIV 10 AS INT)"))
+          .as("p90_chars"))
+  }
+
   /** Per-language token budget for the sampler: small enough that both
     * languages in the harness corpus hit the cap (the budget binds).
     */
@@ -906,6 +939,7 @@ object CurationQueries {
     "q_mixture_report" -> (mixtureReport _),
     "q_quality_gate" -> (qualityQuantileGate _),
     "q_quantile_sketch" -> (quantileSketch _),
+    "q_quantile_merge" -> (quantileMerge _),
     "q_dedup_groups" -> (dedupGroups _),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_decontaminate" -> (decontaminate _),
@@ -920,6 +954,26 @@ object CurationQueries {
     "q_dedup_decision" -> (dedupDecision _),
     "q_graph_degree" -> (graphDegree _),
     "q_split_leakage" -> (splitLeakage _))
+
+  /** One SQL truth for the direct sketch AND its two-hop merge realization —
+    * the driver proving both queries against the same replay IS the
+    * mergeability evidence.
+    */
+  private val quantileOracle: String =
+    s"""WITH h AS (
+          SELECT lang, n_chars,
+            CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+          FROM documents),
+        r AS (
+          SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, n_chars) AS rn
+          FROM h),
+        g AS (
+          SELECT lang, list_sort(list(n_chars)) AS vs, count(*)::BIGINT AS m
+          FROM r WHERE rn <= $QuantileSampleK GROUP BY lang)
+        SELECT lang, vs[(m + 1) // 2] AS p50_chars,
+               vs[(9 * m + 9) // 10] AS p90_chars
+        FROM g"""
 
   /** Shared CTE prefix: exact Jaccard pairs (the q_minhash_lsh oracle) →
     * symmetric edges → transitive closure by recursive CTE → min reachable
@@ -1326,21 +1380,10 @@ object CurationQueries {
          FROM s JOIN thr USING (lang_id) WHERE s.quality_e4 >= thr.t""",
     // the QuantileSample draw replayed exactly: k smallest (60-bit md5 hash,
     // value) pairs per language, integer-indexed order statistics
-    "q_quantile_sketch" ->
-      s"""WITH h AS (
-            SELECT lang, n_chars,
-              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
-            FROM documents),
-          r AS (
-            SELECT lang, n_chars,
-                   row_number() OVER (PARTITION BY lang ORDER BY hv, n_chars) AS rn
-            FROM h),
-          g AS (
-            SELECT lang, list_sort(list(n_chars)) AS vs, count(*)::BIGINT AS m
-            FROM r WHERE rn <= $QuantileSampleK GROUP BY lang)
-          SELECT lang, vs[(m + 1) // 2] AS p50_chars,
-                 vs[(9 * m + 9) // 10] AS p90_chars
-          FROM g""",
+    "q_quantile_sketch" -> quantileOracle,
+    // the merged two-hop plan must land on the DIRECT sample's replay —
+    // merge-of-k-smallest ≡ k-smallest-of-union (see quantileMerge scaladoc)
+    "q_quantile_merge" -> quantileOracle,
     "q_dedup_groups" ->
       s"""$groupsCte
           SELECT doc_id, group_id FROM groups""",

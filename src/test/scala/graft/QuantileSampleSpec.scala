@@ -84,4 +84,25 @@ class QuantileSampleSpec extends SparkSpec {
     assert(math.abs(p50 - n / 2) < 3.0 * n / (2 * math.sqrt(k)),
       s"sampled p50 $p50 vs true ${n / 2}")
   }
+
+  test("QuantileMerge over per-source states equals one sketch over the union") {
+    import graft.functions.{QuantileMerge, QuantileSampleState}
+    val k = 16
+    val agg = new QuantileSample(k)
+    val state = new QuantileSampleState(k)
+    val merger = new QuantileMerge(k)
+    // three overlapping sources; values correlate with hash keys differently
+    val sources = Seq(
+      (1L to 400L).map(i => (h(i), i)),
+      (200L to 700L).map(i => (h(i), i)),
+      (650L to 900L).map(i => (h(2 * i), 1000L - i)))
+    val states = sources.map(xs =>
+      state.finish(xs.foldLeft(state.zero)((b, p) => state.reduce(b, p))))
+    states.foreach(st => assert(st.length <= 2 + 2 * k, "state not compacted"))
+    val merged = states.foldLeft(merger.zero)((b, st) => merger.reduce(b, st))
+    val direct = build(agg, sources.flatten)
+    assert(agg.canonical(merged).sameElements(agg.canonical(direct)),
+      "merged sample differs from direct k-smallest of the union")
+    assert(merger.finish(merged).toSeq === agg.finish(direct).toSeq)
+  }
 }

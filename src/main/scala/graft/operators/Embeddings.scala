@@ -488,6 +488,30 @@ object Embeddings {
       }
       .start()
 
+  /** Streaming IVF∘PQ index MAINTENANCE — the build-side complement of
+    * [[ivfPqProbeSink]]: newly-arriving vectors are encoded per micro-batch
+    * against the FROZEN codebook and centroid set, and the resulting
+    * (vec_id, m, code) and (vec_id, cent_id) rows are handed to the caller
+    * to append to the serving index (a parquet/bucketed table in
+    * production). Both derivations are stateless row-local functions of the
+    * batch against broadcast constants, so streamed index rows are exactly
+    * the batch [[pqEncode]]/[[ivfAssign]] rows (spec-asserted) and no
+    * streaming state accrues. Freezing the quantizers is the standard
+    * serving contract (retraining re-encodes offline, then swaps); it is
+    * what keeps codes comparable across the whole index.
+    */
+  def indexIngestSink(vectorStream: DataFrame, centroids: DataFrame,
+                      codebook: DataFrame, checkpointDir: String)
+                     (onBatch: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          onBatch(pqEncode(batch.toDF(), codebook), ivfAssign(batch.toDF(), centroids))
+      }
+      .start()
+
   /** Recall of the IVF path vs the exact path: per query, |IVF ∩ exact| and k
     * (integers — oracle-friendly; global recall = Σhits / Σk).
     */

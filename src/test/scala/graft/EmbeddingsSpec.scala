@@ -292,4 +292,44 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.synchronized(got.toSet) === batch)
     assert(batch.map(_._1) === queryIds.toSet)
   }
+
+  /** Build-side streaming parity: vectors ingested across micro-batches and
+    * encoded against the frozen quantizers ([[Embeddings.indexIngestSink]])
+    * must append exactly the batch [[Embeddings.pqEncode]]/
+    * [[Embeddings.ivfAssign]] rows — the index a stream maintains is the
+    * index a batch rebuild would produce.
+    */
+  test("indexIngestSink: streamed index rows equal the batch encode/assign") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val centroids = corpus.filter(col("vec_id") < 16).cache()
+    val codebook = Embeddings.pqCodebook(corpus).cache()
+    // the "arriving" half: ids not in the codebook/centroid prefix
+    val arriving = corpus.filter(col("vec_id") >= 16 && col("vec_id") < 80)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val gotCodes = scala.collection.mutable.Set.empty[(Long, Int, Int)]
+    val gotAssign = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = Embeddings.indexIngestSink(
+      in.toDF().toDF("vec_id", "embedding"), centroids, codebook,
+      java.nio.file.Files.createTempDirectory("ingest-ck").toString) { (codes, asg) =>
+      gotCodes.synchronized { gotCodes ++= codes.as[(Long, Int, Int)].collect() }
+      gotAssign.synchronized { gotAssign ++= asg.as[(Long, Long)].collect() }
+      ()
+    }
+    arriving.grouped(20).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val arrivedDf = corpus.filter(col("vec_id") >= 16 && col("vec_id") < 80)
+    val wantCodes = Embeddings.pqEncode(arrivedDf, codebook)
+      .as[(Long, Int, Int)].collect().toSet
+    val wantAssign = Embeddings.ivfAssign(arrivedDf, centroids)
+      .as[(Long, Long)].collect().toSet
+    corpus.unpersist(); centroids.unpersist(); codebook.unpersist()
+    assert(gotCodes.synchronized(gotCodes.toSet) === wantCodes)
+    assert(gotAssign.synchronized(gotAssign.toSet) === wantAssign)
+    assert(wantCodes.size === 64 * Embeddings.PqM)
+  }
 }

@@ -469,22 +469,25 @@ object Embeddings {
       .start()
 
   /** Stream-static IVF∘PQ serving: [[annProbeSink]]'s shape, but each
-    * micro-batch is answered from the CODES index ([[ivfPqTopKWith]]) — the
-    * serving working set is codes + codebook + centroids; the float corpus
-    * is touched only by the one-time `pqEncode`/`ivfAssign` build (pass
-    * pre-materialized frames for `vectors` in production so no trigger
-    * re-runs the build). This is the round-8 batch serving shape expressed
-    * in the engine's streaming identity: index once, queries arrive forever.
+    * micro-batch is answered from a PRE-BUILT codes index
+    * ([[ivfPqTopKFromIndex]]) — the per-trigger working set is codes +
+    * assignments + codebook + centroids, and the float corpus is touched by
+    * NO trigger (build it once with [[pqEncode]]/[[ivfAssign]], keep it
+    * growing with [[indexIngestSink]], persist/bucket the frames). This is
+    * the round-8 batch serving shape in the engine's streaming identity:
+    * index once, queries arrive forever.
     */
-  def ivfPqProbeSink(queryStream: DataFrame, vectors: DataFrame, centroids: DataFrame,
-                     codebook: DataFrame, nProbe: Int, k: Int, checkpointDir: String)
+  def ivfPqProbeSink(queryStream: DataFrame, codes: DataFrame, assigned: DataFrame,
+                     centroids: DataFrame, codebook: DataFrame, nProbe: Int, k: Int,
+                     checkpointDir: String)
                     (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
-          onBatch(ivfPqTopKWith(vectors, batch.toDF(), centroids, codebook, nProbe, k))
+          onBatch(ivfPqTopKFromIndex(codes, assigned, batch.toDF(), centroids,
+            codebook, nProbe, k))
       }
       .start()
 
@@ -603,12 +606,22 @@ object Embeddings {
     * stores instead of the vectors.
     */
   def pqEncode(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    pqSubDists(vectors, codebook)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"))
+
+  /** The ONE subspace-distance formulation both [[pqEncode]] and
+    * [[pqCodebookRefined]] take their argmin over — (vec_id, m, k, vsub,
+    * dist) rows with dist = c·c − 2·v_sub·c (‖v_sub − c‖² minus the
+    * per-row constant ‖v_sub‖², argmin-equivalent). Keeping encode and
+    * training on a shared builder is what makes the Lloyd assignment
+    * provably the same argmin the encoder uses.
+    */
+  private def pqSubDists(vectors: DataFrame, codebook: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(codebook))
       .withColumn("vsub", expr(s"slice(embedding, m * $PqDsub + 1, $PqDsub)"))
       .withColumn("dist",
         dotD(col("cw"), col("cw")) - lit(2d) * dotD(col("vsub"), col("cw")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"))
 
   /** One per-subspace Lloyd (k-means) refinement pass over a PQ codebook —
     * the production "training" option mirroring [[kmeansRefine]] on the IVF
@@ -631,16 +644,7 @@ object Embeddings {
     * [[kmeansRefine]] rule).
     */
   def pqCodebookRefined(vectors: DataFrame, codebook: DataFrame): DataFrame = {
-    val subs = (0 until PqM).map { m =>
-      struct(lit(m).as("m"),
-        expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)").as("vsub"))
-    }
-    val vsubs = vectors
-      .select(col("vec_id"), explode(array(subs: _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.vsub").as("vsub"))
-    val assigned = vsubs.join(broadcast(codebook), Seq("m"))
-      .withColumn("dist",
-        dotD(col("cw"), col("cw")) - lit(2d) * dotD(col("vsub"), col("cw")))
+    val assigned = pqSubDists(vectors, codebook)
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(struct(col("k"), col("vsub")), struct(col("dist"), col("k"))).as("a"))
       .select(col("m"), col("a.k").as("k"), col("a.vsub").as("vsub"))
@@ -709,18 +713,29 @@ object Embeddings {
     ivfPqTopKWith(vectors, queries, firstCentroids(vectors, numCentroids),
       pqCodebook(vectors), nProbe, k)
 
-  /** [[ivfPqTopK]] over explicit centroids and codebook — the serving seam:
-    * production passes [[sampledCentroids]]/[[kmeansRefine]] centroids and a
-    * [[pqCodebookRefined]] codebook; the streaming probe
-    * ([[ivfPqProbeSink]]) reuses this exact plan per micro-batch.
+  /** [[ivfPqTopK]] over explicit centroids and codebook — the BUILD+SERVE
+    * convenience form: encodes/assigns `vectors` then delegates to
+    * [[ivfPqTopKFromIndex]]. Production (and the streaming probe) should
+    * build the index ONCE ([[pqEncode]]/[[ivfAssign]], or incrementally via
+    * [[indexIngestSink]]), materialize it, and call the from-index form
+    * directly — this wrapper re-plans the build with every call.
     */
   def ivfPqTopKWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
-                    cb: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val codes = pqEncode(vectors, cb)
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-    val assigned = ivfAssign(vectors, centroids)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+                    cb: DataFrame, nProbe: Int, k: Int): DataFrame =
+    ivfPqTopKFromIndex(
+      pqEncode(vectors, cb).select(col("vec_id").as("neighbor_id"), col("m"), col("code")),
+      ivfAssign(vectors, centroids).select(col("vec_id").as("neighbor_id"), col("cent_id")),
+      queries, centroids, cb, nProbe, k)
 
+  /** IVF∘PQ top-k served from a PRE-BUILT index — the true serving plan: the
+    * working set is exactly `codes` ((neighbor_id, m, code)), `assigned`
+    * ((neighbor_id, cent_id)), the codebook, and the centroids; the float
+    * corpus appears NOWHERE. Probes and the query's ADC table are broadcast,
+    * candidates come from the probed buckets only.
+    */
+  def ivfPqTopKFromIndex(codes: DataFrame, assigned: DataFrame, queries: DataFrame,
+                         centroids: DataFrame, cb: DataFrame, nProbe: Int,
+                         k: Int): DataFrame = {
     val c = centroids.select(
       col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))

@@ -414,10 +414,15 @@ object AnalyticQueries {
       .agg(new graft.functions.HllSketchState(hashBits = 60).toColumn.name("sk"))
     val perType = states.map { case (et, sk) => (et, hll.finish(sk)) }
       .toDF("event_type", "est_users")
-    val merged = states.map(_._2)
-      .select(new graft.functions.HllMerge(hashBits = 60).toColumn.name("est_users"))
-      .withColumn("event_type", lit("ALL"))
-    perType.unionByName(merged.select(col("event_type"), col("est_users")))
+    // KEYED (constant-key) aggregation, not a global one: a global aggregate
+    // on empty input still emits one finish(zero) row, which the oracle's
+    // grouped replay never produces — keyed emits nothing on nothing.
+    val merged = states
+      .groupByKey(_ => "ALL")
+      .mapValues(_._2)
+      .agg(new graft.functions.HllMerge(hashBits = 60).toColumn.name("est_users"))
+      .toDF("event_type", "est_users")
+    perType.unionByName(merged)
   }
 
   /** Correlated scalar subquery, equality-correlated so Catalyst decorrelates

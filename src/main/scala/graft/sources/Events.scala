@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object Events {
 
-  /** Epoch-µs long for `events.ts`, whatever its physical type. */
+  /** Epoch-µs long for `events.ts`, whatever its physical type. The legacy
+    * long branch FLOORS (`ts - pmod(ts, 1000)` is the next-lower multiple —
+    * `DIV` alone truncates toward zero and would disagree with DuckDB's
+    * floored µs read by 1 µs on pre-1970 nanosecond values).
+    */
   def tsMicros(events: DataFrame): Column = events.schema("ts").dataType match {
-    case LongType          => expr("ts DIV CAST(1000 AS BIGINT)")
+    case LongType          => expr("(ts - pmod(ts, CAST(1000 AS BIGINT))) DIV CAST(1000 AS BIGINT)")
     case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
     case TimestampType     => unix_micros(col("ts"))
     case other => throw new IllegalStateException(

@@ -257,9 +257,10 @@ class EmbeddingsSpec extends SparkSpec {
   }
 
   /** Stream-static IVF∘PQ serving parity: micro-batched queries answered from
-    * the codes index ([[Embeddings.ivfPqProbeSink]]) must equal the batch
-    * [[Embeddings.ivfPqTopK]] results for the same query set — the serving
-    * path holds codes + codebook + centroids only, and per-batch plans see a
+    * the ONE pre-built codes index ([[Embeddings.ivfPqProbeSink]]) must equal
+    * the batch [[Embeddings.ivfPqTopK]] results for the same query set — the
+    * per-trigger working set is codes + assignments + codebook + centroids
+    * (the float corpus is in no trigger's plan), and per-batch plans see a
     * static index, so nothing can drift across triggers.
     */
   test("ivfPqProbeSink: streamed queries equal the batch IVF-PQ results") {
@@ -268,6 +269,13 @@ class EmbeddingsSpec extends SparkSpec {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val centroids = corpus.filter(col("vec_id") < 16)
     val codebook = Embeddings.pqCodebook(corpus).cache()
+    // the one-time index build, materialized once — no trigger re-plans it
+    val codes = Embeddings.pqEncode(corpus, codebook)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      .localCheckpoint(true)
+    val assigned = Embeddings.ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+      .localCheckpoint(true)
     val queryIds = Seq(3L, 17L, 31L, 45L)
     val queryRows = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
@@ -275,7 +283,7 @@ class EmbeddingsSpec extends SparkSpec {
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
     val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
     val q = Embeddings.ivfPqProbeSink(
-      in.toDF().toDF("vec_id", "embedding"), corpus, centroids, codebook,
+      in.toDF().toDF("vec_id", "embedding"), codes, assigned, centroids, codebook,
       nProbe = 4, k = 5,
       java.nio.file.Files.createTempDirectory("ivfpq-ck").toString) { res =>
       got.synchronized { got ++= res.as[(Long, Long, Int)].collect() }

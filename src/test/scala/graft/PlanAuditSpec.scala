@@ -176,6 +176,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_vocab_stats" -> Set("source", "text"),
       "q_length_hist" -> Set("source", "n_chars"),
       "q_quantile_sketch" -> Set("doc_id", "lang", "n_chars"),
+      "q_quantile_merge" -> Set("doc_id", "lang", "source", "n_chars"),
       "q_dedup_decision" -> Set("doc_id", "text"),
       "q_graph_degree" -> Set("doc_id", "text"),
       "q_cms_freq" -> Set("text"),

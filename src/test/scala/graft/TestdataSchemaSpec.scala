@@ -37,7 +37,11 @@ class TestdataSchemaSpec extends SparkSpec {
     val drift = Tables.names.flatMap { n =>
       val got = Tables(spark, sfDir, n).schema.fields
         .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
-      if (got == expected(n)) None else Some(s"$n\n  expected: ${expected(n)}\n  got:      $got")
+      expected.get(n) match {
+        case Some(want) if got == want => None
+        case Some(want) => Some(s"$n\n  expected: $want\n  got:      $got")
+        case None => Some(s"$n\n  not in the expected map — record its schema here\n  got: $got")
+      }
     }
     assert(drift.isEmpty,
       "\nHARNESS TESTDATA SCHEMA DRIFT — the driver regenerated parquet with new " +

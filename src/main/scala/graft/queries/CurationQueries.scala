@@ -359,6 +359,83 @@ object CurationQueries {
           .as("p90_chars"))
   }
 
+  /** The curation CAPSTONE: every document labeled with its fate through the
+    * FULL training-data funnel — the manifest a data engineer ships with a
+    * corpus release, and the end-to-end composition of the layer's
+    * already-oracle-checked stages (the funnel twin of the dedup layer's
+    * `q_dedup_decision`). Verdicts, in precedence order:
+    *
+    *   - `eval_holdout` — the benchmark slice (doc_id % 20 = 0, the same
+    *     synthetic eval set the decontamination queries pin); never training
+    *     data, whatever its quality;
+    *   - `dropped_lang` / `dropped_quality` — the [[TextQueries.corpusClean]]
+    *     gates (non-English / quality below [[TextQueries.QualityFloor]]);
+    *   - `dropped_exact_dup` — not the min-id of its content hash among gated
+    *     docs;
+    *   - `dropped_near_dup` — MinHash-LSH loser (same parameters as the
+    *     cleaning pipeline; the LSH≡exact-Jaccard caveat documented there
+    *     applies);
+    *   - `dropped_contaminated` — a surviving doc sharing an 8-gram with the
+    *     eval set ([[decontaminate]]'s exact membership test);
+    *   - `kept` — training data, with the `q_data_split` 48/1/1 md5-bucket
+    *     `split` assignment attached (NULL for every non-kept verdict).
+    *
+    * Scale shape: the gates are narrow codegen filters on the scan, each
+    * dedup stage is the sub-quadratic keyed path, the eval shingle set is
+    * broadcast (never shuffles the corpus), and the verdict assembly is
+    * three left joins of small id-sets onto the stats frame — the funnel
+    * stays shuffle-bounded at 100 TB exactly like its component queries.
+    */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame =
+    corpusManifestOf(docs(spark, dir))
+
+  /** Manifest core over an explicit (doc_id, text) frame — the seam the
+    * all-verdicts spec drives with a synthetic corpus (the harness corpus
+    * never exercises `dropped_exact_dup`: its exact copies don't survive the
+    * gates at the checked SFs).
+    */
+  private[graft] def corpusManifestOf(d: DataFrame): DataFrame = {
+    val t = col("text")
+    val isEval = pmod(col("doc_id"), lit(20L)) === 0
+    val stats = d.select(col("doc_id"), t,
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.qualityScoreE4(t).as("quality_e4"))
+    val gated = stats
+      .filter(!isEval && col("lang_id") === "en" &&
+        col("quality_e4") >= TextQueries.QualityFloor)
+      .select(col("doc_id"), t)
+    val winners = gated.select(col("doc_id"), md5(t.cast("binary")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = gated.join(winners, Seq("doc_id"), "left_semi")
+    val nearLosers = TextDedup
+      .minhashDedupPairs(kept, "doc_id", "text", n = 3,
+        thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surv = kept.join(nearLosers, Seq("doc_id"), "left_anti")
+    val evalSh = TextDedup.shingles(d.filter(isEval), "doc_id", "text", 8)
+      .select("shingle").distinct()
+    val contam = TextDedup.shingles(surv, "doc_id", "text", 8)
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+
+    val flags = stats.select(col("doc_id"), col("lang_id"), col("quality_e4"))
+      .join(winners.withColumn("is_win", lit(1)), Seq("doc_id"), "left")
+      .join(nearLosers.withColumn("is_nd", lit(1)), Seq("doc_id"), "left")
+      .join(contam.withColumn("is_ct", lit(1)), Seq("doc_id"), "left")
+    val verdict = when(isEval, "eval_holdout")
+      .when(col("lang_id") =!= "en", "dropped_lang")
+      .when(col("quality_e4") < TextQueries.QualityFloor, "dropped_quality")
+      .when(col("is_win").isNull, "dropped_exact_dup")
+      .when(col("is_nd").isNotNull, "dropped_near_dup")
+      .when(col("is_ct").isNotNull, "dropped_contaminated")
+      .otherwise("kept")
+    val b = pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(50L))
+    flags.select(col("doc_id"), verdict.as("verdict"),
+      when(verdict === "kept",
+        when(b < 48, "train").when(b === 48, "val").otherwise("test"))
+        .otherwise(lit(null).cast("string")).as("split"))
+  }
+
   /** Sketch-merge fan-in for the quantile sample, driver-checked: per-(lang,
     * source) [[graft.functions.QuantileSampleState]] pair-states (≤ k rows
     * each) are merged per language by [[graft.functions.QuantileMerge]] —
@@ -953,7 +1030,8 @@ object CurationQueries {
     "q_length_hist" -> (lengthHist _),
     "q_dedup_decision" -> (dedupDecision _),
     "q_graph_degree" -> (graphDegree _),
-    "q_split_leakage" -> (splitLeakage _))
+    "q_split_leakage" -> (splitLeakage _),
+    "q_corpus_manifest" -> (corpusManifest _))
 
   /** One SQL truth for the direct sketch AND its two-hop merge realization —
     * the driver proving both queries against the same replay IS the
@@ -1292,6 +1370,90 @@ object CurationQueries {
           JOIN splits sa ON sa.doc_id = t.a
           JOIN splits sb ON sb.doc_id = t.b
           WHERE sa.split <> sb.split""",
+    // the full funnel composed from the component oracles (corpus_clean's
+    // gates/canon/jaccard CTEs + decontaminate's 8-gram membership + the
+    // data_split hash bucket), with verdict precedence as one CASE — the
+    // LSH≡exact caveat documented at q_corpus_clean applies to the near-dup
+    // stage verbatim
+    "q_corpus_manifest" ->
+      s"""WITH stats AS (
+            SELECT doc_id,
+              CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                   WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                   WHEN fr >= es AND fr > 0 THEN 'fr'
+                   WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+              greatest(least(least(n_tokens, 100) * 30
+                + least((en * 40000) // greatest(n_tokens, 1), 4000)
+                - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
+            FROM (
+              SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS en,
+                len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht)\\b'))::BIGINT AS de,
+                len(regexp_extract_all(text, '\\b(le|les|et|est|dans|une)\\b'))::BIGINT AS fr,
+                len(regexp_extract_all(text, '\\b(el|los|las|y|es|en una)\\b'))::BIGINT AS es
+              FROM documents)
+          ), gated AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+            WHERE d.doc_id % 20 <> 0 AND s.lang_id = 'en'
+              AND s.quality_e4 >= ${TextQueries.QualityFloor}
+          ), winners AS (
+            SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+          ), kept AS (
+            SELECT g.doc_id, g.text FROM gated g JOIN winners w ON w.doc_id = g.doc_id
+          ), sh3 AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+                 unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+          ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY 1
+          ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh3 a JOIN sh3 b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+          ), losers AS (
+            SELECT DISTINCT i.doc_b AS doc_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.inter * 100 >= 60 * (sa.sz + sb.sz - i.inter)
+          ), surv AS (
+            SELECT k.doc_id, k.text FROM kept k
+            LEFT JOIN losers l ON l.doc_id = k.doc_id
+            WHERE l.doc_id IS NULL
+          ), esh AS (
+            SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS shingle
+            FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 20 = 0),
+                 unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)
+          ), contam AS (
+            SELECT DISTINCT s8.doc_id
+            FROM (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+                       unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)) s8
+            JOIN esh ON esh.shingle = s8.shingle
+          ), v AS (
+            SELECT d.doc_id,
+              CASE WHEN d.doc_id % 20 = 0 THEN 'eval_holdout'
+                   WHEN s.lang_id <> 'en' THEN 'dropped_lang'
+                   WHEN s.quality_e4 < ${TextQueries.QualityFloor} THEN 'dropped_quality'
+                   WHEN w.doc_id IS NULL THEN 'dropped_exact_dup'
+                   WHEN l.doc_id IS NOT NULL THEN 'dropped_near_dup'
+                   WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                   ELSE 'kept' END AS verdict,
+              CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 50 AS b
+            FROM documents d
+            JOIN stats s ON s.doc_id = d.doc_id
+            LEFT JOIN winners w ON w.doc_id = d.doc_id
+            LEFT JOIN losers l ON l.doc_id = d.doc_id
+            LEFT JOIN contam c ON c.doc_id = d.doc_id
+          )
+          SELECT doc_id, verdict,
+                 CASE WHEN verdict = 'kept'
+                      THEN CASE WHEN b < 48 THEN 'train'
+                                WHEN b = 48 THEN 'val' ELSE 'test' END
+                      ELSE NULL END AS split
+          FROM v""",
     "q_data_split" ->
       s"""WITH s AS ($langTokensCte),
           h AS (

@@ -178,6 +178,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_quantile_sketch" -> Set("doc_id", "lang", "n_chars"),
       "q_quantile_merge" -> Set("doc_id", "lang", "source", "n_chars"),
       "q_dedup_decision" -> Set("doc_id", "text"),
+      "q_corpus_manifest" -> Set("doc_id", "text"),
       "q_graph_degree" -> Set("doc_id", "text"),
       "q_cms_freq" -> Set("text"),
       "q_corpus_diff" -> Set("doc_id", "text"),

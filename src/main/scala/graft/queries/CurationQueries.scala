@@ -385,6 +385,12 @@ object CurationQueries {
     * broadcast (never shuffles the corpus), and the verdict assembly is
     * three left joins of small id-sets onto the stats frame — the funnel
     * stays shuffle-bounded at 100 TB exactly like its component queries.
+    * The stats frame IS eagerly checkpointed: unlike `q_corpus_clean`
+    * (where caching measured slower, r5 — two consumers, AQE reuse covers
+    * them), the manifest fans the regex-heavy gate columns to FIVE
+    * dependent subplans, and one materialized pass measured 3.52 s → 2.72 s
+    * at sf0.1 (Explain time2, warm). Re-measure before changing either
+    * choice — the break-even is the consumer count.
     */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame =
     corpusManifestOf(docs(spark, dir))
@@ -400,6 +406,7 @@ object CurationQueries {
     val stats = d.select(col("doc_id"), t,
       graft.functions.TextFunctions.langId(t).as("lang_id"),
       graft.functions.TextFunctions.qualityScoreE4(t).as("quality_e4"))
+      .localCheckpoint(true)
     val gated = stats
       .filter(!isEval && col("lang_id") === "en" &&
         col("quality_e4") >= TextQueries.QualityFloor)

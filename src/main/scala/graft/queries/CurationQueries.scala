@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{ConnectedComponents, Par, TextDedup}
 import graft.sources.Tables
@@ -383,8 +383,11 @@ object CurationQueries {
     * Scale shape: the gates are narrow codegen filters on the scan, each
     * dedup stage is the sub-quadratic keyed path, the eval shingle set is
     * broadcast (never shuffles the corpus), and the verdict assembly is
-    * three left joins of small id-sets onto the stats frame — the funnel
-    * stays shuffle-bounded at 100 TB exactly like its component queries.
+    * three left equi-joins onto the stats frame — one corpus-scale (the
+    * winners id-set, one row per distinct gated doc: a shuffle join on the
+    * id) and two genuinely small (near-dup losers, contaminated ids) — so
+    * the funnel stays shuffle-bounded at 100 TB exactly like its component
+    * queries.
     * The stats frame IS eagerly checkpointed: unlike `q_corpus_clean`
     * (where caching measured slower, r5 — two consumers, AQE reuse covers
     * them), the manifest fans the regex-heavy gate columns to FIVE
@@ -398,15 +401,18 @@ object CurationQueries {
   /** Manifest core over an explicit (doc_id, text) frame — the seam the
     * all-verdicts spec drives with a synthetic corpus (the harness corpus
     * never exercises `dropped_exact_dup`: its exact copies don't survive the
-    * gates at the checked SFs).
+    * gates at the checked SFs). `eager = false` skips the stats checkpoint so
+    * the plan audit can see the ONE documents scan the checkpoint job
+    * otherwise hides behind truncated lineage (results are identical either
+    * way — the flag only changes materialization).
     */
-  private[graft] def corpusManifestOf(d: DataFrame): DataFrame = {
+  private[graft] def corpusManifestOf(d: DataFrame, eager: Boolean = true): DataFrame = {
     val t = col("text")
     val isEval = pmod(col("doc_id"), lit(20L)) === 0
-    val stats = d.select(col("doc_id"), t,
+    val statsLazy = d.select(col("doc_id"), t,
       graft.functions.TextFunctions.langId(t).as("lang_id"),
       graft.functions.TextFunctions.qualityScoreE4(t).as("quality_e4"))
-      .localCheckpoint(true)
+    val stats = if (eager) statsLazy.localCheckpoint(true) else statsLazy
     val gated = stats
       .filter(!isEval && col("lang_id") === "en" &&
         col("quality_e4") >= TextQueries.QualityFloor)
@@ -419,7 +425,9 @@ object CurationQueries {
         thresholdPct = 60, numHashes = 32, rowsPerBand = 2)
       .select(col("doc_b").as("doc_id")).distinct()
     val surv = kept.join(nearLosers, Seq("doc_id"), "left_anti")
-    val evalSh = TextDedup.shingles(d.filter(isEval), "doc_id", "text", 8)
+    // eval shingles come off the checkpointed stats blocks, not a second
+    // parquet scan of the text column
+    val evalSh = TextDedup.shingles(stats.filter(isEval), "doc_id", "text", 8)
       .select("shingle").distinct()
     val contam = TextDedup.shingles(surv, "doc_id", "text", 8)
       .join(broadcast(evalSh), Seq("shingle"), "left_semi")
@@ -436,10 +444,8 @@ object CurationQueries {
       .when(col("is_nd").isNotNull, "dropped_near_dup")
       .when(col("is_ct").isNotNull, "dropped_contaminated")
       .otherwise("kept")
-    val b = pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(50L))
     flags.select(col("doc_id"), verdict.as("verdict"),
-      when(verdict === "kept",
-        when(b < 48, "train").when(b === 48, "val").otherwise("test"))
+      when(verdict === "kept", splitLabel(col("doc_id")))
         .otherwise(lit(null).cast("string")).as("split"))
   }
 
@@ -530,15 +536,22 @@ object CurationQueries {
     * audit read before training. One narrow scan + one aggregation over a
     * tiny key domain.
     */
+  /** The ONE 48/1/1 md5-bucket split assignment every split-aware query
+    * shares ([[dataSplit]], [[splitLeakage]], [[corpusManifestOf]]) — the
+    * constants and hash derivation must stay bucket-identical across all of
+    * them and their oracles, so they live here once.
+    */
+  private[graft] def splitLabel(id: Column): Column = {
+    val b = pmod(TextDedup.tokenHash60(id.cast("string")), lit(50L))
+    when(b < 48, "train").when(b === 48, "val").otherwise("test")
+  }
+
   def dataSplit(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val b = pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(50L))
     docs(spark, dir).select(col("doc_id"),
         graft.functions.TextFunctions.langId(t).as("lang_id"),
         graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-        b.as("b"))
-      .withColumn("split",
-        when(col("b") < 48, "train").when(col("b") === 48, "val").otherwise("test"))
+        splitLabel(col("doc_id")).as("split"))
       .groupBy("lang_id", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
@@ -700,9 +713,7 @@ object CurationQueries {
       .select(col("vec_a").as("a"), col("vec_b").as("b"), lit("emb").as("sig"))
     val tagged = lex.union(emb).groupBy("a", "b")
       .agg(when(count(lit(1)) === 2, "both").otherwise(min(col("sig"))).as("signal"))
-    val b = pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(50L))
-    val splits = d.select(col("doc_id"),
-      when(b < 48, "train").when(b === 48, "val").otherwise("test").as("split"))
+    val splits = d.select(col("doc_id"), splitLabel(col("doc_id")).as("split"))
     tagged
       .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
       .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
@@ -1039,6 +1050,30 @@ object CurationQueries {
     "q_graph_degree" -> (graphDegree _),
     "q_split_leakage" -> (splitLeakage _),
     "q_corpus_manifest" -> (corpusManifest _))
+
+  /** One SQL truth for the per-doc lang-id + quality stats — shared by the
+    * quality-gate and corpus-manifest oracles so the marker lists and the
+    * quality formula cannot drift between them (the Spark side is the single
+    * [[graft.functions.TextFunctions]] implementation either way).
+    */
+  private val docStatsSql: String =
+    """SELECT doc_id,
+         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+              WHEN fr >= es AND fr > 0 THEN 'fr'
+              WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+         greatest(least(least(n_tokens, 100) * 30
+           + least((en * 40000) // greatest(n_tokens, 1), 4000)
+           - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
+       FROM (
+         SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+           len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
+           len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
+           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+         FROM documents)"""
 
   /** One SQL truth for the direct sketch AND its two-hop merge realization —
     * the driver proving both queries against the same replay IS the
@@ -1383,24 +1418,7 @@ object CurationQueries {
     // LSH≡exact caveat documented at q_corpus_clean applies to the near-dup
     // stage verbatim
     "q_corpus_manifest" ->
-      s"""WITH stats AS (
-            SELECT doc_id,
-              CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-                   WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-                   WHEN fr >= es AND fr > 0 THEN 'fr'
-                   WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
-              greatest(least(least(n_tokens, 100) * 30
-                + least((en * 40000) // greatest(n_tokens, 1), 4000)
-                - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
-            FROM (
-              SELECT doc_id,
-                len(string_split(text, ' '))::BIGINT AS n_tokens,
-                len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
-                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS en,
-                len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht)\\b'))::BIGINT AS de,
-                len(regexp_extract_all(text, '\\b(le|les|et|est|dans|une)\\b'))::BIGINT AS fr,
-                len(regexp_extract_all(text, '\\b(el|los|las|y|es|en una)\\b'))::BIGINT AS es
-              FROM documents)
+      s"""WITH stats AS ($docStatsSql
           ), gated AS (
             SELECT d.doc_id, d.text
             FROM documents d JOIN stats s ON s.doc_id = d.doc_id
@@ -1518,24 +1536,7 @@ object CurationQueries {
           FROM d2 CROSS JOIN tot GROUP BY lang_id, source, total""",
     // the stats sub-CTE mirrors q_text_stats' lang/quality definitions
     "q_quality_gate" ->
-      """WITH s AS (
-           SELECT doc_id,
-             CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-                  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-                  WHEN fr >= es AND fr > 0 THEN 'fr'
-                  WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
-             greatest(least(least(n_tokens, 100) * 30
-               + least((en * 40000) // greatest(n_tokens, 1), 4000)
-               - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
-           FROM (
-             SELECT doc_id,
-               len(string_split(text, ' '))::BIGINT AS n_tokens,
-               len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
-               len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
-               len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
-               len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
-               len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
-             FROM documents)
+      s"""WITH s AS ($docStatsSql
          ), n AS (SELECT lang_id, count(*)::BIGINT AS n FROM s GROUP BY 1),
          h AS (SELECT lang_id, quality_e4 AS q, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
          cum AS (

@@ -191,6 +191,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The registered q_corpus_manifest eagerly checkpoints its stats frame,
+    * which TRUNCATES lineage — the expensive documents scan never appears in
+    * the registered plan, so the pruning table above would give false
+    * assurance. Audit the un-checkpointed twin (identical plan minus the
+    * materialization) instead.
+    */
+  test("q_corpus_manifest's documents scans prune to (doc_id, text) (eager=false twin)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val d = graft.sources.Tables(spark, sfDir, "documents")
+    val plan = graft.queries.CurationQueries.corpusManifestOf(d, eager = false)
+      .queryExecution.executedPlan
+    val scans = collectPlan(plan).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no documents scan found in the lazy manifest plan")
+    scans.foreach { scan =>
+      val readCols = scan.schema.fieldNames.toSet
+      assert(readCols.subsetOf(Set("doc_id", "text")),
+        s"manifest scans unpruned columns ${readCols.diff(Set("doc_id", "text"))}")
+    }
+  }
+
   /** The media metadata query prunes the opaque payload blob: its stats come
     * from the metadata columns, and dragging the binary through the scan is
     * the single biggest avoidable cost of a multimodal table.

@@ -698,6 +698,40 @@ object AnalyticQueries {
         col("tus").as("purchase_us"), col("last_click_us"))
   }
 
+  /** The other two as-of DIRECTIONS — forward (earliest same-user click at or
+    * after each purchase) and nearest (whichever of backward/forward is
+    * closer in time, ties to the earlier) — via the same union + window
+    * formulation as [[qAsofJoin]]: one shuffle on user_id carries BOTH
+    * passes (the two window specs share the partitioning exchange and differ
+    * only in sort order/frame), state bounded by the frame, never an N×M
+    * join. Emitted together so the driver hash-checks all three direction
+    * semantics against one scalar-subquery oracle.
+    */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("event_type").isin("purchase", "click"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("click_us",
+        when(col("kind") === 0, col("tus")).otherwise(lit(null).cast("long")))
+    // backward: clicks sort BEFORE purchases at equal tus => inclusive <=
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: purchases sort BEFORE clicks at equal tus => inclusive >=
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), (lit(1) - col("kind")), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prev = col("prev_click_us")
+    val next = col("next_click_us")
+    e.withColumn("prev_click_us", last(col("click_us"), ignoreNulls = true).over(wb))
+      .withColumn("next_click_us", first(col("click_us"), ignoreNulls = true).over(wf))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("purchase_us"), prev, next,
+        when(prev.isNull, next).when(next.isNull, prev)
+          .when(col("tus") - prev <= next - col("tus"), prev)
+          .otherwise(next).as("nearest_click_us"))
+  }
+
   // ---------------------------------------------------------- scalar functions
 
   /** Scalar function sampler: string ops, arithmetic, date parts. */
@@ -762,6 +796,7 @@ object AnalyticQueries {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_date_parts" -> (qDateParts _))
 
@@ -1085,6 +1120,24 @@ object AnalyticQueries {
                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
                    AND c.tus <= p.tus) AS last_click_us
          FROM e p WHERE p.event_type = 'purchase'""",
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+         j AS (
+           SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+                  (SELECT MAX(c.tus) FROM e c
+                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                     AND c.tus <= p.tus) AS prev_click_us,
+                  (SELECT MIN(c.tus) FROM e c
+                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                     AND c.tus >= p.tus) AS next_click_us
+           FROM e p WHERE p.event_type = 'purchase')
+         SELECT purchase_id, user_id, purchase_us, prev_click_us, next_click_us,
+                CASE WHEN prev_click_us IS NULL THEN next_click_us
+                     WHEN next_click_us IS NULL THEN prev_click_us
+                     WHEN purchase_us - prev_click_us <= next_click_us - purchase_us
+                       THEN prev_click_us
+                     ELSE next_click_us END AS nearest_click_us
+         FROM j""",
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8,
            length(p_name) AS name_len, p_size % 10 AS size_mod,

@@ -65,6 +65,28 @@ object BloomFilter {
       .reduce(_ && _)
 }
 
+/** Folds ALREADY-BUILT [[BloomBitsetAgg]] filters by word-wise OR — the
+  * fan-in hop of a distributed decontamination setup, where each benchmark
+  * suite / shard ships its own 64 KiB filter and the serving side needs one:
+  * OR of per-source bitsets ≡ the bitset of the union of their items
+  * (bit-positions of a union = union of bit-positions), so the merged filter
+  * gives byte-identical membership verdicts to one built over everything —
+  * which is exactly what lets `q_bloom_merge` register under `q_decon_bloom`'s
+  * unchanged oracle.
+  */
+final class BloomOrMerge(numBits: Int = BloomFilter.NumBits)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] with Serializable {
+  private val inner = new BloomBitsetAgg(numBits)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], bits: Array[Long]): Array[Long] = inner.merge(buf, bits)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 /** Bitset-building Aggregator: input = a bit position, buffer/output = the
   * packed `Array[Long]` filter. O(m/64) memory per partial aggregate,
   * constant-time reduce, word-wise OR merge.

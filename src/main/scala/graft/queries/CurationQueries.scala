@@ -120,6 +120,54 @@ object CurationQueries {
         (coalesce(col("bloom_hits"), lit(0L)) === 0L).cast("long").as("kept"))
   }
 
+  /** Bloom-filter MERGE fan-in, driver-checked under [[deconBloom]]'s
+    * UNCHANGED oracle: the eval set is split per source (each "benchmark
+    * suite" builds its own 64 KiB filter close to its data), the per-source
+    * filters are OR-folded by [[graft.functions.BloomOrMerge]], and the
+    * merged filter must produce byte-identical membership verdicts — OR of
+    * bitsets ≡ bitset of the union. This is the distribution shape of
+    * decontamination at 100 TB fan-in: only 64 KiB filters travel, never
+    * shingle sets, and the registered equality proof is the license to ship
+    * them independently.
+    */
+  def bloomMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{BloomBitsetAgg, BloomFilter, BloomOrMerge}
+    val d = docs(spark, dir)
+    val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val eval_ = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val perSource = eval_
+      .select(col("source"),
+        explode(graft.functions.ShinglesExpression.shingles(col("text"), 8)).as("shingle"))
+      .distinct()
+      .select(col("source"), explode(BloomFilter.positionsArray(
+        TextDedup.tokenHash60(col("shingle")))).as("pos"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new BloomBitsetAgg().toColumn.name("bits"))
+    // global fold is deliberate here (vs q_hll_merge's keyed 'ALL'): an empty
+    // eval side must still yield the all-zeros filter, whose verdicts (no
+    // hits, all kept) are exactly the oracle's on empty input
+    val bits = perSource.map(_._2)
+      .select(new BloomOrMerge().toColumn.name("bits"))
+    val shTrain = TextDedup.shingles(train, "doc_id", "text", 8)
+    val shEval = TextDedup.shingles(eval_, "doc_id", "text", 8)
+      .select("shingle").distinct()
+    val bloomHits = shTrain.crossJoin(broadcast(bits))
+      .filter(BloomFilter.mightContain(col("bits"),
+        TextDedup.tokenHash60(col("shingle"))))
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val exactHits = shTrain.join(broadcast(shEval), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    train.select(col("doc_id"))
+      .join(bloomHits, Seq("doc_id"), "left")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        (coalesce(col("bloom_hits"), lit(0L)) === 0L).cast("long").as("kept"))
+  }
+
   /** Top-3 distinctive terms per document by fixed-point TF-IDF:
     * `score_e6 = tf * ((N * 10⁶) div df)` — the rational-IDF (N/df) variant
     * in pure integer arithmetic, so both engines agree bit-for-bit (a
@@ -1039,6 +1087,7 @@ object CurationQueries {
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_decontaminate" -> (decontaminate _),
     "q_decon_bloom" -> (deconBloom _),
+    "q_bloom_merge" -> (bloomMerge _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_quota" -> (sourceQuota _),
     "q_weighted_sample" -> (weightedSample _),
@@ -1050,6 +1099,47 @@ object CurationQueries {
     "q_graph_degree" -> (graphDegree _),
     "q_split_leakage" -> (splitLeakage _),
     "q_corpus_manifest" -> (corpusManifest _))
+
+  /** One SQL truth for the Bloom decontamination verdicts — shared by the
+    * single-filter build (`q_decon_bloom`) and the per-source OR-merge
+    * realization (`q_bloom_merge`), whose equality under this replay IS the
+    * merge proof.
+    */
+  private val deconBloomOracle: String =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)
+       ), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+       evh AS (
+         SELECT CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+         FROM ev),
+       epos AS (
+         SELECT DISTINCT p FROM (
+           SELECT hv % 524288 AS p FROM evh
+           UNION ALL SELECT (hv // 524288) % 524288 FROM evh)),
+       tr AS (
+         SELECT doc_id, shingle,
+                CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+         FROM sh WHERE doc_id % 20 <> 0),
+       bh AS (
+         SELECT doc_id, count(*)::BIGINT AS bloom_hits
+         FROM tr
+         WHERE (hv % 524288) IN (SELECT p FROM epos)
+           AND ((hv // 524288) % 524288) IN (SELECT p FROM epos)
+         GROUP BY 1),
+       eh AS (
+         SELECT s.doc_id, count(*)::BIGINT AS exact_hits
+         FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) s
+         JOIN ev USING (shingle) GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(bh.bloom_hits, 0) AS bloom_hits,
+              coalesce(eh.exact_hits, 0) AS exact_hits,
+              (CASE WHEN coalesce(bh.bloom_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+       FROM documents d
+       LEFT JOIN bh USING (doc_id)
+       LEFT JOIN eh USING (doc_id)
+       WHERE d.doc_id % 20 <> 0"""
 
   /** One SQL truth for the per-doc lang-id + quality stats — shared by the
     * quality-gate and corpus-manifest oracles so the marker lists and the
@@ -1588,41 +1678,11 @@ object CurationQueries {
     // the filter is reproduced as the UNION of all eval probe positions; a
     // train shingle "bloom-hits" iff BOTH its positions are in that union —
     // exactly the bitset semantics, false positives included
-    "q_decon_bloom" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
-           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-                unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)
-         ), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
-         evh AS (
-           SELECT CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
-           FROM ev),
-         epos AS (
-           SELECT DISTINCT p FROM (
-             SELECT hv % 524288 AS p FROM evh
-             UNION ALL SELECT (hv // 524288) % 524288 FROM evh)),
-         tr AS (
-           SELECT doc_id, shingle,
-                  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
-           FROM sh WHERE doc_id % 20 <> 0),
-         bh AS (
-           SELECT doc_id, count(*)::BIGINT AS bloom_hits
-           FROM tr
-           WHERE (hv % 524288) IN (SELECT p FROM epos)
-             AND ((hv // 524288) % 524288) IN (SELECT p FROM epos)
-           GROUP BY 1),
-         eh AS (
-           SELECT s.doc_id, count(*)::BIGINT AS exact_hits
-           FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) s
-           JOIN ev USING (shingle) GROUP BY 1)
-         SELECT d.doc_id,
-                coalesce(bh.bloom_hits, 0) AS bloom_hits,
-                coalesce(eh.exact_hits, 0) AS exact_hits,
-                (CASE WHEN coalesce(bh.bloom_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
-         FROM documents d
-         LEFT JOIN bh USING (doc_id)
-         LEFT JOIN eh USING (doc_id)
-         WHERE d.doc_id % 20 <> 0""",
+    "q_decon_bloom" -> deconBloomOracle,
+    // OR-merge of per-source filters ≡ the bitset of the union of their
+    // items, so the merged-filter realization registers under the IDENTICAL
+    // oracle (see bloomMerge scaladoc)
+    "q_bloom_merge" -> deconBloomOracle,
     "q_tfidf_terms" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -157,6 +157,7 @@ class PlanAuditSpec extends SparkSpec {
     Seq("q_tfidf_terms" -> Set("doc_id", "text"),
       "q_decontaminate" -> Set("doc_id", "text"),
       "q_decon_bloom" -> Set("doc_id", "text"),
+      "q_bloom_merge" -> Set("doc_id", "text", "source"),
       "q_token_budget" -> Set("doc_id", "text"),
       "q_token_budget_scan" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),

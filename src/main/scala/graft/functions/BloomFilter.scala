@@ -77,9 +77,17 @@ object BloomFilter {
 final class BloomOrMerge(numBits: Int = BloomFilter.NumBits)
     extends Aggregator[Array[Long], Array[Long], Array[Long]] with Serializable {
   private val inner = new BloomBitsetAgg(numBits)
+  private def checked(bits: Array[Long]): Array[Long] = {
+    // a mismatched geometry would either truncate high words (silent false
+    // negatives — the one failure a Bloom filter must never have) or throw
+    // an opaque AIOOBE mid-aggregation; fail by name instead
+    require(bits.length == numBits / 64,
+      s"filter geometry mismatch: got ${bits.length * 64} bits, this merge is $numBits")
+    bits
+  }
   def zero: Array[Long] = inner.zero
-  def reduce(buf: Array[Long], bits: Array[Long]): Array[Long] = inner.merge(buf, bits)
-  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def reduce(buf: Array[Long], bits: Array[Long]): Array[Long] = inner.merge(buf, checked(bits))
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, checked(b))
   def finish(b: Array[Long]): Array[Long] = b
   def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

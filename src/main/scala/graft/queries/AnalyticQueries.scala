@@ -716,14 +716,19 @@ object AnalyticQueries {
     val wb = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward: purchases sort BEFORE clicks at equal tus => inclusive >=
+    // forward: purchases sort BEFORE clicks at equal tus => inclusive >=.
+    // Expressed as the REVERSED ordering with a growing unboundedPreceding
+    // frame + last(): identical result to (currentRow, unboundedFollowing)
+    // + first(), but the growing frame is the O(n) running evaluation —
+    // Spark's UnboundedFollowing frame re-scans the partition remainder per
+    // row, O(n²) on a heavy user.
     val wf = Window.partitionBy(col("user_id"))
-      .orderBy(col("tus"), (lit(1) - col("kind")), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("tus").desc, (lit(1) - col("kind")).desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = col("prev_click_us")
     val next = col("next_click_us")
     e.withColumn("prev_click_us", last(col("click_us"), ignoreNulls = true).over(wb))
-      .withColumn("next_click_us", first(col("click_us"), ignoreNulls = true).over(wf))
+      .withColumn("next_click_us", last(col("click_us"), ignoreNulls = true).over(wf))
       .filter(col("kind") === 1)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("tus").as("purchase_us"), prev, next,

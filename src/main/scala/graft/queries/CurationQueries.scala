@@ -104,6 +104,18 @@ object CurationQueries {
         TextDedup.tokenHash60(col("shingle")))).as("pos"))
       .as[Long]
       .select(new BloomBitsetAgg().toColumn.name("bits"))
+    bloomVerdicts(train, shEval, bits.toDF())
+  }
+
+  /** The Bloom probe + report tail shared by [[deconBloom]] and
+    * [[bloomMerge]] — ONE Spark-side truth mirroring the shared
+    * [[deconBloomOracle]], so the verdict logic cannot drift between the
+    * single-filter build and the merged realization (the 'identical oracle'
+    * registration depends on exactly this equality).
+    */
+  private def bloomVerdicts(train: DataFrame, shEval: DataFrame,
+                            bits: DataFrame): DataFrame = {
+    import graft.functions.BloomFilter
     val shTrain = TextDedup.shingles(train, "doc_id", "text", 8)
     val bloomHits = shTrain.crossJoin(broadcast(bits))
       .filter(BloomFilter.mightContain(col("bits"),
@@ -136,10 +148,16 @@ object CurationQueries {
     val d = docs(spark, dir)
     val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
     val eval_ = d.filter(pmod(col("doc_id"), lit(20)) === 0)
-    val perSource = eval_
+    // ONE eval shingle pass, materialized: both the per-source filter build
+    // and the exact-hits baseline read these blocks (the eval side is small;
+    // two narrow shingle subtrees would otherwise recompute the scan — AQE
+    // reuse only dedupes exchange-bounded identical stages)
+    val shSrc = eval_
       .select(col("source"),
         explode(graft.functions.ShinglesExpression.shingles(col("text"), 8)).as("shingle"))
       .distinct()
+      .localCheckpoint(true)
+    val perSource = shSrc
       .select(col("source"), explode(BloomFilter.positionsArray(
         TextDedup.tokenHash60(col("shingle")))).as("pos"))
       .as[(String, Long)]
@@ -148,24 +166,9 @@ object CurationQueries {
     // global fold is deliberate here (vs q_hll_merge's keyed 'ALL'): an empty
     // eval side must still yield the all-zeros filter, whose verdicts (no
     // hits, all kept) are exactly the oracle's on empty input
-    val bits = perSource.map(_._2)
+    val bits = perSource.select(col("bits")).as[Array[Long]]
       .select(new BloomOrMerge().toColumn.name("bits"))
-    val shTrain = TextDedup.shingles(train, "doc_id", "text", 8)
-    val shEval = TextDedup.shingles(eval_, "doc_id", "text", 8)
-      .select("shingle").distinct()
-    val bloomHits = shTrain.crossJoin(broadcast(bits))
-      .filter(BloomFilter.mightContain(col("bits"),
-        TextDedup.tokenHash60(col("shingle"))))
-      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
-    val exactHits = shTrain.join(broadcast(shEval), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
-    train.select(col("doc_id"))
-      .join(bloomHits, Seq("doc_id"), "left")
-      .join(exactHits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
-        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
-        (coalesce(col("bloom_hits"), lit(0L)) === 0L).cast("long").as("kept"))
+    bloomVerdicts(train, shSrc.select("shingle").distinct(), bits.toDF())
   }
 
   /** Top-3 distinctive terms per document by fixed-point TF-IDF:

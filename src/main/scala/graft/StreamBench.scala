@@ -3,48 +3,85 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
-import graft.operators.TextDedup
-import graft.streaming.{CorpusCleanStream, MetricsListener}
+import graft.operators.{TextDedup, TokenPipeline}
+import graft.schema.NearSchemas
+import graft.sinks.BalanceUpsert
+import graft.sources.{SyntheticCdc, Tables}
+import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
 
-/** Streaming throughput bench: the composed corpus cleaner
-  * ([[graft.streaming.CorpusCleanStream]] — language/quality gates, stateful
-  * exact dedup, per-trigger near-dup probe against a static LSH index) driven
-  * over the SPARK_GRAFT_SF_DIR documents via MemoryStream (the only offline
-  * stream source), with [[graft.streaming.MetricsListener]] capturing the
-  * per-trigger signal the reference exported over JMX. Prints ONE JSON line:
-  * end-to-end rows/sec, rows in/out, trigger count, mean batch duration, and
-  * final state-store rows/bytes.
+/** Streaming throughput bench — ONE JSON line per pipeline, two pipelines:
   *
-  * The corpus is split by doc id into the REFERENCE half (builds the static
-  * index — the already-ingested training set) and the ARRIVING half
-  * (streamed in fixed chunks, each one micro-batch, with monotone event
-  * times so the watermark advances and dedup state is evictable) — streaming
-  * a corpus against an index of itself would self-match every doc at
-  * Jaccard 1 and measure nothing but removals. The static index is
-  * localCheckpointed once: a lazy index would re-scan parquet and
-  * re-aggregate signatures EVERY trigger, which is exactly the per-trigger
-  * corpus reshuffle the stream-static design forbids. Driving data through
-  * the driver is a MemoryStream harness property, not a pipeline property —
-  * a connected deployment replaces the source with Kafka and nothing
-  * downstream changes.
+  *   1. `stream_clean_rows_per_sec` — the composed corpus cleaner
+  *      ([[graft.streaming.CorpusCleanStream]]: language/quality gates,
+  *      stateful exact dedup, per-trigger near-dup probe against a static
+  *      LSH index);
+  *   2. `near_pipeline_rows_per_sec` — the reference's actual deployed
+  *      workload (README.md:255-261 instruments exactly this pipe over JMX):
+  *      three CDC topics → watermarked dedup ×3 → two ±2 s stream-stream
+  *      interval joins → filter/decode/fan-out → per-batch balance fold into
+  *      the upsert store ([[graft.streaming.StreamingPipeline.dualSink]] —
+  *      the production multi-sink shape).
+  *
+  * Both drive the SPARK_GRAFT_SF_DIR data via MemoryStream (the only offline
+  * stream source) in fixed chunks, each one micro-batch, with monotone event
+  * times so watermarks advance and state is actually evicted mid-run, and
+  * both capture the per-trigger signal the reference exported over JMX
+  * through [[graft.streaming.MetricsListener]]: rows/sec end-to-end, rows
+  * in/out, trigger count, mean batch duration, and final state-store
+  * rows/bytes. Driving data through the driver is a MemoryStream harness
+  * property, not a pipeline property — a connected deployment replaces the
+  * source with Kafka and nothing downstream changes.
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "10").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** One pipeline run's signal — everything the JSON line carries. */
+  final case class Result(rowsIn: Long, rowsOut: Long, wallSec: Double,
+                          triggers: Int, meanBatchMs: Double,
+                          stateRows: Long, stateBytes: Long) {
+    def rowsPerSec: Double = if (wallSec > 0) rowsIn / wallSec else 0d
+    def json(metric: String, sfDir: String): String =
+      s"""{"metric":"$metric","value":$rowsPerSec,"unit":"rows/sec",""" +
+        s""""rows_in":$rowsIn,"rows_out":$rowsOut,"triggers":$triggers,""" +
+        s""""mean_batch_ms":$meanBatchMs,"state_rows":$stateRows,""" +
+        s""""state_bytes":$stateBytes,"wall_sec":$wallSec,"sf":"$sfDir"}"""
+  }
+
+  /** Collect per-trigger metrics around `run`, then fold them into a
+    * [[Result]]. No-data batches (watermark-advance triggers) are engine
+    * bookkeeping, not throughput — only data triggers count.
+    */
+  private def measured(spark: SparkSession)(run: => (Long, Long)): Result = {
+    val triggers = scala.collection.mutable.ArrayBuffer.empty[MetricsListener.TriggerMetrics]
+    val listener = new MetricsListener(sink = m =>
+      triggers.synchronized { triggers += m }).register(spark)
+    val t0 = System.nanoTime()
+    val (rowsIn, rowsOut) = run
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    listener.unregister(spark)
+    val snaps = triggers.synchronized(triggers.toVector).filter(_.inputRows > 0)
+    val meanBatchMs =
+      if (snaps.isEmpty) 0.0 else snaps.map(_.batchDurationMs).sum.toDouble / snaps.size
+    val last = snaps.lastOption
+    Result(rowsIn, rowsOut, wallSec, snaps.size, meanBatchMs,
+      last.map(_.stateRows).getOrElse(0L), last.map(_.stateBytes).getOrElse(0L))
+  }
+
+  /** The corpus cleaner: the SPARK_GRAFT_SF_DIR documents split by doc id
+    * into the REFERENCE half (builds the static index — the already-ingested
+    * training set) and the ARRIVING half (streamed) — streaming a corpus
+    * against an index of itself would self-match every doc at Jaccard 1 and
+    * measure nothing but removals. The static index is localCheckpointed
+    * once: a lazy index would re-scan parquet and re-aggregate signatures
+    * EVERY trigger, which is exactly the per-trigger corpus reshuffle the
+    * stream-static design forbids.
+    */
+  def runCorpusClean(spark: SparkSession, sfDir: String, chunks: Int): Result = {
     import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
@@ -57,11 +94,6 @@ object StreamBench {
     val rows = arriving.as[(Long, String)].collect()
     val chunkSize = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
 
-    val triggers = scala.collection.mutable.ArrayBuffer.empty[MetricsListener.TriggerMetrics]
-    val listener = new MetricsListener(sink = m =>
-      triggers.synchronized { triggers += m }).register(spark)
-
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
     var rowsOut = 0L
     val q = CorpusCleanStream.run(
@@ -72,30 +104,91 @@ object StreamBench {
       rowsOut += clean.count()
       ()
     }
-
-    val t0 = System.nanoTime()
-    rows.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
-      in.addData(chunk.map { case (id, text) =>
-        (id, text, new Timestamp(1700000000000L + i * 1000L))
-      }.toSeq)
-      q.processAllAvailable()
+    measured(spark) {
+      rows.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map { case (id, text) =>
+          (id, text, new Timestamp(1700000000000L + i * 1000L))
+        }.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      (rows.length.toLong, rowsOut)
     }
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    q.stop()
-    listener.unregister(spark)
+  }
 
-    // no-data batches (watermark-advance triggers) are engine bookkeeping,
-    // not throughput — report data triggers only
-    val snaps = triggers.synchronized(triggers.toVector).filter(_.inputRows > 0)
-    val meanBatchMs =
-      if (snaps.isEmpty) 0.0 else snaps.map(_.batchDurationMs).sum.toDouble / snaps.size
-    val lastState = snaps.lastOption
-    println(s"""{"metric":"stream_clean_rows_per_sec","value":${rows.length / wallSec},""" +
-      s""""unit":"rows/sec","rows_in":${rows.length},"rows_out":$rowsOut,""" +
-      s""""triggers":${snaps.size},"mean_batch_ms":$meanBatchMs,""" +
-      s""""state_rows":${lastState.map(_.stateRows).getOrElse(0L)},""" +
-      s""""state_bytes":${lastState.map(_.stateBytes).getOrElse(0L)},""" +
-      s""""wall_sec":$wallSec,"sf":"$sfDir"}""")
+  /** The NEAR token pipeline end-to-end: the sf events table mapped onto the
+    * three CDC topics ([[SyntheticCdc]], verbatim redelivery included — the
+    * same feed the `near_*` oracle queries pin), each topic fed time-ordered
+    * (the CDC commit-order contract) in `chunks` micro-batches through the
+    * FULL streaming plan — dedup ×3, both ±2 s interval joins, decode +
+    * double-entry fan-out — with the per-batch balance deltas folded into
+    * the in-memory upsert store ([[StreamingPipeline.dualSink]]).
+    * `rowsIn` counts all three topics; `rowsOut` the emitted transfer legs;
+    * state is the dedup + join buffers the watermark bounds.
+    */
+  def runNearPipeline(spark: SparkSession, sfDir: String, chunks: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = TokenPipeline.Config(SyntheticCdc.TokenAddress)
+    val base = SyntheticCdc.base(Tables(spark, sfDir, "events")).localCheckpoint(true)
+    def feed(df: DataFrame, timeCol: String): Seq[String] =
+      df.orderBy(col(timeCol)).toJSON.collect().toSeq
+    val rJson = feed(SyntheticCdc.receiptsWithDups(base), "included_in_block_timestamp")
+    val oJson = feed(SyntheticCdc.outcomesWithDups(base), "executed_in_block_timestamp")
+    val aJson = feed(SyntheticCdc.actionsWithDups(base), "receipt_included_in_block_timestamp")
+
+    val rIn = MemoryStream[String]
+    val oIn = MemoryStream[String]
+    val aIn = MemoryStream[String]
+    val tx = StreamingPipeline.transfers(
+      StreamingPipeline.parseJson(rIn.toDF(), NearSchemas.receipts),
+      StreamingPipeline.parseJson(oIn.toDF(), NearSchemas.executionOutcomes),
+      StreamingPipeline.parseJson(aIn.toDF(), NearSchemas.actionReceiptActions),
+      cfg)
+
+    val store = new BalanceUpsert.MemoryStore
+    var rowsOut = 0L
+    val q = StreamingPipeline.dualSink(tx,
+      Files.createTempDirectory("nearbench-ck").toString) { transfers =>
+      rowsOut += transfers.count()
+    } { deltas =>
+      store.upsertAll(deltas.collect().toSeq.map(BalanceUpsert.BalanceRow.fromRow))
+    }
+
+    def chunked(xs: Seq[String]): Seq[Seq[String]] = {
+      val size = math.max(1, math.ceil(xs.size.toDouble / chunks).toInt)
+      xs.grouped(size).toSeq
+    }
+    val (rC, oC, aC) = (chunked(rJson), chunked(oJson), chunked(aJson))
+    val n = Seq(rC.size, oC.size, aC.size).max
+    measured(spark) {
+      (0 until n).foreach { i =>
+        rC.lift(i).foreach(c => rIn.addData(c))
+        oC.lift(i).foreach(c => oIn.addData(c))
+        aC.lift(i).foreach(c => aIn.addData(c))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(store.snapshot.nonEmpty, "balance store stayed empty — pipeline broken")
+      ((rJson.size + oJson.size + aJson.size).toLong, rowsOut)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(runCorpusClean(spark, sfDir, chunks).json("stream_clean_rows_per_sec", sfDir))
+    println(runNearPipeline(spark, sfDir, chunks).json("near_pipeline_rows_per_sec", sfDir))
     spark.stop()
   }
 }

@@ -51,8 +51,8 @@ object ConnectedComponents {
     // from it, and without the checkpoint each consumer would re-execute the
     // (possibly expensive) upstream plan that produced the pairs (e.g. the
     // whole MinHash-LSH pipeline)
-    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .localCheckpoint(true)
+    val e = Lineage.cut(
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
     val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
     // endpoints BEFORE dropping self-loops: a vertex seen only in a self-loop
     // is still a (singleton) vertex
@@ -65,15 +65,15 @@ object ConnectedComponents {
     // one self-loop per universe vertex through every round — O(V) shuffled
     // per round; at 100 TB the corpus is V and the dedup evidence is ≪ V,
     // so rounds must scale with the evidence, not the corpus.
-    val verts = endpoints.localCheckpoint(true)
+    val verts = Lineage.cut(endpoints)
     // the hash-to-min join set: symmetric deduped edges PLUS one self-loop
     // per ENDPOINT vertex, so each round's "min over self and neighbors" is
     // ONE join + ONE aggregation — no per-round union with the label frame
     // (which also trips a Catalyst constraint-rewrite bug when unioning a
     // frame with its own derivative), and no left-join back for neighborless
     // vertices. Checkpointed once — every round joins against it.
-    val selfSym = sym.union(verts.select(col("id").as("u"), col("id").as("v")))
-      .localCheckpoint(true)
+    val selfSym = Lineage.cut(
+      sym.union(verts.select(col("id").as("u"), col("id").as("v"))))
 
     // round-0 labels are the identity (comp = id) — no materialization needed
     // (verts is already checkpointed and the first round never reads a label
@@ -104,11 +104,10 @@ object ConnectedComponents {
         .groupBy(col("u")).agg(min(col("nc")).as("comp"))
         .select(col("u").as("id"), col("comp"))
       // comp values are always vertex ids, so the jump lookup is a self-join
-      val jumped = prop.as("x")
+      val jumped = Lineage.cut(prop.as("x")
         .join(prop.select(col("id").as("jid"), col("comp").as("jc")).as("y"),
           col("x.comp") === col("jid"), "left")
-        .select(col("x.id").as("id"), coalesce(col("jc"), col("x.comp")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("x.id").as("id"), coalesce(col("jc"), col("x.comp")).as("comp")))
       val curSum = labelSum(jumped)
       labels = jumped
       done = curSum.compareTo(prevSum) == 0

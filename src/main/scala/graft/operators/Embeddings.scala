@@ -660,6 +660,109 @@ object Embeddings {
       .select(col("m"), col("k"), coalesce(col("cw_new"), col("cw")).as("cw"))
   }
 
+  /** True total PQ quantization distortion Σ_(v,m) min_k ‖v_sub − cw_k‖² —
+    * the objective both [[pqCodebookRefined]] and the convergence loop in
+    * [[pqCodebookConverged]] drive down. [[pqSubDists]]' shifted per-row
+    * distance gets the per-row ‖v_sub‖² constant added back so the sum is
+    * the real (non-negative) objective and a RELATIVE stopping rule is
+    * meaningful.
+    */
+  def pqDistortion(vectors: DataFrame, codebook: DataFrame): Double =
+    pqSubDists(vectors, codebook)
+      .withColumn("d2", col("dist") + dotD(col("vsub"), col("vsub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d2")).as("best"))
+      .agg(sum(col("best"))).head.getDouble(0)
+
+  /** k-means++-style seeding for the PQ codebook, deterministic: per
+    * subspace, codeword 0 is the subvector of the seeded-hash-minimal vector,
+    * and each subsequent codeword is drawn with probability ∝ D² (distance
+    * to the nearest already-chosen codeword) via the exponential-race trick —
+    * item i with weight wᵢ gets clock −ln(uᵢ)/wᵢ for a hash-derived uniform
+    * uᵢ ∈ (0,1], and the minimal clock is a weighted sample. Hash-seeded, so
+    * the draw replays identically run to run (the property every sampling
+    * choice in this library pins); already-chosen codewords have D² ≈ 0 and
+    * clock → ∞, so re-draws are impossible.
+    *
+    * Cost: PqK−1 sequential passes, each a broadcast-assign scan of the
+    * n·PqM subvector rows against the ≤ PqK chosen codewords plus one
+    * per-subspace argmin — the classical k-means++ lower bound on passes
+    * (each draw conditions on the last), paid once at index build. All
+    * subspaces draw in the SAME pass, so the pass count is PqK, not
+    * PqM·PqK. First-C stays pinned for the oracle queries; this feeds
+    * [[pqCodebookConverged]] and production builds.
+    */
+  def pqCodebookPlusPlus(vectors: DataFrame, seed: Int = 17): DataFrame = {
+    val subs = (0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)").as("vsub"))
+    }
+    // (vec_id, m, vsub) once — every pass scans this narrow frame
+    val subRows = Lineage.cut(
+      vectors.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.vsub").as("vsub")))
+    val h0 = Window.partitionBy(col("m"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+    var cb = Lineage.cut(subRows
+      .withColumn("rn", row_number().over(h0))
+      .filter(col("rn") === 1)
+      .select(col("m"), lit(0).as("k"), col("vsub").as("cw")))
+    (1 until PqK).foreach { j =>
+      // D² to the nearest chosen codeword, per (vec_id, m)
+      val d2 = subRows.join(broadcast(cb), Seq("m"))
+        .withColumn("d2",
+          dotD(col("vsub"), col("vsub")) - lit(2d) * dotD(col("vsub"), col("cw"))
+            + dotD(col("cw"), col("cw")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("d2")).as("best"), first(col("vsub")).as("vsub"))
+      // exponential race: clock = −ln(u)/D²; min clock ⇔ draw ∝ D²
+      val big = 1L << 40
+      val drawn = d2
+        .withColumn("u",
+          (pmod(xxhash64(col("vec_id"), lit(seed * 1000 + j)), lit(big)) + 1)
+            .cast("double") / lit(big.toDouble))
+        .withColumn("clock", -log(col("u")) / greatest(col("best"), lit(1e-12)))
+        .groupBy(col("m"))
+        .agg(min_by(col("vsub"), struct(col("clock"), col("vec_id"))).as("cw"))
+        .select(col("m"), lit(j).as("k"), col("cw"))
+      cb = Lineage.cut(cb.unionByName(drawn))
+    }
+    cb
+  }
+
+  /** Multi-pass PQ training with a convergence stop: [[pqCodebookPlusPlus]]
+    * seeding, then [[pqCodebookRefined]] Lloyd passes until the relative
+    * distortion improvement drops below `epsPct` percent (or `maxIters`).
+    * Returns the final codebook plus the per-pass distortion trace
+    * (seed value first) — monotone non-increasing by the Lloyd guarantee,
+    * spec-asserted, and the evidence a build job logs. Measured on the
+    * sf0.001 harness corpus (spec `info`): trace 383.0 → 301.6 → 288.2 →
+    * 282.0 → 278.5 → 276.3 (stop fired at <1% improvement, 5 passes), and
+    * top-10 recall ladder first-C 0.224 → one pass 0.262 → converged
+    * 0.272 — training quality, not the ADC scorer, is the recall lever. Each pass costs one
+    * broadcast-assign scan + one (m, k, pos) shuffle, paid at index build;
+    * the trace's `head.size` distortion evaluations add one scan each.
+    * Like every refined codebook, the result feeds production serving, never
+    * the hash-checked oracle queries (float means).
+    */
+  def pqCodebookConverged(vectors: DataFrame, maxIters: Int = 8,
+                          epsPct: Double = 1.0, seed: Int = 17): (DataFrame, Seq[Double]) = {
+    var cb = pqCodebookPlusPlus(vectors, seed)
+    val trace = scala.collection.mutable.ArrayBuffer(pqDistortion(vectors, cb))
+    var it = 0
+    var stop = false
+    while (it < maxIters && !stop) {
+      val next = Lineage.cut(pqCodebookRefined(vectors, cb))
+      val d = pqDistortion(vectors, next)
+      // relative improvement below epsPct → converged (d can only decrease)
+      stop = d >= trace.last * (1d - epsPct / 100d)
+      cb = next
+      trace += d
+      it += 1
+    }
+    (cb, trace.toSeq)
+  }
+
   /** PQ top-k by asymmetric-distance (ADC) scoring: the query precomputes
     * its dot with EVERY codeword (a PqM×PqK table, broadcast), and a
     * candidate's approximate cosine needs only its 8 codes — one equi-join

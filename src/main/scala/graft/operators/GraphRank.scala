@@ -45,13 +45,12 @@ object GraphRank {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                vertices: DataFrame, iters: Int = 5, dampE3: Long = 850L): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e = Lineage.cut(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
-    val uni = vertices.select(col(vertices.columns.head).cast("long").as("id"))
-      .distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct())
+    val deg = Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val uni = Lineage.cut(vertices.select(col(vertices.columns.head).cast("long").as("id"))
+      .distinct())
     val floor = (OneE6 * (1000L - dampE3)) / 1000L
 
     var ranks = uni.select(col("id"), lit(OneE6).as("rank_e6"))
@@ -61,10 +60,10 @@ object GraphRank {
         .join(deg, "src")
         .select(col("dst"), expr("rank_e6 div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = uni.join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
-        .select(col("id"),
-          (lit(floor) + expr(s"($dampE3 * coalesce(s, CAST(0 AS BIGINT))) div 1000")).as("rank_e6"))
-        .localCheckpoint(true)
+      ranks = Lineage.cut(
+        uni.join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
+          .select(col("id"),
+            (lit(floor) + expr(s"($dampE3 * coalesce(s, CAST(0 AS BIGINT))) div 1000")).as("rank_e6")))
       it += 1
     }
     ranks

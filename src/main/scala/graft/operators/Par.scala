@@ -41,6 +41,10 @@ object Par {
     * hide under the CC rounds rather than adding to them. Re-price after any
     * scheduler/AQE behavior change; if the two numbers converge, the
     * machinery has silently stopped helping and should be removed.
+    *
+    * Captured ONCE at class-load: toggling the env var inside a long-lived
+    * session (e.g. between two Explain runs in one JVM) has no effect — set
+    * it before the JVM starts.
     */
   private[graft] val serial: Boolean =
     sys.env.get("GRAFT_PAR_SERIAL").contains("1")
@@ -55,8 +59,10 @@ object Par {
       def reportFailure(t: Throwable): Unit = throw t
     } else ExecutionContext.global
 
-  /** Submit an eager localCheckpoint on a pool thread. */
-  def ckpt(df: DataFrame): Future[DataFrame] = Future(df.localCheckpoint(true))
+  /** Submit an eager localCheckpoint on a pool thread (a [[Lineage]] cut,
+    * so plan audits see through it).
+    */
+  def ckpt(df: DataFrame): Future[DataFrame] = Future(Lineage.cut(df))
 
   def await[A](f: Future[A]): A = Await.result(f, Duration.Inf)
 

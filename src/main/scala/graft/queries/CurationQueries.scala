@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{ConnectedComponents, Par, TextDedup}
@@ -156,7 +158,7 @@ object CurationQueries {
       .select(col("source"),
         explode(graft.functions.ShinglesExpression.shingles(col("text"), 8)).as("shingle"))
       .distinct()
-      .localCheckpoint(true)
+      .pipe(graft.operators.Lineage.cut)
     val perSource = shSrc
       .select(col("source"), explode(BloomFilter.positionsArray(
         TextDedup.tokenHash60(col("shingle")))).as("pos"))
@@ -444,7 +446,12 @@ object CurationQueries {
     * them), the manifest fans the regex-heavy gate columns to FIVE
     * dependent subplans, and one materialized pass measured 3.52 s → 2.72 s
     * at sf0.1 (Explain time2, warm). Re-measure before changing either
-    * choice — the break-even is the consumer count.
+    * choice — the break-even is the consumer count. Two operational caveats
+    * of `localCheckpoint(true)`: (a) it runs the stats job at
+    * DataFrame-CONSTRUCTION time, so merely building/explaining this query
+    * executes a scan (plan-only tooling should use the `eager = false`
+    * seam); (b) checkpoint blocks are executor-lifetime-bound — on a real
+    * cluster with lost executors, swap for reliable `checkpoint`.
     */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame =
     corpusManifestOf(docs(spark, dir))
@@ -463,7 +470,7 @@ object CurationQueries {
     val statsLazy = d.select(col("doc_id"), t,
       graft.functions.TextFunctions.langId(t).as("lang_id"),
       graft.functions.TextFunctions.qualityScoreE4(t).as("quality_e4"))
-    val stats = if (eager) statsLazy.localCheckpoint(true) else statsLazy
+    val stats = if (eager) graft.operators.Lineage.cut(statsLazy) else statsLazy
     val gated = stats
       .filter(!isEval && col("lang_id") === "en" &&
         col("quality_e4") >= TextQueries.QualityFloor)
@@ -881,7 +888,7 @@ object CurationQueries {
         .withColumn("exact_canon", min(col("doc_id")).over(Window.partitionBy("h")))
         .withColumn("canon_canon", min(col("doc_id")).over(Window.partitionBy("ch")))
         .select(col("doc_id"), col("len"), col("exact_canon"), col("canon_canon"))
-        .localCheckpoint(true)
+        .pipe(graft.operators.Lineage.cut)
     }
     // containment needs only the shingle-intersection frame — overlaps with CC
     val fContainer = fW.map { w =>
@@ -891,7 +898,7 @@ object CurationQueries {
           .select(col("doc_b").as("doc_id"), col("doc_a").as("container")))
         .groupBy("doc_id")
         .agg(min(col("container")).as("container"))
-        .localCheckpoint(true)
+        .pipe(graft.operators.Lineage.cut)
     }
     // the iterative CC rounds are the longest dependent chain: start as soon
     // as both pair generators land

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.operators.Multimodal
@@ -52,7 +54,7 @@ object MediaQueries {
   private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(payloads(spark, dir), "doc_id", "payload").toDF()
       .select(col("doc_id").as("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+      .pipe(graft.operators.Lineage.cut)
 
   /** Multimodal → similarity-search composition: payloads through the batched
     * feature extractor, then the BUCKETED embedding near-dup operator — the

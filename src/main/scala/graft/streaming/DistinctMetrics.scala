@@ -29,6 +29,12 @@ object DistinctMetrics {
     *         hashed with the same 60-bit family as every batch HLL query, so
     *         streamed estimates are comparable (indeed equal) to the batch
     *         audit's.
+    *
+    * `keyCol` must be LOW-CARDINALITY (a dimension like source/event_type):
+    * per-key state is a fixed 2 KiB, but total state is one sketch per
+    * distinct key forever — a high-cardinality key (user_id, doc_id) grows
+    * state linearly with the key domain, which is exactly what this monitor
+    * exists to avoid on the `idCol` side.
     */
   def run(stream: DataFrame, keyCol: String, idCol: String): Dataset[(String, Long)] = {
     import stream.sparkSession.implicits._

@@ -28,6 +28,11 @@ object QuantileMetrics {
 
   /** @return streaming Dataset of (key, sorted sampled values); `idCol` must
     *         uniquely identify a row (it seeds the sample draw).
+    *
+    * `keyCol` must be LOW-CARDINALITY (a dimension like source/lang): per-key
+    * state is ≤ k pairs, but total state is one sample per distinct key
+    * forever — a high-cardinality key grows state linearly with the key
+    * domain.
     */
   def run(stream: DataFrame, keyCol: String, idCol: String, valueCol: String,
           k: Int): Dataset[(String, Array[Long])] = {

@@ -256,6 +256,59 @@ class EmbeddingsSpec extends SparkSpec {
       f"refined codebook lost recall: $rRefined%.3f < $rFirst%.3f")
   }
 
+  /** Multi-pass PQ training: the k-means++ seed must be a valid codebook
+    * (PqM·PqK codewords, PqDsub dims, distinct per subspace — the D²-weighted
+    * draw cannot re-pick a chosen codeword), the convergence loop's
+    * distortion trace must be monotone non-increasing with the stop rule
+    * honored, and the recall LADDER (first-C → one Lloyd pass → converged
+    * multi-pass) is measured through the same pqRecallWith seam the
+    * registered q_pq_recall pins — the evidence that training quality, not
+    * the ADC scorer, is the recall lever.
+    */
+  test("pqCodebookConverged: ++ seed valid, trace monotone, recall ladder") {
+    import org.apache.spark.sql.functions.{col, countDistinct, sum}
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    try {
+      val seedCb = Embeddings.pqCodebookPlusPlus(vecs001)
+      assert(seedCb.count() === Embeddings.PqM.toLong * Embeddings.PqK)
+      assert(seedCb.select("cw").head.getSeq[Float](0).length === Embeddings.PqDsub)
+      // the exponential race may never redraw: codewords distinct per subspace
+      val distinctPerSub = seedCb.groupBy("m")
+        .agg(countDistinct(col("cw")).as("n"))
+        .filter(col("n") =!= Embeddings.PqK).count()
+      assert(distinctPerSub === 0L, "k-means++ drew a duplicate codeword")
+
+      val eps = 1.0
+      val (cb, trace) = Embeddings.pqCodebookConverged(vecs001, maxIters = 8, epsPct = eps)
+      info(trace.map(d => f"$d%.1f").mkString("distortion trace: ", " -> ", ""))
+      assert(trace.size >= 2, "at least one Lloyd pass must run")
+      trace.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a + 1e-6, f"Lloyd pass increased distortion: $b%.3f > $a%.3f")
+      }
+      // the loop stopped for the stated reason: either the cap, or the last
+      // improvement fell below eps while every earlier one was above it
+      val lastImprove = 1d - trace.last / trace(trace.size - 2)
+      assert(trace.size == 9 || lastImprove < eps / 100d,
+        f"loop stopped with improvement $lastImprove%.4f >= $eps%% before the cap")
+
+      val queries = vecs001.filter(col("vec_id") % 7 === 3)
+      def recall(cb: DataFrame): Double = {
+        val (h, t) = Embeddings.pqRecallWith(vecs001, queries, cb, k = 10)
+          .agg(sum("hits"), sum("k")).as[(Long, Long)].head()
+        h.toDouble / t
+      }
+      val firstC = Embeddings.pqCodebook(vecs001)
+      val ladder = Seq(
+        "first-C" -> recall(firstC),
+        "1-pass" -> recall(Embeddings.pqCodebookRefined(vecs001, firstC)),
+        "converged" -> recall(cb))
+      info(ladder.map { case (n, r) => f"$n=$r%.3f" }
+        .mkString("top-10 recall ladder: ", " ", ""))
+      assert(ladder.last._2 >= ladder.head._2,
+        f"converged codebook lost recall vs first-C: ${ladder.last._2}%.3f")
+    } finally { vecs001.unpersist(); () }
+  }
+
   /** Stream-static IVF∘PQ serving parity: micro-batched queries answered from
     * the ONE pre-built codes index ([[Embeddings.ivfPqProbeSink]]) must equal
     * the batch [[Embeddings.ivfPqTopK]] results for the same query set — the

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
@@ -19,6 +20,15 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * not timing, so the smallest dataset suffices; a broadcast threshold can't
   * "hide" a cartesian product (that is exactly what CartesianProductExec is
   * not).
+  *
+  * Every sweep runs inside [[graft.operators.Lineage.withoutCuts]]: a
+  * `localCheckpoint` truncates lineage, so with cuts on the walk would stop
+  * at the checkpointed RDD and an all-pairs stage upstream of a cut (e.g.
+  * inside the pipeline feeding ConnectedComponents) would be INVISIBLE —
+  * the round-9 blind spot. With cuts degraded to the identity the audited
+  * plan is the full lineage, mechanically: no query can hide a
+  * scale-killer behind a materialization, now or in the future (the
+  * mechanism itself is tripwired below).
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -47,20 +57,34 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_neardup", "q_embed_neardup_ivf",
     "q_embed_neardup_recall", "q_embed_neardup_recall_sampled", "q_embed_dedup",
     "q_media_neardup", "q_media_neardup_recall", "q_decon_semantic",
-    "q_split_leakage")
+    "q_split_leakage",
+    // Composite queries whose FULL lineage contains the ivfNearDupPairs
+    // broadcast-centroid probe (O(n·C), C=16 broadcast rows — the same
+    // documented design as q_embed_neardup_ivf). Their registered plans
+    // hide it behind Par/ConnectedComponents lineage cuts; the
+    // withoutCuts sweep exposed it in round 10 — which is precisely the
+    // blind spot this audit mode exists to close.
+    "q_dedup_decision", "q_embed_groups", "q_unified_groups")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)
     case _ => p +: (p.children ++ p.subqueries).flatMap(collectPlan)
   }
 
-  test("no registered plan contains an unbroadcast cartesian product") {
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
-      val plan = build(spark, sfDir).queryExecution.executedPlan
-      val cartesians = collectPlan(plan).collect { case c: CartesianProductExec => c }
-      assert(cartesians.isEmpty,
-        s"$name plans a CartesianProduct — both sides unbroadcast, O(n*m) at scale")
+  /** Build a registered query's physical plan with every lineage cut in the
+    * library disabled — the full-lineage form every sweep audits.
+    */
+  private def fullPlan(name: String): Seq[SparkPlan] =
+    graft.operators.Lineage.withoutCuts {
+      collectPlan(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
     }
+
+  test("no registered plan contains an unbroadcast cartesian product") {
+    val bad = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      fullPlan(name).exists(_.isInstanceOf[CartesianProductExec])
+    }
+    assert(bad.isEmpty,
+      s"cartesian products (both sides unbroadcast, O(n*m) at scale) in: $bad")
   }
 
   /** A BNLJ whose broadcast side is a no-grouping aggregate carries at most
@@ -91,16 +115,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("broadcast nested-loop joins appear only in the documented embedding family") {
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
-      val plan = build(spark, sfDir).queryExecution.executedPlan
-      val bnlj = collectPlan(plan)
-        .collect { case j: BroadcastNestedLoopJoinExec => j }
-        .filterNot(isScalarAttach)
-      if (!nestedLoopAllowed.contains(name))
-        assert(bnlj.isEmpty,
-          s"$name plans a BroadcastNestedLoopJoin outside the embedding family " +
-            s"— a join key was probably lost: ${bnlj.map(_.joinType)}")
-    }
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nestedLoopAllowed.contains)
+      .filter { name =>
+        fullPlan(name)
+          .collect { case j: BroadcastNestedLoopJoinExec => j }
+          .exists(!isScalarAttach(_))
+      }
+    assert(bad.isEmpty,
+      s"BroadcastNestedLoopJoin outside the allowlisted embedding family " +
+        s"(a join key was probably lost) in: $bad")
   }
 
   /** The allowlist must stay MINIMAL: every entry must actually plan a
@@ -111,8 +135,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   test("every BNLJ-allowlisted query still plans a nested-loop stage") {
     nestedLoopAllowed.toSeq.sorted.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
-      val bnlj = collectPlan(plan)
+      val bnlj = fullPlan(name)
         .collect { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot(isScalarAttach)
       assert(bnlj.nonEmpty,
@@ -120,8 +143,7 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  private def scansOf(name: String) = collectPlan(
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+  private def scansOf(name: String) = fullPlan(name)
     .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
 
   /** Predicate pushdown reaches the parquet reader: q6 (the pushdown showcase)
@@ -184,32 +206,40 @@ class PlanAuditSpec extends SparkSpec {
       "q_cms_freq" -> Set("text"),
       "q_corpus_diff" -> Set("doc_id", "text"),
       "q_mixture_weights" -> Set("source", "text")).foreach { case (name, allowed) =>
-      scansOf(name).foreach { scan =>
-        val readCols = scan.schema.fieldNames.toSet
-        assert(readCols.subsetOf(allowed),
-          s"$name scans unpruned columns ${readCols.diff(allowed)} (reads $readCols)")
-      }
+      scansOf(name)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+        .foreach { scan =>
+          val readCols = scan.schema.fieldNames.toSet
+          assert(readCols.subsetOf(allowed),
+            s"$name scans unpruned columns ${readCols.diff(allowed)} (reads $readCols)")
+        }
     }
   }
 
-  /** The registered q_corpus_manifest eagerly checkpoints its stats frame,
-    * which TRUNCATES lineage — the expensive documents scan never appears in
-    * the registered plan, so the pruning table above would give false
-    * assurance. Audit the un-checkpointed twin (identical plan minus the
-    * materialization) instead.
+  /** The audit mechanism itself, tripwired: a scale-killer placed BEHIND a
+    * [[graft.operators.Lineage]] cut must be invisible to a cuts-on walk
+    * (that is the blind spot) and EXPOSED by the withoutCuts walk the sweeps
+    * above use — so the sweeps provably see through every checkpoint in the
+    * library, and a future de-bucketed pair generator cannot hide behind
+    * ConnectedComponents' per-round cuts.
     */
-  test("q_corpus_manifest's documents scans prune to (doc_id, text) (eager=false twin)") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    val d = graft.sources.Tables(spark, sfDir, "documents")
-    val plan = graft.queries.CurationQueries.corpusManifestOf(d, eager = false)
-      .queryExecution.executedPlan
-    val scans = collectPlan(plan).collect { case s: FileSourceScanExec => s }
-    assert(scans.nonEmpty, "no documents scan found in the lazy manifest plan")
-    scans.foreach { scan =>
-      val readCols = scan.schema.fieldNames.toSet
-      assert(readCols.subsetOf(Set("doc_id", "text")),
-        s"manifest scans unpruned columns ${readCols.diff(Set("doc_id", "text"))}")
+  test("withoutCuts exposes nested-loop stages hidden behind a lineage cut") {
+    import spark.implicits._
+    def hidden() = graft.operators.Lineage.cut(
+        spark.range(4).toDF("x").join(spark.range(4).toDF("y"),
+          col("x") =!= col("y")))
+      .groupBy().count()
+    def loops(p: SparkPlan): Seq[SparkPlan] = collectPlan(p).collect {
+      case c: CartesianProductExec => c
+      case j: BroadcastNestedLoopJoinExec => j
     }
+    assert(loops(hidden().queryExecution.executedPlan).isEmpty,
+      "a cuts-on walk was expected to stop at the checkpoint (blind spot)")
+    val exposed = graft.operators.Lineage.withoutCuts {
+      loops(hidden().queryExecution.executedPlan)
+    }
+    assert(exposed.nonEmpty,
+      "withoutCuts failed to expose the nested-loop stage behind the cut")
   }
 
   /** The media metadata query prunes the opaque payload blob: its stats come

@@ -74,6 +74,26 @@ object Embeddings {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the near-miss examples a retriever/encoder is fine-tuned
+    * against (the in-batch-negatives upgrade every dense-retrieval recipe
+    * ships). Same broadcast-probe shape as [[knnExact]] with the label
+    * disagreement folded into the join predicate, so mismatched pairs are
+    * dropped before scoring; swap the exact probe for the IVF/PQ candidate
+    * generators at corpus scale exactly as the top-k family does.
+    */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"), col("label").as("v_label"),
+      col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
+    val scored = v.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("v_label"))
+      .withColumn("score", dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-vector nearest-centroid assignment (IVF "index build"): one pass over
     * the vectors against broadcast centroids; argmax by (score, -cent_id).
     */

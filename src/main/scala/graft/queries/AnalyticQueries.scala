@@ -662,6 +662,55 @@ object AnalyticQueries {
       .agg(count_distinct(col("user_id")).as("active_users"))
   }
 
+  /** Fuzzy (edit-distance ≤ 1) self-join on customer names within one market
+    * segment — the entity-resolution join, sub-quadratic via FastSS
+    * deletion-neighborhood blocking + exact `levenshtein` verify (see
+    * [[graft.operators.FuzzyJoin]]; both engines implement the classic DP
+    * distance, so the verify agrees bit-for-bit).
+    */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistance1Pairs(
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+      "c_custkey", "c_name")
+      .select(col("id_a").as("cust_a"), col("id_b").as("cust_b"), col("dist"))
+
+  /** Midpoint of the event window (2024-01-16T00:00:00Z, epoch µs): the
+    * reference/current split for the drift report.
+    */
+  val DriftSplitUs = 1705363200000000L
+
+  /** Distribution-drift monitor: per event type, the total-variation distance
+    * between the `value` distribution of the reference window (first half of
+    * the month) and the current window (second half), over 10 fixed 50-wide
+    * value buckets — the data-quality check a continuously-fed training
+    * pipeline runs before trusting a new ingest slice (the PSI/KL shape, in
+    * L1 form so the arithmetic stays exact ×10⁶ integers; transcendental
+    * logs would drift between engines).
+    *
+    * Scale shape: ONE pass over events into a (type × bucket) conditional
+    * aggregation with map-side combine — both sides of the comparison are
+    * columns of the same cell, so there is no ref⋈cur join at all — then two
+    * metadata-sized rollups (the cell table is |types|·10 rows). The bucket
+    * floor is exact in both engines (value/50.0 is one IEEE double op).
+    */
+  def qDriftTv(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bucket"),
+        (col("tus") < DriftSplitUs).as("is_ref"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        expr("""abs(c_ref * 1000000 div greatest(n_ref, 1)
+                - c_cur * 1000000 div greatest(n_cur, 1))""").as("l1"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(expr("sum(l1) div 2").as("tv_e6"))
+  }
+
   // ------------------------------------------------- interval / as-of joins
 
   /** Interval join: purchases matched to same-user clicks in the prior hour. */
@@ -798,6 +847,8 @@ object AnalyticQueries {
     "q_topk_agg" -> (qTopkAgg _),
     "q_tumbling" -> (qTumbling _),
     "q_rate_anomaly" -> (qRateAnomaly _),
+    "q_drift_tv" -> (qDriftTv _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1003,6 +1054,40 @@ object AnalyticQueries {
          SELECT w.event_type, w.w_start, w.n, m.median_n,
                 (CASE WHEN w.n >= m.median_n * 2 THEN 1 ELSE 0 END)::BIGINT AS flagged
          FROM win w JOIN med m USING (event_type)""",
+    // the FastSS blocking replayed: same variant generation (self + one-char
+    // deletions), candidate equi-join, exact levenshtein verify
+    "q_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+         var AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN i = 0 THEN c_name
+                  ELSE substring(c_name, 1, i - 1) || substring(c_name, i + 1) END AS v
+           FROM c, unnest(generate_series(0, len(c_name))) AS u(i)),
+         cand AS (
+           SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                  a.c_name AS name_a, b.c_name AS name_b
+           FROM var a JOIN var b ON a.v = b.v AND a.c_custkey < b.c_custkey)
+         SELECT cust_a, cust_b, levenshtein(name_a, name_b)::BIGINT AS dist
+         FROM cand WHERE levenshtein(name_a, name_b) <= 1""",
+    // the drift cells replayed: same fixed buckets, same conditional counts,
+    // same exact x1e6 integer shares — all operands positive, so DuckDB's
+    // floor-div and Spark's truncating div agree
+    "q_drift_tv" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS tus FROM events),
+         cells AS (
+           SELECT event_type,
+                  least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+                  sum(CASE WHEN tus < $DriftSplitUs THEN 1 ELSE 0 END)::BIGINT AS c_ref,
+                  sum(CASE WHEN tus >= $DriftSplitUs THEN 1 ELSE 0 END)::BIGINT AS c_cur
+           FROM e GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(c_ref)::BIGINT AS n_ref,
+                        sum(c_cur)::BIGINT AS n_cur
+                 FROM cells GROUP BY 1)
+         SELECT c.event_type, t.n_ref, t.n_cur,
+                (sum(abs(c.c_ref * 1000000 // greatest(t.n_ref, 1)
+                     - c.c_cur * 1000000 // greatest(t.n_cur, 1))) // 2)::BIGINT AS tv_e6
+         FROM cells c JOIN tot t USING (event_type)
+         GROUP BY 1, 2, 3""",
     "q_cohort_retention" ->
       """WITH e AS (
            SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),

@@ -30,6 +30,12 @@ object EmbeddingQueries {
   def knnExact(spark: SparkSession, dir: String): DataFrame =
     Embeddings.knnExact(vectors(spark, dir), queryVectors(spark, dir), K)
 
+  /** Hard-negative mining: per query, the top-[[K]] most-similar vectors with
+    * a DIFFERENT label (see [[Embeddings.hardNegatives]]).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.hardNegatives(vectors(spark, dir), queryVectors(spark, dir), K)
+
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     Embeddings.ivfTopK(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, K)
@@ -270,6 +276,7 @@ object EmbeddingQueries {
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_embed_groups" -> (embedDedupGroups _),
     "q_knn_topk" -> (knnExact _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_ann_topk" -> (ivfTopK _),
     "q_ann_recall" -> (ivfRecall _),
     "q_sq8_topk" -> (sq8TopK _),
@@ -554,6 +561,24 @@ object EmbeddingQueries {
           SELECT cent_id, n_vecs, (n_vecs * 1000000) // n_total AS share_e6
           FROM b, tot""",
     "q_knn_topk" -> (base + "SELECT query_id, neighbor_id, rank FROM exact"),
+    // the exact CTE with the label-disagreement predicate folded in — same
+    // sequential double dots, same (score DESC, id ASC) determinism
+    "q_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+          nrm AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                  FROM v),
+          q AS (SELECT vec_id AS query_id, label AS ql, e AS qe
+                FROM v WHERE vec_id < $NumQueries)
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+            FROM q JOIN v ON v.vec_id <> q.query_id AND v.label <> q.ql
+            JOIN nrm nq ON nq.vec_id = q.query_id
+            JOIN nrm nv ON nv.vec_id = v.vec_id)
+          WHERE rank <= $K""",
     "q_hybrid_rrf" -> (base +
       s""", sh AS (
             SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle

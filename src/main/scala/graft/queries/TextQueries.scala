@@ -325,7 +325,108 @@ object TextQueries {
       .agg(min(col("cell")).as("cms_freq"))
   }
 
+  /** Merge candidates reported by `q_bpe_pairs` — the true top of the pair
+    * distribution, where a tokenizer trainer would start merging.
+    */
+  val BpeTopK = 20
+
+  /** BPE tokenizer-training round 1 at corpus scale: adjacent character-pair
+    * counts over the (word, freq) vocabulary, weighted by word frequency —
+    * the statistic every merge decision of a BPE/WordPiece trainer is made
+    * from. Corpus-sized work is ONE token-stream rollup to the vocabulary;
+    * the pair fan-out and count run over vocabulary-sized data, and the
+    * top-[[BpeTopK]] plans as TakeOrdered. The full iterative trainer (merge
+    * loop over the symbolized vocabulary) is [[graft.operators.Bpe.train]],
+    * spec-proven against a sequential reference (`BpeSpec`); round 1 is what
+    * a SQL oracle can mirror exactly.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.topPairs(docs(spark, dir), "text", BpeTopK)
+
+  /** Vocabulary size for the OOV-rate report: the corpus vocabulary is tiny
+    * (~31 distinct words), so 20 leaves a real out-of-vocabulary tail.
+    */
+  val OovVocab = 20
+
+  /** Per-document out-of-vocabulary token rate against the corpus top-[[OovVocab]]
+    * vocabulary — the coverage statistic that prices a tokenizer/vocab choice
+    * against a corpus (docs with high OOV rates degrade to byte/unk fallback
+    * in training). The vocabulary is deterministic ((freq DESC, term ASC)
+    * total order) and broadcast; the per-doc count is one anti-join + rollup,
+    * so the corpus is scanned twice and never shuffled wholesale.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(OovVocab).select("term")
+    val oov = toks.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        expr("(coalesce(n_oov, 0) * 10000) div greatest(n_tokens, 1)").as("oov_e4"))
+  }
+
+  /** Feature-hash width for the DSIR importance model — 1024 buckets bound
+    * the "model" at a broadcastable few KiB regardless of corpus size.
+    */
+  val DsirBuckets = 1024
+
+  /** Hashed-bigram feature bucket: top-8 hex chars of the md5, mod
+    * [[DsirBuckets]] — replayed verbatim by the DuckDB oracle.
+    */
+  private def dsirBucket(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(DsirBuckets.toLong))
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS'23)
+    * skeleton in exact fixed point: score every document by how much its
+    * hashed-bigram distribution looks like the TARGET slice (here the
+    * `lang = 'en'` docs — in production, the high-quality reference corpus)
+    * relative to the raw corpus. Per-bucket importance ratio
+    * `p_target(b) / p_corpus(b)` is computed as an exact ×10⁴ integer
+    * (`cnt_t · total_c · 10⁴ // (cnt_c · total_t)` — target ⊆ corpus bounds
+    * the ratio, so no overflow), and a document's weight is the mean ratio
+    * over its bigram occurrences — the DSIR paper's log-likelihood-ratio
+    * shape with ratios in place of logs, keeping both engines bit-equal
+    * (same reason `q_lm_score` uses rational arithmetic).
+    *
+    * Scale shape: the "model" is the [[DsirBuckets]]-row ratio table
+    * (broadcast); the corpus appears as the bigram stream feeding three
+    * aggregations over bucket/scalar domains and one broadcast join back —
+    * never an all-pairs or corpus-keyed shuffle. The bigram hashing is the
+    * native codegen'd shingle expression, not an interpreted HOF.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val occ = d.select(col("doc_id"), col("lang"),
+        explode(ShinglesExpression.shingles(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("bg")).as("b"))
+    val corpus = occ.groupBy("b").agg(count(lit(1)).as("cnt_c"))
+    val target = occ.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+    val totals = occ.agg(count(lit(1)).as("total_c"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("total_t"))
+    val ratios = corpus.join(target, Seq("b"), "left")
+      .crossJoin(totals) // 1-row scalar attach (audit-exempt aggregate)
+      .select(col("b"),
+        expr("(coalesce(cnt_t, 0) * total_c * 10000) div (cnt_c * greatest(total_t, 1))")
+          .as("ratio_e4"))
+    val perDoc = occ.join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ratio_e4")).as("rsum"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr("coalesce(rsum, 0) div greatest(coalesce(n_bigrams, 0), 1)").as("dsir_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> (bpePairs _),
+    "q_oov_rate" -> (oovRate _),
+    "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
     "q_cms_freq" -> (cmsFreq _),
     "q_repetition" -> (repetition _),
@@ -359,6 +460,58 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   val oracleSql: Map[String, String] = Map(
+    // BPE round 1 replayed: token rollup -> vocabulary, char pairs as 2-char
+    // substrings (all-ASCII corpus; both engines index characters), weighted
+    // count, deterministic (freq DESC, pair ASC) top-K
+    "q_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1),
+          p AS (SELECT substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
+                FROM v, unnest(CASE WHEN len(word) >= 2
+                                    THEN generate_series(1, len(word) - 1)
+                                    ELSE [] END) AS u(i)
+                GROUP BY 1)
+          SELECT pair, freq FROM p ORDER BY freq DESC, pair ASC LIMIT $BpeTopK""",
+    "q_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          voc AS (SELECT term FROM (
+                    SELECT term, count(*) AS tf FROM tok GROUP BY 1
+                    ORDER BY tf DESC, term ASC LIMIT $OovVocab)),
+          cnt AS (SELECT doc_id, count(*)::BIGINT AS n_oov
+                  FROM tok WHERE term NOT IN (SELECT term FROM voc) GROUP BY 1),
+          n AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents)
+          SELECT n.doc_id, n.n_tokens,
+                 coalesce(c.n_oov, 0)::BIGINT AS n_oov,
+                 (coalesce(c.n_oov, 0) * 10000 // greatest(n.n_tokens, 1))::BIGINT AS oov_e4
+          FROM n LEFT JOIN cnt c USING (doc_id)""",
+    // the DSIR model replayed: hashed-bigram buckets from the same md5 slice,
+    // exact integer ratio table, per-doc mean over bigram occurrences
+    "q_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+          occ AS (
+            SELECT doc_id, lang,
+              CAST('0x' || substring(md5(array_to_string(t[i:i+1], ' ')), 1, 8) AS BIGINT)
+                % $DsirBuckets AS b
+            FROM tok, unnest(CASE WHEN len(t) >= 2
+                                  THEN generate_series(1, len(t) - 1)
+                                  ELSE [] END) AS u(i)),
+          c AS (SELECT b, count(*)::BIGINT AS cnt_c FROM occ GROUP BY 1),
+          tg AS (SELECT b, count(*)::BIGINT AS cnt_t FROM occ WHERE lang = 'en' GROUP BY 1),
+          tot AS (SELECT count(*)::BIGINT AS total_c,
+                         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS total_t
+                  FROM occ),
+          r AS (SELECT c.b,
+                  (coalesce(tg.cnt_t, 0) * tot.total_c * 10000)
+                    // (c.cnt_c * greatest(tot.total_t, 1)) AS ratio_e4
+                FROM c LEFT JOIN tg USING (b), tot),
+          pd AS (SELECT occ.doc_id, count(*)::BIGINT AS n_bigrams,
+                        sum(r.ratio_e4)::BIGINT AS rsum
+                 FROM occ JOIN r USING (b) GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+                 (coalesce(pd.rsum, 0) // greatest(coalesce(pd.n_bigrams, 0), 1))::BIGINT AS dsir_e4
+          FROM documents d LEFT JOIN pd USING (doc_id)""",
     "q_hash_sample" ->
       """WITH s AS (
            SELECT doc_id, text,

@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     * codegen-size limits; a real index wants C in the tens of thousands).
     */
   private val nestedLoopAllowed: Set[String] = Set(
-    "q_knn_topk", "q_ann_topk", "q_ann_recall", "q_ivf_stats", "q_hybrid_rrf",
+    "q_knn_topk", "q_hard_negatives",
+    "q_ann_topk", "q_ann_recall", "q_ivf_stats", "q_hybrid_rrf",
     "q_sq8_topk", "q_sq8_recall", "q_pq_topk", "q_pq_recall",
     "q_ivfpq_topk", "q_ivfpq_recall",
     "q_srp_recall", "q_srp_mp_recall",
@@ -204,6 +205,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_corpus_manifest" -> Set("doc_id", "text"),
       "q_graph_degree" -> Set("doc_id", "text"),
       "q_cms_freq" -> Set("text"),
+      "q_bpe_pairs" -> Set("text"),
+      "q_oov_rate" -> Set("doc_id", "text"),
+      "q_dsir_weights" -> Set("doc_id", "text", "lang"),
       "q_corpus_diff" -> Set("doc_id", "text"),
       "q_mixture_weights" -> Set("source", "text")).foreach { case (name, allowed) =>
       scansOf(name)

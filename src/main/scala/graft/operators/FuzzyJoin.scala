@@ -38,6 +38,31 @@ object FuzzyJoin {
             col(strCol).substr(lit(1), col("i") - 1),
             col(strCol).substr(col("i") + 1, length(col(strCol))))).as("v"))
 
+  /** The static side of the stream/probe form, prepared ONCE: the reference
+    * set's variants, checkpointed so a per-trigger consumer never re-expands
+    * them (same stream-static contract as `TextDedup.lshBandedIndex`).
+    * Output: (ref_id, ref_str, v).
+    */
+  def variantIndex(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    Lineage.cut(withVariants(df, idCol, strCol)
+      .select(col(idCol).as("ref_id"), col(strCol).as("ref_str"), col("v")))
+
+  /** Probe-vs-reference pairs within Levenshtein distance ≤ 1 (NOT a
+    * self-join): every probe row matched against the [[variantIndex]] by the
+    * same lossless blocking, then exact-verified. Batch-local by
+    * construction, so the streaming form is just this operator applied per
+    * micro-batch (see `FuzzyProbeSpec`). Output: (probe_id, ref_id, dist).
+    */
+  def probePairs(probe: DataFrame, idCol: String, strCol: String,
+                 index: DataFrame): DataFrame =
+    withVariants(probe, idCol, strCol)
+      .select(col(idCol).as("probe_id"), col(strCol).as("probe_str"), col("v"))
+      .join(index, Seq("v"))
+      .select("probe_id", "ref_id", "probe_str", "ref_str").distinct()
+      .withColumn("dist", levenshtein(col("probe_str"), col("ref_str")))
+      .filter(col("dist") <= 1)
+      .select(col("probe_id"), col("ref_id"), col("dist").cast("long").as("dist"))
+
   /** All unordered pairs within Levenshtein distance ≤ 1, exact. Output:
     * (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
     */

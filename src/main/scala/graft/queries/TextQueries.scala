@@ -423,7 +423,129 @@ object TextQueries {
         expr("coalesce(rsum, 0) div greatest(coalesce(n_bigrams, 0), 1)").as("dsir_e4"))
   }
 
+  /** The seven English function words the lang-id markers already use —
+    * doubling as the stopword list for the Gopher stopword rule keeps both
+    * engines on one shared, exactly-replayable vocabulary.
+    */
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Gopher/MassiveText quality-rule battery (Rae et al. 2021, app. A1.1):
+    * the published heuristic filter set, re-expressed as ONE token-grouped
+    * aggregation with a per-rule flag column and a combined `keep` verdict —
+    * the operator a curation team actually runs first at 100 TB, because it
+    * is embarrassingly parallel and removes the bulk of junk before any
+    * pairwise machinery. Rules (integer fixed point end to end):
+    *
+    *   - `pass_len`:     50 ≤ word count ≤ 100,000
+    *   - `pass_wordlen`: mean word length in [3, 10] characters
+    *   - `pass_symbol`:  symbol-only words ≤ 10% of words
+    *   - `pass_alpha`:   ≥ 80% of words contain an alphabetic character
+    *   - `pass_stop`:    at least 2 stopword occurrences
+    *   - `pass_top`:     most frequent word ≤ 20% of all words
+    *
+    * Per-rule flags (not just the verdict) are the point: at scale the rule
+    * HISTOGRAM is the tuning feedback loop — which gate is doing the
+    * rejecting, per source/language.
+    *
+    * Scale shape: explode → (doc_id, term) count with map-side combine →
+    * per-doc rollup. No joins, no broadcast, shuffle keyed on
+    * (doc_id, term) then doc_id — the same two-hop shape as `q_oov_rate`.
+    * All predicates are in the Java∩RE2 regex subset ('[A-Za-z]',
+    * '^[^A-Za-z0-9]+$') so both engines classify identically.
+    */
+  def gopherRulesOf(d: DataFrame): DataFrame = {
+    val tc = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val agg = tc.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_tokens"),
+      sum(length(col("term")) * col("cnt")).as("word_chars"),
+      sum(when(col("term").rlike("[A-Za-z]"), col("cnt")).otherwise(0L)).as("n_alpha"),
+      sum(when(col("term").rlike("^[^A-Za-z0-9]+$"), col("cnt")).otherwise(0L)).as("n_symbols"),
+      sum(when(col("term").isin(StopWords: _*), col("cnt")).otherwise(0L)).as("n_stop"),
+      max(col("cnt")).as("top_cnt"))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    val passLen = col("n_tokens").between(50L, 100000L)
+    val wordlenE2 = expr("(word_chars * 100) div greatest(n_tokens, 1)")
+    val passWordlen = wordlenE2.between(300L, 1000L)
+    val passSymbol = col("n_symbols") * 10L <= col("n_tokens")
+    val passAlpha = col("n_alpha") * 10L >= col("n_tokens") * 8L
+    val passStop = col("n_stop") >= 2L
+    val passTop = col("top_cnt") * 5L <= col("n_tokens")
+    agg.select(col("doc_id"), col("n_tokens"), wordlenE2.as("wordlen_e2"),
+      col("n_alpha"), col("n_symbols"), col("n_stop"), col("top_cnt"),
+      flag(passLen).as("pass_len"), flag(passWordlen).as("pass_wordlen"),
+      flag(passSymbol).as("pass_symbol"), flag(passAlpha).as("pass_alpha"),
+      flag(passStop).as("pass_stop"), flag(passTop).as("pass_top"),
+      flag(passLen && passWordlen && passSymbol && passAlpha && passStop && passTop)
+        .as("keep"))
+  }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(docs(spark, dir))
+
+  /** Window width for cross-document span scrubbing: 8 tokens ≈ the shortest
+    * span that is evidence of copying rather than coincidence on natural
+    * text (Lee et al. 2022 use 50 BPE tokens at web scale; 8 matches this
+    * corpus's document lengths).
+    */
+  val SpanW = 8
+
+  /** Cross-document duplicated-SPAN removal (the exact-substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every document-level dedup operator in this library KEEPS or
+    * DROPS whole documents — this one REWRITES them, deleting each token
+    * covered by any [[SpanW]]-token window that also appears verbatim in
+    * another document (boilerplate, licence text, copied passages), and
+    * keeping the unique remainder in order. Document-level near-dup misses
+    * exactly this case: two long documents sharing one boilerplate paragraph
+    * sit far below any Jaccard threshold, yet the shared paragraph is
+    * duplicated training signal.
+    *
+    * Scale shape — sub-quadratic by construction, the suffix-array result
+    * re-expressed as relational ops:
+    *   1. stride-1 window fan-out (narrow), windows keyed by md5;
+    *   2. ONE shuffle on the window hash → windows in ≥ 2 distinct docs
+    *      (within-doc repeats are `q_repetition`'s domain, not duplication);
+    *   3. covered positions by semi-join + narrow position fan-out;
+    *   4. anti-join tokens against covered positions, rebuild per doc.
+    * No pairwise comparison ever materializes — a window shared by k docs
+    * costs O(k) rows, not O(k²).
+    */
+  def spanScrubOf(d: DataFrame): DataFrame = {
+    val W = SpanW
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wins = toks.filter(size(col("t")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (W - 1))).as("i"), col("t"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(W)), " ").cast("binary")).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val cov = wins.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (W - 1))).as("pos"))
+      .distinct()
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = pos.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("scrubbed"))
+    d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrubOf(docs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (gopherRules _),
+    "q_span_scrub" -> (spanScrub _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_oov_rate" -> (oovRate _),
     "q_dsir_weights" -> (dsirWeights _),
@@ -460,6 +582,62 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   val oracleSql: Map[String, String] = Map(
+    // the Gopher rule battery replayed: same (doc_id, term) two-hop rollup,
+    // same Java∩RE2 predicates, same integer thresholds
+    "q_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tc AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+             sum(cnt)::BIGINT AS n_tokens,
+             sum(len(term) * cnt)::BIGINT AS word_chars,
+             sum(CASE WHEN regexp_matches(term, '[A-Za-z]') THEN cnt ELSE 0 END)::BIGINT AS n_alpha,
+             sum(CASE WHEN regexp_matches(term, '^[^A-Za-z0-9]+$') THEN cnt ELSE 0 END)::BIGINT AS n_symbols,
+             sum(CASE WHEN term IN ('the','a','of','and','to','in','is') THEN cnt ELSE 0 END)::BIGINT AS n_stop,
+             max(cnt)::BIGINT AS top_cnt
+           FROM tc GROUP BY 1),
+         f AS (
+           SELECT doc_id, n_tokens,
+             (word_chars * 100 // greatest(n_tokens, 1))::BIGINT AS wordlen_e2,
+             n_alpha, n_symbols, n_stop, top_cnt,
+             CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END::BIGINT AS pass_len,
+             CASE WHEN (word_chars * 100 // greatest(n_tokens, 1)) BETWEEN 300 AND 1000
+                  THEN 1 ELSE 0 END::BIGINT AS pass_wordlen,
+             CASE WHEN n_symbols * 10 <= n_tokens THEN 1 ELSE 0 END::BIGINT AS pass_symbol,
+             CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END::BIGINT AS pass_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END::BIGINT AS pass_stop,
+             CASE WHEN top_cnt * 5 <= n_tokens THEN 1 ELSE 0 END::BIGINT AS pass_top
+           FROM agg)
+         SELECT *, (pass_len * pass_wordlen * pass_symbol * pass_alpha
+                    * pass_stop * pass_top)::BIGINT AS keep
+         FROM f""",
+    // duplicated-span scrub replayed: identical windows (raw string in place
+    // of the md5 key — same equivalence classes), covered-position fan-out,
+    // anti-join, ordered string_agg rebuild
+    "q_span_scrub" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         wins AS (
+           SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w
+           FROM tok, unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t)-7) ELSE [] END) AS u(i)),
+         dup AS (SELECT w FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, v.j
+           FROM wins JOIN dup USING (w), unnest(generate_series(i, i+7)) AS v(j)),
+         pos AS (
+           SELECT doc_id, u.i, t[u.i] AS tk
+           FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+         kept AS (
+           SELECT p.doc_id, p.i, p.tk
+           FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.i
+           WHERE c.doc_id IS NULL),
+         agg AS (
+           SELECT doc_id, count(*)::BIGINT AS n_kept,
+                  string_agg(tk, ' ' ORDER BY i) AS scrubbed
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+                (len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
+                coalesce(a.scrubbed, '') AS scrubbed
+         FROM tok t LEFT JOIN agg a USING (doc_id)""",
     // BPE round 1 replayed: token rollup -> vocabulary, char pairs as 2-char
     // substrings (all-ASCII corpus; both engines index characters), weighted
     // count, deterministic (freq DESC, pair ASC) top-K

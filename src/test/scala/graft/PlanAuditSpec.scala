@@ -209,7 +209,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_oov_rate" -> Set("doc_id", "text"),
       "q_dsir_weights" -> Set("doc_id", "text", "lang"),
       "q_corpus_diff" -> Set("doc_id", "text"),
-      "q_mixture_weights" -> Set("source", "text")).foreach { case (name, allowed) =>
+      "q_mixture_weights" -> Set("source", "text"),
+      "q_gopher_rules" -> Set("doc_id", "text"),
+      "q_span_scrub" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
       scansOf(name)
         .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
         .foreach { scan =>

@@ -1078,7 +1078,54 @@ object CurationQueries {
         expr(s"($MixtureBudgetTokens * weight_e6) div n_tokens").as("epochs_e6"))
   }
 
+  /** Token budget for the epoch MATERIALIZATION query — small enough that
+    * the realized row multiset stays modest at every test sf (unlike
+    * [[MixtureBudgetTokens]], which prices a real training run; the
+    * materializer's shape is budget-independent).
+    */
+  val EpochBudgetTokens = 100000L
+
+  /** Epoch materializer — the missing last step after [[mixtureWeights]]:
+    * turn the temperature-scaled schedule into the ACTUAL replicated row
+    * multiset a training run consumes. Each source's expected epoch count
+    * under a [[EpochBudgetTokens]]-token budget is `budget·w_i / n_i`
+    * (exact e6 fixed point, same arithmetic as [[mixtureWeights]]); every
+    * document is emitted `floor(epochs)` times, plus one more when its
+    * deterministic 60-bit hash draw falls below the fractional part —
+    * per-document systematic rounding, so the realized token count
+    * concentrates on the target with NO RNG state: the same
+    * replayable-hash-instead-of-rand() argument as `q_hash_sample`, and the
+    * draw is replayed bit-for-bit by the oracle.
+    *
+    * Scale shape: the schedule is a per-source scalar table (broadcast
+    * join); the corpus sees one narrow codegen pass (hash draw → copy
+    * count) and a 1→N `explode` fan-out — beyond the tiny per-source token
+    * aggregation there is NO shuffle, so the materializer is scan-bound at
+    * 100 TB and composes with any downstream shard writer.
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val s = n.withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = s.agg(sum(col("s")).as("s_tot"))
+    val sched = s.crossJoin(broadcast(tot)) // 1-row scalar attach (audit-exempt)
+      .select(col("source"),
+        expr(s"($EpochBudgetTokens * ((s * 1000000) div s_tot)) div n_tokens")
+          .as("epochs_e6"))
+    docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(sched), "source")
+      .select(col("doc_id"), col("source"),
+        (expr("epochs_e6 div 1000000") +
+          when(pmod(TextDedup.tokenHash60(col("doc_id").cast("string")), lit(1000000L))
+            < col("epochs_e6") % 1000000L, 1L).otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_plan" -> (epochPlan _),
     "q_passage_overlap" -> (passageOverlap _),
     "q_corpus_diff" -> (corpusDiff _),
     "q_mixture_weights" -> (mixtureWeights _),
@@ -1613,6 +1660,29 @@ object CurationQueries {
                      ELSE 'unchanged' END AS status
          FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""",
     // floor(sqrt) is IEEE-exact in both engines; everything after is integer
+    // the mixture schedule replayed, then the per-doc systematic-rounding
+    // draw (60-bit md5 hash mod 1e6, the q_hash_sample equivalence) and the
+    // copy fan-out
+    "q_epoch_plan" ->
+      s"""WITH n AS (
+           SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         s AS (SELECT source, n_tokens,
+                      CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s FROM n),
+         t AS (SELECT sum(s)::BIGINT AS s_tot FROM s),
+         sched AS (
+           SELECT source,
+                  (($EpochBudgetTokens * ((s * 1000000) // s_tot)) // n_tokens)::BIGINT AS epochs_e6
+           FROM s CROSS JOIN t),
+         c AS (
+           SELECT d.doc_id, d.source,
+                  (epochs_e6 // 1000000
+                   + CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 1000000 < epochs_e6 % 1000000
+                          THEN 1 ELSE 0 END)::BIGINT AS n_copies
+           FROM documents d JOIN sched USING (source))
+         SELECT doc_id, source, u.copy::BIGINT AS copy
+         FROM c, unnest(CASE WHEN n_copies >= 1 THEN generate_series(1, n_copies) ELSE [] END) AS u(copy)""",
     "q_mixture_weights" ->
       """WITH n AS (
            SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

@@ -483,12 +483,10 @@ object TextQueries {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesOf(docs(spark, dir))
 
-  /** Window width for cross-document span scrubbing: 8 tokens ≈ the shortest
-    * span that is evidence of copying rather than coincidence on natural
-    * text (Lee et al. 2022 use 50 BPE tokens at web scale; 8 matches this
-    * corpus's document lengths).
+  /** Window width for cross-document span scrubbing — see
+    * [[graft.operators.SpanScrub.W]].
     */
-  val SpanW = 8
+  val SpanW: Int = graft.operators.SpanScrub.W
 
   /** Cross-document duplicated-SPAN removal (the exact-substring dedup of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -499,46 +497,11 @@ object TextQueries {
     * keeping the unique remainder in order. Document-level near-dup misses
     * exactly this case: two long documents sharing one boilerplate paragraph
     * sit far below any Jaccard threshold, yet the shared paragraph is
-    * duplicated training signal.
-    *
-    * Scale shape — sub-quadratic by construction, the suffix-array result
-    * re-expressed as relational ops:
-    *   1. stride-1 window fan-out (narrow), windows keyed by md5;
-    *   2. ONE shuffle on the window hash → windows in ≥ 2 distinct docs
-    *      (within-doc repeats are `q_repetition`'s domain, not duplication);
-    *   3. covered positions by semi-join + narrow position fan-out;
-    *   4. anti-join tokens against covered positions, rebuild per doc.
-    * No pairwise comparison ever materializes — a window shared by k docs
-    * costs O(k) rows, not O(k²).
+    * duplicated training signal. Machinery and scale anatomy live in
+    * [[graft.operators.SpanScrub]] (shared with the streaming ingest gate).
     */
-  def spanScrubOf(d: DataFrame): DataFrame = {
-    val W = SpanW
-    val toks = d.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val wins = toks.filter(size(col("t")) >= W)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("t")) - (W - 1))).as("i"), col("t"))
-      .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("t"), col("i"), lit(W)), " ").cast("binary")).as("h"))
-    val dup = wins.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("h")
-    val cov = wins.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (W - 1))).as("pos"))
-      .distinct()
-    val pos = toks
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val kept = pos.join(cov, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
-          " ").as("scrubbed"))
-    d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"),
-        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
-  }
+  def spanScrubOf(d: DataFrame): DataFrame =
+    graft.operators.SpanScrub.scrubCorpus(d)
 
   def spanScrub(spark: SparkSession, dir: String): DataFrame =
     spanScrubOf(docs(spark, dir))

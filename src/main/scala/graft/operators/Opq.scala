@@ -20,6 +20,8 @@ final class SecondMoment(dim: Int)
   def zero: Array[Double] = new Array[Double](dim * (dim + 1) / 2 + 1)
 
   def reduce(b: Array[Double], x: Array[Float]): Array[Double] = {
+    require(x != null && x.length >= dim,
+      s"embedding must have >= $dim dims, got ${if (x == null) "null" else x.length}")
     b(0) += 1d
     var p = 1
     var i = 0

@@ -45,10 +45,13 @@ object SpanScrub {
         md5(array_join(slice(col("t"), col("i"), lit(w)), " ").cast("binary")).as("h"))
 
   /** Distinct window hashes of a reference corpus — the static index the
-    * probe form scrubs against. Checkpoint once, reuse every trigger.
+    * probe form scrubs against. [[Lineage.cut]] at build (the
+    * `FuzzyJoin.variantIndex` convention), so triggers reuse the
+    * materialized index instead of re-scanning the reference corpus and
+    * re-running the window fan-out + distinct every micro-batch.
     */
   def dupIndex(reference: DataFrame, w: Int = W): DataFrame =
-    windowHashes(reference, w).select("h").distinct()
+    Lineage.cut(windowHashes(reference, w).select("h").distinct())
 
   /** Scrub `d` of every token covered by a window whose hash is in `dupH`.
     * Output: (doc_id, n_tokens, n_dropped, scrubbed).

@@ -1066,16 +1066,25 @@ object CurationQueries {
     * cannot trust. Shape: one narrow scan, a per-source aggregation over a
     * tiny key domain, one broadcast scalar.
     */
-  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    val n = docs(spark, dir)
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureScheduleOf(docs(spark, dir), MixtureBudgetTokens)
+
+  /** The ONE schedule computation [[mixtureWeights]] and [[epochPlan]] both
+    * consume — per-source `(n_tokens, weight_e6, epochs_e6)` under the given
+    * token budget, exact e6 fixed point (the subtle arithmetic — IEEE
+    * `floor(sqrt)`, `(budget · w_e6) div n` — lives in exactly one place so
+    * the two oracle-mirrored callers cannot drift apart).
+    */
+  private def mixtureScheduleOf(d: DataFrame, budgetTokens: Long): DataFrame = {
+    val n = d
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
     val s = n.withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val tot = s.agg(sum(col("s")).as("s_tot"))
-    s.crossJoin(broadcast(tot))
+    s.crossJoin(broadcast(tot)) // 1-row scalar attach (audit-exempt aggregate)
       .withColumn("weight_e6", expr("(s * 1000000) div s_tot"))
       .select(col("source"), col("n_tokens"), col("weight_e6"),
-        expr(s"($MixtureBudgetTokens * weight_e6) div n_tokens").as("epochs_e6"))
+        expr(s"($budgetTokens * weight_e6) div n_tokens").as("epochs_e6"))
   }
 
   /** Token budget for the epoch MATERIALIZATION query — small enough that
@@ -1104,15 +1113,8 @@ object CurationQueries {
     * 100 TB and composes with any downstream shard writer.
     */
   def epochPlan(spark: SparkSession, dir: String): DataFrame = {
-    val n = docs(spark, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
-      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
-    val s = n.withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-    val tot = s.agg(sum(col("s")).as("s_tot"))
-    val sched = s.crossJoin(broadcast(tot)) // 1-row scalar attach (audit-exempt)
-      .select(col("source"),
-        expr(s"($EpochBudgetTokens * ((s * 1000000) div s_tot)) div n_tokens")
-          .as("epochs_e6"))
+    val sched = mixtureScheduleOf(docs(spark, dir), EpochBudgetTokens)
+      .select("source", "epochs_e6")
     docs(spark, dir).select(col("doc_id"), col("source"))
       .join(broadcast(sched), "source")
       .select(col("doc_id"), col("source"),

@@ -548,15 +548,15 @@ object TextQueries {
     // the Gopher rule battery replayed: same (doc_id, term) two-hop rollup,
     // same Java∩RE2 predicates, same integer thresholds
     "q_gopher_rules" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tc AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
          agg AS (
            SELECT doc_id,
              sum(cnt)::BIGINT AS n_tokens,
              sum(len(term) * cnt)::BIGINT AS word_chars,
              sum(CASE WHEN regexp_matches(term, '[A-Za-z]') THEN cnt ELSE 0 END)::BIGINT AS n_alpha,
-             sum(CASE WHEN regexp_matches(term, '^[^A-Za-z0-9]+$') THEN cnt ELSE 0 END)::BIGINT AS n_symbols,
-             sum(CASE WHEN term IN ('the','a','of','and','to','in','is') THEN cnt ELSE 0 END)::BIGINT AS n_stop,
+             sum(CASE WHEN regexp_matches(term, '^[^A-Za-z0-9]+$$') THEN cnt ELSE 0 END)::BIGINT AS n_symbols,
+             sum(CASE WHEN term IN (${StopWords.map(w => s"'$w'").mkString(",")}) THEN cnt ELSE 0 END)::BIGINT AS n_stop,
              max(cnt)::BIGINT AS top_cnt
            FROM tc GROUP BY 1),
          f AS (

@@ -84,6 +84,7 @@ class OpqSpec extends SparkSpec {
       // the rotation must never hurt materially (it is metric-preserving;
       // training noise can wobble a few hits on 500 vectors)
       assert(opq >= raw - 0.05, f"rotation lost recall: $opq%.3f < $raw%.3f - 0.05")
+      rot.unpersist()
     } finally { vecs.unpersist(); () }
   }
 }

@@ -31,8 +31,7 @@ class SpanScrubStreamSpec extends SparkSpec {
 
   test("streamed scrub equals the batch probe across micro-batch cuts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val index = graft.operators.Lineage.cut(
-      SpanScrub.dupIndex(reference.toDF("doc_id", "text")))
+    val index = SpanScrub.dupIndex(reference.toDF("doc_id", "text"))
 
     val in = MemoryStream[(Long, String)]
     val emitted = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
@@ -44,11 +43,12 @@ class SpanScrubStreamSpec extends SparkSpec {
       }
       ()
     }
-    probes.grouped(2).foreach { chunk =>
-      in.addData(chunk: _*)
-      q.processAllAvailable()
-    }
-    q.stop()
+    try {
+      probes.grouped(2).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
 
     val batch = SpanScrub.scrubAgainst(probes.toDF("doc_id", "text"), index)
       .as[(Long, Long, Long, String)].collect()

@@ -935,6 +935,70 @@ object Embeddings {
       .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering first, then resolving duplicates WITHIN each cluster only,
+    * keeping per duplicate group the member FARTHEST from its cluster
+    * centroid (lowest centroid cosine — the paper's keep-rule: the boundary
+    * example is the most informative one; min id on exact ties). This is a
+    * different decision rule from [[ivfNearDupPairsWith]]-based dedup: the
+    * blocking is the SINGLE cluster assignment (the paper's k-means cells,
+    * no multi-probe), and the keep choice is geometric rather than
+    * id-ordered.
+    *
+    * Output: (vec_id, cent_id, canonical_id, verdict) — one row per vector;
+    * `kept` iff the vector is its group's keeper (singletons keep
+    * themselves).
+    *
+    * Scale: one broadcast-centroid assignment pass (O(n·C)); the duplicate
+    * graph is built per cluster cell — the self-join is keyed on cent_id, so
+    * its cost is Σ|cell|², the quantity the paper controls by raising C with
+    * corpus size ([[ivfBucketStats]] is the balance monitor); grouping runs
+    * over pair EVIDENCE via [[ConnectedComponents]] (O(|E|) per round); the
+    * keeper election is one `min_by` aggregation per group with map-side
+    * combine. Cosine-to-centroid is double arithmetic, bit-equal across
+    * engines (sequential sums), so the geometric keep-rule stays
+    * hash-checkable.
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame,
+               threshold: Double): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    val asg = vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
+      .crossJoin(broadcast(c))
+      .withColumn("score",
+        dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("score")),
+        struct(col("score"), -col("cent_id"))).as("a"))
+      .select(col("vec_id"), col("a.cent_id").as("cent_id"),
+        col("a.score").as("cent_cos"))
+
+    val cand = asg.select(col("vec_id"), col("cent_id")).alias("x")
+      .join(asg.select(col("vec_id"), col("cent_id")).alias("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+      l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+      l2Norm(col("embedding")).as("b_norm"))
+    val pairs = cand.join(a, "vec_a").join(b, "vec_b")
+      .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+
+    val groups = ConnectedComponents.run(pairs, "vec_a", "vec_b",
+        vertices = Some(vectors.select("vec_id")))
+      .select(col("id").as("vec_id"), col("comp").as("group_id"))
+    val withCos = groups.join(asg, "vec_id")
+    val keepers = withCos.groupBy("group_id")
+      .agg(min_by(col("vec_id"), struct(col("cent_cos"), col("vec_id")))
+        .as("canonical_id"))
+    withCos.join(keepers, "group_id")
+      .select(col("vec_id"), col("cent_id"), col("canonical_id"),
+        when(col("vec_id") === col("canonical_id"), "kept")
+          .otherwise("dropped").as("verdict"))
+  }
+
   /** KNN recall over an explicit centroid set (see [[ivfTopKWith]]). */
   def ivfRecallWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
                     nProbe: Int, k: Int): DataFrame = {

@@ -369,6 +369,54 @@ object TextDedup {
   /** Hamming distance between two 64-bit signatures as a Column. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 §4 — the MOSS scheme): hash every k-token shingle, slide a
+    * window of w consecutive shingle hashes per document, keep the MINIMUM
+    * hash of each window (rightmost occurrence on ties). The distinct
+    * selected hashes are the document's fingerprint set, with the paper's
+    * guarantee: any run of ≥ w + k − 1 tokens shared by two documents
+    * selects at least one common fingerprint — positional independence the
+    * stride-8 passage sampling (`q_passage_overlap`) cannot give (a stride
+    * scheme only catches repeats whose alignment offsets agree mod the
+    * stride).
+    *
+    * Determinism: the shingle hash is the leading-10-hex md5 value (40
+    * bits, DuckDB-mirrorable), and min-with-rightmost-tie is ONE integer
+    * key min — key = h·2²⁰ + (2²⁰ − 1 − i) — so the whole selection is a
+    * sliding-frame `min` window both engines evaluate identically. The
+    * position field caps documents at 2²⁰ tokens (chunk larger docs
+    * upstream; harness docs are orders below it).
+    *
+    * Scale: one narrow shingle fan-out, ONE exchange on the doc id for the
+    * per-document sliding window (bounded frame, O(w) work per row), then
+    * whatever the consumer aggregates. Window starts run
+    * i ≤ max(n_shingles − w + 1, 1), the frame clipping at the partition
+    * end — so a short document (fewer than w shingles) still emits its
+    * single all-shingle minimum, never zero fingerprints (as long as it has
+    * ≥ k tokens).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val P = 1L << 20
+    val toks = split(col(textCol), " ")
+    val gram = array_join(slice(col("t"), col("i").cast("int"), lit(k)), " ")
+    val h = conv(substring(md5(gram.cast("binary")), 1, 10), 16, 10).cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"),
+        explode(sequence(lit(1L), (size(col("t")) - (k - 1)).cast("long"))).as("i"))
+      .select(col("doc_id"), col("n"), col("i"),
+        (h * P + (lit(P - 1) - col("i"))).as("key"))
+      .withColumn("sel", min(col("key")).over(win))
+      .filter(col("i") <= greatest(col("n") - lit((k + w - 2).toLong), lit(1L)))
+      .select(col("doc_id"), expr(s"sel div ${P}L").as("fp"))
+      .distinct()
+  }
+
   /** SimHash near-dup pairs via 16-bit banding (pigeonhole: two signatures
     * within Hamming distance 3 must agree on at least one of the 4 bands, so
     * recall is exact for maxHamming ≤ 3; above that it is approximate).

@@ -972,6 +972,24 @@ object CurationQueries {
       .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Cross-document fingerprint overlap under WINNOWING selection
+    * ([[TextDedup.winnowFingerprints]], Schleimer et al. SIGMOD'03) — the
+    * passage-overlap report rebuilt on the fingerprint family with a
+    * detection GUARANTEE: any shared token run of ≥ w+k−1 = 7 tokens yields
+    * a shared fingerprint regardless of alignment, where the stride-8
+    * passage windows miss repeats whose offsets disagree mod 8. Fingerprint
+    * density is ~2/(w+1) of the stride-1 shingle volume, so the shuffle that
+    * follows selection carries ~2.5× fewer rows than exhaustive stride-1
+    * passages at strictly better recall than stride-8. Same downstream
+    * shape as `q_passage_overlap`: group by fingerprint, count docs.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowFingerprints(
+        docs(spark, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+      .groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
   /** Hot-passage cap for the centrality graph: passages shared by more than
     * this many documents contribute no edges (a universal boilerplate line
     * would otherwise emit O(n²) pairs — the same quadratic guard as the
@@ -1129,6 +1147,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_plan" -> (epochPlan _),
     "q_passage_overlap" -> (passageOverlap _),
+    "q_winnow" -> (winnowOverlap _),
     "q_corpus_diff" -> (corpusDiff _),
     "q_mixture_weights" -> (mixtureWeights _),
     "q_lm_score" -> (lmScore _),
@@ -1463,6 +1482,26 @@ object CurationQueries {
                 count(DISTINCT doc_id)::BIGINT AS n_docs,
                 min(doc_id) AS first_doc
          FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""",
+    // winnowing mirrored operation-for-operation: same 40-bit md5 shingle
+    // hash, same composite min-key (hash·2^20 + reversed position) so the
+    // rightmost-tie-break rides on ONE sliding-frame integer min
+    "q_winnow" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, len(t)::BIGINT AS n, i,
+                  CAST('0x' || substring(md5(array_to_string(t[i:i+3], ' ')), 1, 10) AS BIGINT)
+                    * 1048576 + (1048575 - i) AS key
+           FROM tok, unnest(generate_series(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 4),
+         sel AS (
+           SELECT doc_id, n, i,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+           FROM g),
+         fps AS (SELECT DISTINCT doc_id, s // 1048576 AS fp
+                 FROM sel WHERE i <= greatest(n - 6, 1))
+         SELECT fp, count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS first_doc
+         FROM fps GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""",
     // both evidence families' CTEs in one WITH RECURSIVE, edge union,
     // transitive closure — the LSH/blocked ≡ exact caveats of each family
     // apply unchanged

@@ -192,6 +192,22 @@ object EmbeddingQueries {
       .select(col("id").as("vec_id"), col("comp").as("group_id"))
   }
 
+  /** SemDeDup over the oracle-pinned first-[[NumCentroids]] cluster cells at
+    * the [[NearDupThreshold]] cosine (see [[Embeddings.semDedup]] — cluster
+    * first, dedup within cells, keep the member FARTHEST from its centroid).
+    * Differs from `q_embed_dedup`/`q_embed_groups` in both halves of the
+    * decision: blocking is the single k-means-cell assignment (no
+    * multi-probe — the paper accepts cell-boundary misses for Σ|cell|² cost
+    * control), and the survivor is chosen geometrically (boundary example
+    * kept as most informative) instead of by id order. The paper's 0.95+
+    * threshold presumes real encoder embeddings; harness vectors top out
+    * near 0.51, so the shared near-dup threshold keeps groups non-empty.
+    */
+  def semDedupVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.semDedup(v, v.filter(col("vec_id") < NumCentroids), NearDupThreshold)
+  }
+
   /** SEMANTIC decontamination — the embedding-space twin of the lexical
     * `q_decontaminate`/`q_decon_bloom` gates: a training item whose embedding
     * sits above the near-dup cosine threshold against ANY benchmark item is
@@ -290,7 +306,8 @@ object EmbeddingQueries {
     "q_embed_neardup_ivf" -> (ivfNearDup _),
     "q_embed_neardup_recall" -> (ivfNearDupRecall _),
     "q_embed_neardup_recall_sampled" -> (ivfNearDupRecallSampled _),
-    "q_embed_dedup" -> (embedDedupSurvivors _))
+    "q_embed_dedup" -> (embedDedupSurvivors _),
+    "q_semdedup" -> (semDedupVerdicts _))
 
   /** Shared oracle CTEs: double-widened vectors, norms, query set, centroids,
     * and both ranking paths. `list_sum(list_transform(...))` evaluates
@@ -698,7 +715,55 @@ object EmbeddingQueries {
            SELECT vec_id, vec_id FROM v
            UNION
            SELECT e.ev, reach.r FROM reach JOIN edges e ON e.eu = reach.x)
-         SELECT x AS vec_id, min(r) AS group_id FROM reach GROUP BY x"""))
+         SELECT x AS vec_id, min(r) AS group_id FROM reach GROUP BY x"""),
+    // SemDeDup: single-cell assignment (rn = 1 of the centroid ranking),
+    // within-cell verified pairs, recursive closure, keeper = argmin
+    // (cent_cos, vec_id) per group — the geometric keep-rule mirrored
+    "q_semdedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          nrm AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                  FROM v),
+          c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
+          assign AS (
+            SELECT vec_id, cent_id, sc AS cent_cos FROM (
+              SELECT v.vec_id, c.cent_id,
+                (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) AS sc,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                    / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+              FROM v CROSS JOIN c
+              JOIN nrm nv ON nv.vec_id = v.vec_id
+              JOIN nrm nc ON nc.vec_id = c.cent_id)
+            WHERE rn = 1),
+          spairs AS (
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM assign x JOIN assign y
+              ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+            JOIN v a ON a.vec_id = x.vec_id
+            JOIN v b ON b.vec_id = y.vec_id
+            JOIN nrm na ON na.vec_id = x.vec_id
+            JOIN nrm nb ON nb.vec_id = y.vec_id
+            WHERE list_sum(list_transform(range(1, 65), i -> a.e[i]*b.e[i]))
+                    / (na.nm * nb.nm) >= $NearDupThreshold),
+          edges AS (SELECT vec_a AS eu, vec_b AS ev FROM spairs
+                    UNION SELECT vec_b, vec_a FROM spairs),
+          reach(x, r) AS (
+            SELECT vec_id, vec_id FROM v
+            UNION
+            SELECT e.ev, reach.r FROM reach JOIN edges e ON e.eu = reach.x),
+          grp AS (SELECT x AS vec_id, min(r) AS group_id FROM reach GROUP BY x),
+          keep AS (
+            SELECT group_id, vec_id AS canonical_id FROM (
+              SELECT g.group_id, g.vec_id,
+                row_number() OVER (PARTITION BY g.group_id
+                  ORDER BY a.cent_cos ASC, g.vec_id ASC) AS rn
+              FROM grp g JOIN assign a USING (vec_id))
+            WHERE rn = 1)
+          SELECT g.vec_id, a.cent_id, k.canonical_id,
+                 CASE WHEN g.vec_id = k.canonical_id THEN 'kept' ELSE 'dropped' END AS verdict
+          FROM grp g JOIN assign a USING (vec_id) JOIN keep k USING (group_id)""")
 
   /** Shared CTEs for the bucketed near-dup oracle: the blocking (top-NAssign
     * centroid buckets per vector, bucket-local candidate self-join, exact

@@ -65,7 +65,9 @@ class PlanAuditSpec extends SparkSpec {
     // hide it behind Par/ConnectedComponents lineage cuts; the
     // withoutCuts sweep exposed it in round 10 — which is precisely the
     // blind spot this audit mode exists to close.
-    "q_dedup_decision", "q_embed_groups", "q_unified_groups")
+    // q_semdedup: same shape — the O(n·C) broadcast-centroid assignment
+    // probe feeding ConnectedComponents, partially behind its lineage cuts.
+    "q_dedup_decision", "q_embed_groups", "q_unified_groups", "q_semdedup")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)
@@ -187,6 +189,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),
       "q_passage_overlap" -> Set("doc_id", "text"),
+      "q_winnow" -> Set("doc_id", "text"),
       "q_doc_rank" -> Set("doc_id", "text"),
       "q_bm25_topk" -> Set("doc_id", "text"),
       "q_lm_score" -> Set("doc_id", "text"),

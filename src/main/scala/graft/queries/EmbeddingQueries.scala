@@ -64,6 +64,19 @@ object EmbeddingQueries {
     Embeddings.ivfPqRecall(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, K)
 
+  /** Rerank pool size for the two-stage retrieve-then-rerank queries (5× the
+    * final k — the candidate pool the exact stage repairs).
+    */
+  val RerankR = 50
+
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfPqRerank(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, RerankR, K)
+
+  def ivfPqRerankRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfPqRerankRecall(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, RerankR, K)
+
   /** Cosine threshold for the near-dup query (the harness data's top pair is
     * ~0.51, so 0.45 yields a small, stable set).
     */
@@ -301,6 +314,8 @@ object EmbeddingQueries {
     "q_pq_recall" -> (pqRecall _),
     "q_ivfpq_topk" -> (ivfPqTopK _),
     "q_ivfpq_recall" -> (ivfPqRecall _),
+    "q_ivfpq_rerank" -> (ivfPqRerank _),
+    "q_ivfpq_rerank_recall" -> (ivfPqRerankRecall _),
     "q_decon_semantic" -> (semanticDecon _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
@@ -456,6 +471,36 @@ object EmbeddingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM ivfpqscore) WHERE rank <= $K)
+     """
+
+  /** Retrieve-then-rerank CTEs appended to [[ivfPqCte]]: the ADC candidate
+    * pool cut at rank ≤ [[RerankR]] (same (score DESC, id ASC) order as the
+    * Spark `TopK` aggregator), then the EXACT cosine — the identical
+    * sequential double sum as the `exact` CTE — recomputed for just those
+    * pool rows and re-cut at [[K]].
+    */
+  private lazy val rerankCte =
+    s""", ivfpqcand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM ivfpqscore) WHERE rank <= $RerankR),
+        rrscore AS (
+          SELECT cd.query_id, cd.neighbor_id,
+            (list_sum(list_transform(range(1, 65), i -> q.qe[i]*nv.e[i]))
+              / (nq.nm * nn.nm)) AS score
+          FROM ivfpqcand cd
+          JOIN q ON q.query_id = cd.query_id
+          JOIN v nv ON nv.vec_id = cd.neighbor_id
+          JOIN nrm nq ON nq.vec_id = cd.query_id
+          JOIN nrm nn ON nn.vec_id = cd.neighbor_id),
+        reranked AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM rrscore) WHERE rank <= $K)
      """
 
   /** SRP oracle CTEs: the hyperplane signs, banded signatures, bucket-join
@@ -653,6 +698,16 @@ object EmbeddingQueries {
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
          FROM exact e
          LEFT JOIN ivfpq a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id"""),
+    // two-stage retrieve-then-rerank: the ADC pool (rank <= RerankR) exact-
+    // cosine reranked and re-cut at K — the FAISS refine serving pattern
+    "q_ivfpq_rerank" -> (base + pqCtes + ivfPqCte + rerankCte +
+      "SELECT query_id, neighbor_id, rank FROM reranked"),
+    "q_ivfpq_rerank_recall" -> (base + pqCtes + ivfPqCte + rerankCte +
+      """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+         FROM exact e
+         LEFT JOIN reranked a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
     "q_decon_semantic" ->

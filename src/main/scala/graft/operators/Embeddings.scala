@@ -965,6 +965,78 @@ object Embeddings {
       .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) diversified
+    * top-k over an explicit candidate pool: greedily select k of the pool,
+    * step 1 by pure relevance (exact query cosine), each later step by
+    * `0.7·rel(d) − 0.3·max_{s∈S} sim(d, s)` — relevance discounted by the
+    * similarity to what is already selected, so near-duplicate results can't
+    * crowd the list. Ties break to the smaller id at every step. The λ
+    * literals are written as 0.7 / 0.3 in BOTH engines — never `1 − λ`,
+    * whose binary value (0.30000000000000004) differs from the 0.3 literal
+    * and would silently de-synchronize the argmax.
+    *
+    * `candidates` is any (query_id, neighbor_id) pool generator — the
+    * registered query feeds it the IVF∘PQ codes-only pool ([[ivfPqTopK]] at
+    * r = 50), so the corpus-wide stage stays sublinear and only queries×r
+    * float rows are touched, exactly like [[ivfPqRerank]]. The greedy
+    * selection itself is per-group imperative logic over a ≤ r-element pool
+    * (O(k·r) sims per query, r² worst case) — the bounded-state case
+    * `flatMapGroups` exists for; every dot/norm is the same sequential
+    * double sum as the oracle's `list_sum`, so selections are
+    * hash-identical.
+    */
+  def mmrSelect(vectors: DataFrame, queries: DataFrame, candidates: DataFrame,
+                k: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val n = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rows = candidates.select("query_id", "neighbor_id")
+      .join(n, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("n_emb"), col("q_emb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+    rows.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Float], Array[Float])]) =>
+      val cs = it.toArray
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val qe = cs.head._4
+      val qn = math.sqrt(dot(qe, qe))
+      val ids = cs.map(_._2)
+      val emb = cs.map(_._3)
+      val nn = emb.map(e => math.sqrt(dot(e, e)))
+      val rel = Array.tabulate(cs.length)(i => dot(qe, emb(i)) / (qn * nn(i)))
+      def sim(i: Int, j: Int): Double = dot(emb(i), emb(j)) / (nn(i) * nn(j))
+      val used = new Array[Boolean](cs.length)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var step = 1
+      while (step <= k && selected.length < cs.length) {
+        var best = -1; var bestScore = 0.0
+        var i = 0
+        while (i < cs.length) {
+          if (!used(i)) {
+            val s =
+              if (step == 1) rel(i)
+              else {
+                var ms = Double.NegativeInfinity
+                selected.foreach(j => ms = math.max(ms, sim(i, j)))
+                0.7 * rel(i) - 0.3 * ms
+              }
+            if (best < 0 || s > bestScore || (s == bestScore && ids(i) < ids(best)))
+              { best = i; bestScore = s }
+          }
+          i += 1
+        }
+        used(best) = true; selected += best
+        out += ((qid, ids(best), step.toLong))
+        step += 1
+      }
+      out.iterator
+    }.toDF("query_id", "neighbor_id", "step")
+  }
+
   /** PQ-vs-exact recall per query — what the 16× compression costs, measured
     * the same way as [[sq8Recall]].
     */

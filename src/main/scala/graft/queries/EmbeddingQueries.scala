@@ -77,6 +77,15 @@ object EmbeddingQueries {
     Embeddings.ivfPqRerankRecall(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, RerankR, K)
 
+  /** MMR-diversified top-[[K]] over the same IVF∘PQ codes-only pool the
+    * rerank query uses (see [[Embeddings.mmrSelect]]).
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir); val q = queryVectors(spark, dir)
+    Embeddings.mmrSelect(v, q,
+      Embeddings.ivfPqTopK(v, q, NumCentroids, NProbe, RerankR), K)
+  }
+
   /** Cosine threshold for the near-dup query (the harness data's top pair is
     * ~0.51, so 0.45 yields a small, stable set).
     */
@@ -316,6 +325,7 @@ object EmbeddingQueries {
     "q_ivfpq_recall" -> (ivfPqRecall _),
     "q_ivfpq_rerank" -> (ivfPqRerank _),
     "q_ivfpq_rerank_recall" -> (ivfPqRerankRecall _),
+    "q_mmr_topk" -> (mmrTopK _),
     "q_decon_semantic" -> (semanticDecon _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
@@ -501,6 +511,51 @@ object EmbeddingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM rrscore) WHERE rank <= $K)
+     """
+
+  /** MMR CTEs appended to [[rerankCte]]: pairwise exact cosines among the
+    * pool (`msim`), then the greedy selection as a RECURSIVE CTE — one row
+    * per (query, step) carrying the selected-id list; each step picks
+    * `max(struct(score, −id, id))` over the unselected pool, where score =
+    * `0.7·rel − 0.3·max sim-to-selected` (λ written as the literals 0.7/0.3
+    * in both engines — `1 − 0.7` is a DIFFERENT double) and the −id field
+    * realizes the smaller-id tie-break. Step 1 is the pure-relevance argmax
+    * (row_number seed). The recursion references the working table once and
+    * groups by the list-typed selection state — both DuckDB-legal.
+    */
+  private lazy val mmrCte =
+    s""", msim AS (
+          SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+            (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+              / (na.nm * nb.nm)) AS sim
+          FROM ivfpqcand a JOIN ivfpqcand b
+            ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+          JOIN v va ON va.vec_id = a.neighbor_id
+          JOIN v vb ON vb.vec_id = b.neighbor_id
+          JOIN nrm na ON na.vec_id = a.neighbor_id
+          JOIN nrm nb ON nb.vec_id = b.neighbor_id),
+        mmr(query_id, step, sel, chosen) AS (
+          SELECT query_id, 1, [neighbor_id], neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rn
+            FROM rrscore) WHERE rn = 1
+          UNION ALL
+          SELECT t.query_id, t.step + 1, list_append(t.sel, t.best.a), t.best.a
+          FROM (
+            SELECT m.query_id, m.step, m.sel,
+              max(struct_pack(
+                s := 0.7 * r.score - 0.3 * (
+                  SELECT max(ms.sim) FROM msim ms
+                  WHERE ms.query_id = m.query_id AND ms.ida = r.neighbor_id
+                    AND list_contains(m.sel, ms.idb)),
+                i := -r.neighbor_id,
+                a := r.neighbor_id)) AS best
+            FROM mmr m JOIN rrscore r
+              ON r.query_id = m.query_id
+                AND NOT list_contains(m.sel, r.neighbor_id)
+            WHERE m.step < $K
+            GROUP BY m.query_id, m.step, m.sel) t)
      """
 
   /** SRP oracle CTEs: the hyperplane signs, banded signatures, bucket-join
@@ -710,6 +765,13 @@ object EmbeddingQueries {
          LEFT JOIN reranked a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
+    // greedy diversified selection over the same pool — the recursion is the
+    // oracle's sequential twin of the per-group flatMapGroups loop. DuckDB's
+    // WITH RECURSIVE needs the RECURSIVE keyword on the shared WITH, hence
+    // the replace.
+    "q_mmr_topk" -> (base + pqCtes + ivfPqCte + rerankCte + mmrCte +
+      "SELECT query_id, chosen AS neighbor_id, step::BIGINT AS step FROM mmr")
+      .replaceFirst("WITH ", "WITH RECURSIVE "),
     "q_decon_semantic" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           nrm AS (SELECT vec_id,

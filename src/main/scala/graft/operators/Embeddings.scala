@@ -511,6 +511,29 @@ object Embeddings {
       }
       .start()
 
+  /** Stream-served retrieve-then-rerank — [[ivfPqProbeSink]] with the refine
+    * stage: each query micro-batch retrieves its ADC top-`r` pool from the
+    * pre-built codes index, then exact-reranks against the static float
+    * `vectorStore` ([[ivfPqRerankFromIndex]]). Per-trigger working set =
+    * index + codebook + centroids + the queries×r store rows the candidate
+    * equi-join fetches; per-batch plans see static frames, so streamed
+    * answers are exactly the batch rerank's (spec-asserted).
+    */
+  def rerankProbeSink(queryStream: DataFrame, codes: DataFrame, assigned: DataFrame,
+                      centroids: DataFrame, codebook: DataFrame,
+                      vectorStore: DataFrame, nProbe: Int, r: Int, k: Int,
+                      checkpointDir: String)
+                     (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          onBatch(ivfPqRerankFromIndex(codes, assigned, batch.toDF(), centroids,
+            codebook, vectorStore, nProbe, r, k))
+      }
+      .start()
+
   /** Streaming IVF∘PQ index MAINTENANCE — the build-side complement of
     * [[ivfPqProbeSink]]: newly-arriving vectors are encoded per micro-batch
     * against the FROZEN codebook and centroid set, and the resulting
@@ -935,18 +958,41 @@ object Embeddings {
     * pool repairs nearly all of PQ's quantization loss.
     */
   def ivfPqRerank(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-                  nProbe: Int, r: Int, k: Int): DataFrame = {
-    val cands = ivfPqTopK(vectors, queries, numCentroids, nProbe, r)
-      .select(col("query_id"), col("neighbor_id"))
-    val n = vectors.select(col("vec_id").as("neighbor_id"),
+                  nProbe: Int, r: Int, k: Int): DataFrame =
+    exactRerank(vectors, queries,
+      ivfPqTopK(vectors, queries, numCentroids, nProbe, r), k)
+
+  /** The refine stage alone: exact-cosine re-score of an explicit
+    * (query_id, neighbor_id) candidate pool against a float `vectorStore`,
+    * cut at top-k. The store is touched for candidate rows only (id
+    * equi-join — in production a bucketed table keyed on the vector id, so
+    * the fetch is a point-lookup join, never a scan-wide distance pass).
+    */
+  def exactRerank(vectorStore: DataFrame, queries: DataFrame,
+                  candidates: DataFrame, k: Int): DataFrame = {
+    val n = vectorStore.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"), l2Norm(col("embedding")).as("n_norm"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
-    val scored = cands.join(n, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+    val scored = candidates.select("query_id", "neighbor_id")
+      .join(n, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("score",
         dotD(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
     topKPerQuery(scored.select("query_id", "score", "neighbor_id"), k)
   }
+
+  /** [[ivfPqRerank]] served from a PRE-BUILT index (see
+    * [[ivfPqTopKFromIndex]]) plus the float `vectorStore` side-table the
+    * refine stage fetches candidates from — the full production serving
+    * shape: ADC pool from codes alone, then queries×r point-lookups into
+    * the store.
+    */
+  def ivfPqRerankFromIndex(codes: DataFrame, assigned: DataFrame,
+                           queries: DataFrame, centroids: DataFrame,
+                           cb: DataFrame, vectorStore: DataFrame, nProbe: Int,
+                           r: Int, k: Int): DataFrame =
+    exactRerank(vectorStore, queries,
+      ivfPqTopKFromIndex(codes, assigned, queries, centroids, cb, nProbe, r), k)
 
   /** [[ivfPqRerank]]-vs-exact recall per query — what the rerank stage buys
     * back of [[ivfPqRecall]]'s quantization loss at pool size `r`.

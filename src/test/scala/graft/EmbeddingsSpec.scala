@@ -354,6 +354,50 @@ class EmbeddingsSpec extends SparkSpec {
     assert(batch.map(_._1) === queryIds.toSet)
   }
 
+  /** Stream-served refine parity: micro-batched queries through
+    * [[Embeddings.rerankProbeSink]] (ADC pool from the pre-built index, exact
+    * rerank against the static float store) must equal the batch
+    * [[Embeddings.ivfPqRerank]] for the same query set — the refine stage's
+    * store fetch is a per-batch candidate equi-join against a static frame,
+    * so trigger chunking is invisible.
+    */
+  test("rerankProbeSink: streamed rerank equals the batch retrieve-then-rerank") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val centroids = corpus.filter(col("vec_id") < 16)
+    val codebook = Embeddings.pqCodebook(corpus).cache()
+    val codes = Embeddings.pqEncode(corpus, codebook)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      .localCheckpoint(true)
+    val assigned = Embeddings.ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+      .localCheckpoint(true)
+    val queryIds = Seq(3L, 17L, 31L, 45L)
+    val queryRows = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = Embeddings.rerankProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), codes, assigned, centroids, codebook,
+      vectorStore = corpus, nProbe = 4, r = 20, k = 5,
+      java.nio.file.Files.createTempDirectory("rerank-ck").toString) { res =>
+      got.synchronized { got ++= res.as[(Long, Long, Int)].collect() }
+      ()
+    }
+    queryRows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val batch = Embeddings.ivfPqRerank(corpus,
+        corpus.filter(col("vec_id").isin(queryIds: _*)), numCentroids = 16,
+        nProbe = 4, r = 20, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    corpus.unpersist(); codebook.unpersist()
+    assert(got.synchronized(got.toSet) === batch)
+    assert(batch.map(_._1) === queryIds.toSet)
+  }
+
   /** Build-side streaming parity: vectors ingested across micro-batches and
     * encoded against the frozen quantizers ([[Embeddings.indexIngestSink]])
     * must append exactly the batch [[Embeddings.pqEncode]]/

@@ -917,6 +917,130 @@ object Embeddings {
     topKPerQuery(scored.select("query_id", "score", "neighbor_id"), k)
   }
 
+  /** Residual frame for residual quantization: each vector minus its
+    * assigned centroid, re-narrowed to float (`float(double(v_i) −
+    * double(c_i))` — float subtraction would round identically, but the
+    * explicit double round-trip is the form the oracle mirrors). The
+    * centroid prefix residualizes to exact zero (a centroid assigns to
+    * itself), which is why the residual CODEBOOK must never come from the
+    * first-C convention — see [[ivfPqResidualTopK]].
+    */
+  def residualVectors(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    vectors.join(ivfAssign(vectors, centroids), Seq("vec_id"))
+      .join(broadcast(c), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        expr("zip_with(embedding, c_emb, (a, b) -> " +
+          "CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT))").as("embedding"))
+  }
+
+  /** IVF∘PQ on RESIDUALS — the true FAISS IVFPQ formulation: PQ encodes
+    * `v − c(v)` instead of `v`, so the quantizer spends its 8 codes on the
+    * (much smaller) within-bucket displacement rather than re-describing the
+    * bucket location the IVF assignment already pins. ADC reconstruction per
+    * candidate d in bucket b: `dot(q, ĉ) = dot(q, c_b) + Σ_m dot(q_m, cw)`
+    * and `‖ĉ‖² = ‖c_b‖² + 2·Σ_m dot(c_b,m, cw) + Σ_m ‖cw‖²` — the
+    * centroid terms are exact per-(query, bucket) / per-bucket constants;
+    * only the Σ_m terms are quantized, each e6-floored to integers so the
+    * cross-partition sums stay order-independent (the [[pqTopKWith]]
+    * discipline). Serving working set = codes + residual codebook +
+    * centroids + two tiny precomputed tables (C×M×K centroid-codeword dots,
+    * C centroid norms); the float corpus appears in no serving plan.
+    *
+    * The residual codebook is first-[[PqK]]-AFTER-the-centroid-prefix
+    * (ids C..C+15, shifted to codes 0..15): the centroid prefix's residuals
+    * are exactly zero (a centroid assigns to itself), so the first-C
+    * convention would yield an all-zero degenerate codebook.
+    *
+    * Measured (16 centroids, nProbe 4, k 10, vs plain [[ivfPqTopK]]): top-10
+    * recall 0.295 → 0.365 at sf0.01 (+24% at the same code budget, two extra
+    * broadcast-table joins); a wash at sf0.001 (0.375 → 0.37 — 500 vectors
+    * give the 16-point residual codebook too little structure to learn).
+    * Production would train both codebooks; the formulation's win grows with
+    * corpus size as buckets tighten around their centroids.
+    */
+  def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+                        nProbe: Int, k: Int): DataFrame = {
+    val cents = firstCentroids(vectors, numCentroids)
+    val res = residualVectors(vectors, cents)
+    val rcb = pqCodebook(res.filter(col("vec_id") >= numCentroids)
+      .select((col("vec_id") - numCentroids).as("vec_id"), col("embedding")))
+    val codes = pqEncode(res.select("vec_id", "embedding"), rcb)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val assigned = res.select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    ivfPqResidualTopKFromIndex(codes, assigned, queries, cents, rcb, nProbe, k)
+  }
+
+  /** [[ivfPqResidualTopK]] served from a pre-built residual index (the
+    * [[ivfPqTopKFromIndex]] counterpart).
+    */
+  def ivfPqResidualTopKFromIndex(codes: DataFrame, assigned: DataFrame,
+                                 queries: DataFrame, centroids: DataFrame,
+                                 rcb: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_norm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_score").desc, col("cent_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_norm"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_score",
+        dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("cent_id"), col("q_norm"),
+        dotD(col("q_emb"), col("c_emb")).as("qcdot"))
+
+    val qtab = queries.crossJoin(broadcast(rcb))
+      .select(col("vec_id").as("query_id"), col("m"), col("k").as("code"),
+        floor(dotD(expr(s"slice(embedding, m * $PqDsub + 1, $PqDsub)"), col("cw"))
+          * lit(1e6)).cast("long").as("qdot_e6"),
+        floor(dotD(col("cw"), col("cw")) * lit(1e6)).cast("long").as("cwn2_e6"))
+    val ccw = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(rcb))
+      .select(col("cent_id"), col("m"), col("k").as("code"),
+        floor(dotD(expr(s"slice(c_emb, m * $PqDsub + 1, $PqDsub)"), col("cw"))
+          * lit(1e6)).cast("long").as("ccw_e6"))
+    val centn2 = centroids.select(col("vec_id").as("cent_id"),
+      dotD(col("embedding"), col("embedding")).as("cn2"))
+
+    val cands = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = cands.join(codes, Seq("neighbor_id"))
+      .join(broadcast(qtab), Seq("query_id", "m", "code"))
+      .join(broadcast(ccw), Seq("cent_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cent_id"),
+        col("qcdot"), col("q_norm"))
+      .agg(sum(col("qdot_e6")).as("rq_e6"), sum(col("cwn2_e6")).as("rn2_e6"),
+        sum(col("ccw_e6")).as("cc_e6"))
+      .join(broadcast(centn2), Seq("cent_id"))
+      .withColumn("score",
+        (col("qcdot") + col("rq_e6").cast("double") / lit(1e6)) /
+        (col("q_norm") * sqrt(greatest(
+          col("cn2") + lit(2d) * col("cc_e6").cast("double") / lit(1e6)
+            + col("rn2_e6").cast("double") / lit(1e6),
+          lit(1e-30)))))
+    topKPerQuery(scored.select("query_id", "score", "neighbor_id"), k)
+  }
+
+  /** [[ivfPqResidualTopK]]-vs-exact recall per query — what the residual
+    * formulation buys over [[ivfPqRecall]] at the same code budget.
+    */
+  def ivfPqResidualRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+                          nProbe: Int, k: Int): DataFrame = {
+    val exact = knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqResidualTopK(vectors, queries, numCentroids, nProbe, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.alias("e")
+      .join(approx.alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+        col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
+  }
+
   /** IVF∘PQ-vs-exact recall per query — the end-to-end fidelity of the
     * composed index (blocking loss × quantization loss), next to
     * [[ivfRecall]] and [[pqRecall]] which price each stage alone.

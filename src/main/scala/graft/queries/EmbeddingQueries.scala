@@ -77,6 +77,14 @@ object EmbeddingQueries {
     Embeddings.ivfPqRerankRecall(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, RerankR, K)
 
+  def ivfPqResidualTopK(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfPqResidualTopK(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, K)
+
+  def ivfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfPqResidualRecall(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, NProbe, K)
+
   /** MMR-diversified top-[[K]] over the same IVF∘PQ codes-only pool the
     * rerank query uses (see [[Embeddings.mmrSelect]]).
     */
@@ -326,6 +334,8 @@ object EmbeddingQueries {
     "q_ivfpq_rerank" -> (ivfPqRerank _),
     "q_ivfpq_rerank_recall" -> (ivfPqRerankRecall _),
     "q_mmr_topk" -> (mmrTopK _),
+    "q_ivfpq_res_topk" -> (ivfPqResidualTopK _),
+    "q_ivfpq_res_recall" -> (ivfPqResidualRecall _),
     "q_decon_semantic" -> (semanticDecon _),
     "q_embed_neardup" -> (cosineNearDup _),
     "q_embed_neardup_ivf" -> (ivfNearDup _),
@@ -511,6 +521,80 @@ object EmbeddingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM rrscore) WHERE rank <= $K)
+     """
+
+  /** Residual IVF∘PQ CTEs appended to [[base]] (they need only v/nrm/q/c/
+    * assign/probes, not the raw-vector PQ CTEs): per-vector residual
+    * `float(double(v_i) − double(c_i))` re-widened to double — the same
+    * narrow-then-widen the Spark `zip_with` performs — then codebook from
+    * residuals [[NumCentroids]]..[[NumCentroids]]+15 (the centroid prefix
+    * residualizes to exact zero), argmin encode, the query/centroid ADC
+    * tables with every Σ_m term e6-floored, and the reconstructed-norm
+    * score `(dot(q,c) + Σqdot) / (‖q‖·√(‖c‖² + 2Σccw + Σcwn2))`.
+    */
+  private lazy val residualCtes =
+    s""", rres AS (
+          SELECT v.vec_id, a.cent_id,
+            list_transform(range(1, 65),
+              i -> CAST(CAST(v.e[i] - c.ce[i] AS FLOAT) AS DOUBLE)) AS re
+          FROM v JOIN assign a ON a.vec_id = v.vec_id
+          JOIN c ON c.cent_id = a.cent_id),
+        rcbk AS (
+          SELECT t.m, CAST(r.vec_id - $NumCentroids AS INT) AS k,
+                 r.re[t.m*8+1 : t.m*8+8] AS cw
+          FROM (SELECT vec_id, re FROM rres
+                WHERE vec_id >= $NumCentroids
+                  AND vec_id < ${NumCentroids + 16}) r,
+               range(0, 8) t(m)),
+        rcbn AS (SELECT m, k, cw,
+                   list_sum(list_transform(range(1, 9), i -> cw[i]*cw[i])) AS cwn2
+                 FROM rcbk),
+        rcodes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT r.vec_id, cb.m, cb.k AS code,
+              row_number() OVER (PARTITION BY r.vec_id, cb.m ORDER BY
+                (cb.cwn2 - 2 * list_sum(list_transform(range(1, 9),
+                   i -> r.re[cb.m*8+i]*cb.cw[i]))) ASC, cb.k ASC) AS rn
+            FROM rres r CROSS JOIN rcbn cb) WHERE rn = 1),
+        rqtab AS (
+          SELECT q.query_id, cb.m, cb.k AS code,
+            CAST(floor(list_sum(list_transform(range(1, 9),
+              i -> q.qe[cb.m*8+i]*cb.cw[i])) * 1000000) AS BIGINT) AS qdot_e6,
+            CAST(floor(cb.cwn2 * 1000000) AS BIGINT) AS cwn2_e6
+          FROM q CROSS JOIN rcbn cb),
+        ccw AS (
+          SELECT c.cent_id, cb.m, cb.k AS code,
+            CAST(floor(list_sum(list_transform(range(1, 9),
+              i -> c.ce[cb.m*8+i]*cb.cw[i])) * 1000000) AS BIGINT) AS ccw_e6
+          FROM c CROSS JOIN rcbn cb),
+        centn2 AS (SELECT cent_id,
+            list_sum(list_transform(range(1, 65), i -> ce[i]*ce[i])) AS cn2
+          FROM c),
+        qcd AS (SELECT q.query_id, c.cent_id,
+            list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS qcdot
+          FROM q CROSS JOIN c),
+        rivfpqscore AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            (qcd.qcdot + CAST(sum(t.qdot_e6) AS DOUBLE) / 1000000.0)
+              / (nq.nm * sqrt(greatest(
+                  cn.cn2 + 2 * CAST(sum(w.ccw_e6) AS DOUBLE) / 1000000.0
+                    + CAST(sum(t.cwn2_e6) AS DOUBLE) / 1000000.0,
+                  1e-30))) AS score
+          FROM probes p
+          JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+          JOIN rcodes rc ON rc.vec_id = a.vec_id
+          JOIN rqtab t ON t.query_id = p.query_id AND t.m = rc.m AND t.code = rc.code
+          JOIN ccw w ON w.cent_id = a.cent_id AND w.m = rc.m AND w.code = rc.code
+          JOIN qcd ON qcd.query_id = p.query_id AND qcd.cent_id = a.cent_id
+          JOIN centn2 cn ON cn.cent_id = a.cent_id
+          JOIN nrm nq ON nq.vec_id = p.query_id
+          GROUP BY p.query_id, a.vec_id, nq.nm, qcd.qcdot, cn.cn2),
+        rivfpq AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM rivfpqscore) WHERE rank <= $K)
      """
 
   /** MMR CTEs appended to [[rerankCte]]: pairwise exact cosines among the
@@ -763,6 +847,16 @@ object EmbeddingQueries {
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
          FROM exact e
          LEFT JOIN reranked a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id"""),
+    // residual IVF-PQ: PQ on v - c(v), centroid terms exact, residual terms
+    // e6-floored ADC sums
+    "q_ivfpq_res_topk" -> (base + residualCtes +
+      "SELECT query_id, neighbor_id, rank FROM rivfpq"),
+    "q_ivfpq_res_recall" -> (base + residualCtes +
+      """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+         FROM exact e
+         LEFT JOIN rivfpq a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
     // greedy diversified selection over the same pool — the recursion is the

@@ -506,7 +506,22 @@ object TextQueries {
   def spanScrub(spark: SparkSession, dir: String): DataFrame =
     spanScrubOf(docs(spark, dir))
 
+  /** Deterministic tagging dictionary for `q_phrase_tags` — multi-token
+    * phrases over the harness vocabulary (one 3-gram to exercise length > 2;
+    * hit volume is data-dependent, and zero-hit phrases are simply absent
+    * from the inner-join output on BOTH engines).
+    */
+  val TagPhrases: Seq[String] = Seq(
+    "hash join", "table scan", "stream column", "window join",
+    "order fast", "merge sort", "order order scan")
+
+  /** Dictionary phrase tagging (see [[graft.operators.PhraseTag]]). */
+  def phraseTags(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PhraseTag.tagPhrases(docs(spark, dir), "doc_id", "text",
+      TagPhrases)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_tags" -> (phraseTags _),
     "q_gopher_rules" -> (gopherRules _),
     "q_span_scrub" -> (spanScrub _),
     "q_bpe_pairs" -> (bpePairs _),
@@ -545,6 +560,20 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   val oracleSql: Map[String, String] = Map(
+    // every start position whose slice joins back to the phrase counts once;
+    // overlapping starts each count, end-truncated slices cannot equal the
+    // full phrase string
+    "q_phrase_tags" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         p(phrase, n_toks) AS (VALUES
+           ${TagPhrases.map(ph => s"('$ph', ${ph.split(" ").length})").mkString(", ")}),
+         pos AS (SELECT doc_id, t, i
+                 FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+         m AS (SELECT doc_id, p.phrase
+               FROM pos JOIN p
+                 ON array_to_string(t[i : i + n_toks - 1], ' ') = p.phrase)
+         SELECT doc_id, phrase, count(*)::BIGINT AS hits
+         FROM m GROUP BY 1, 2""",
     // the Gopher rule battery replayed: same (doc_id, term) two-hop rollup,
     // same Java∩RE2 predicates, same integer thresholds
     "q_gopher_rules" ->

@@ -192,6 +192,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),
       "q_passage_overlap" -> Set("doc_id", "text"),
       "q_winnow" -> Set("doc_id", "text"),
+      "q_phrase_tags" -> Set("doc_id", "text"),
       "q_doc_rank" -> Set("doc_id", "text"),
       "q_bm25_topk" -> Set("doc_id", "text"),
       "q_lm_score" -> Set("doc_id", "text"),

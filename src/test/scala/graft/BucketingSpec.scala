@@ -82,4 +82,56 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS li_b2")
     }
   }
+
+  /** The ANN serving index as a bucketed layout: the per-query candidate join
+    * `cands ⋈ codes ON neighbor_id` ([[Embeddings.ivfPqTopKFromIndex]]) is
+    * the one serving-time join that touches the INDEX-SIZED side — bucketing
+    * the codes table by neighbor_id at index-build time removes that side's
+    * shuffle from every probe (the small probed-candidate side still
+    * repartitions to match the bucket count; at 100 TB the asymmetry is the
+    * whole point). Results must be identical to the raw-parquet path.
+    */
+  test("a bucketed codes index serves IVF-PQ top-k without shuffling the index side") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Embeddings
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("annbuckets").toString
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = corpus.filter(col("vec_id") < 16)
+    val cb = Embeddings.pqCodebook(corpus)
+    val codes = Embeddings.pqEncode(corpus, cb)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val assigned = Embeddings.ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    // materialize both layouts of the SAME index rows
+    codes.write.mode("overwrite").parquet(s"$tmp/codes_raw")
+    Bucketing.writeBucketed(codes, "codes_b", s"$tmp/codes_b", buckets = 4,
+      keys = Seq("neighbor_id"), sortKeys = Seq("neighbor_id"))
+    val queries = corpus.filter(col("vec_id") < 4)
+    val broadcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(broadcastKey)
+    spark.conf.set(broadcastKey, "-1") // SMJ everywhere a hint doesn't force BHJ
+    try {
+      def serve(codesDf: org.apache.spark.sql.DataFrame): (Int, Set[(Long, Long, Int)]) = {
+        val res = Embeddings.ivfPqTopKFromIndex(codesDf, assigned, queries,
+          centroids, cb, nProbe = 4, k = 5)
+        res.write.format("noop").mode("overwrite").save()
+        val ex = collectPlan(res.queryExecution.executedPlan)
+          .collect { case e: ShuffleExchangeExec => e }
+        (ex.size, res.as[(Long, Long, Int)].collect().toSet)
+      }
+      val (rawEx, rawRes) = serve(spark.read.parquet(s"$tmp/codes_raw"))
+      val (bEx, bRes) = serve(spark.table("codes_b"))
+      assert(bRes === rawRes, "bucketed serving changed the results")
+      assert(rawRes.nonEmpty)
+      assert(bEx < rawEx,
+        s"bucketed codes side still shuffles: $bEx exchanges vs raw $rawEx")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(broadcastKey, v)
+        case None => spark.conf.unset(broadcastKey)
+      }
+      spark.sql("DROP TABLE IF EXISTS codes_b")
+    }
+  }
 }

@@ -301,6 +301,23 @@ object Embeddings {
     recallOf(cosineNearDupPairs(vectors, threshold),
       ivfNearDupPairs(vectors, numCentroids, nAssign, threshold))
 
+  /** Per-query top-k recall of an arbitrary approximate ranking vs the exact
+    * [[knnExact]] baseline — |approx ∩ exact| and k per query (global recall
+    * = Σhits / Σk); the ONE aggregation every ANN-tier recall query reports
+    * through, so a tie/null-handling change lands everywhere at once.
+    */
+  private def knnRecallOf(vectors: DataFrame, queries: DataFrame, k: Int,
+                          approx: DataFrame): DataFrame = {
+    val exact = knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.alias("e")
+      .join(approx.select(col("query_id"), col("neighbor_id")).alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+        col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
+  }
+
   /** Pair recall of an arbitrary blocked pair set vs an exact baseline. */
   private def recallOf(exact: DataFrame, blocked: DataFrame): DataFrame =
     exact.alias("e")
@@ -602,18 +619,8 @@ object Embeddings {
   /** SQ8-vs-exact recall per query — how much ranking fidelity the 4x
     * compression costs, measured the same way as [[ivfRecall]].
     */
-  def sq8Recall(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val exact = knnExact(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = sq8TopK(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(approx.alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-        col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
-  }
+  def sq8Recall(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    knnRecallOf(vectors, queries, k, sq8TopK(vectors, queries, k))
 
   // ---------------------------------------------------- product quantization
 
@@ -1028,36 +1035,18 @@ object Embeddings {
     * formulation buys over [[ivfPqRecall]] at the same code budget.
     */
   def ivfPqResidualRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-                          nProbe: Int, k: Int): DataFrame = {
-    val exact = knnExact(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfPqResidualTopK(vectors, queries, numCentroids, nProbe, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(approx.alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-        col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
-  }
+                          nProbe: Int, k: Int): DataFrame =
+    knnRecallOf(vectors, queries, k,
+      ivfPqResidualTopK(vectors, queries, numCentroids, nProbe, k))
 
   /** IVF∘PQ-vs-exact recall per query — the end-to-end fidelity of the
     * composed index (blocking loss × quantization loss), next to
     * [[ivfRecall]] and [[pqRecall]] which price each stage alone.
     */
   def ivfPqRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-                  nProbe: Int, k: Int): DataFrame = {
-    val exact = knnExact(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfPqTopK(vectors, queries, numCentroids, nProbe, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(approx.alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-        col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
-  }
+                  nProbe: Int, k: Int): DataFrame =
+    knnRecallOf(vectors, queries, k,
+      ivfPqTopK(vectors, queries, numCentroids, nProbe, k))
 
   /** Two-stage retrieve-then-rerank — the FAISS "refine" serving pattern:
     * IVF∘PQ ADC retrieves a top-`r` candidate pool per query (r ≫ k, codes
@@ -1122,18 +1111,9 @@ object Embeddings {
     * back of [[ivfPqRecall]]'s quantization loss at pool size `r`.
     */
   def ivfPqRerankRecall(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-                        nProbe: Int, r: Int, k: Int): DataFrame = {
-    val exact = knnExact(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfPqRerank(vectors, queries, numCentroids, nProbe, r, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(approx.alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-        col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
-  }
+                        nProbe: Int, r: Int, k: Int): DataFrame =
+    knnRecallOf(vectors, queries, k,
+      ivfPqRerank(vectors, queries, numCentroids, nProbe, r, k))
 
   /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) diversified
     * top-k over an explicit candidate pool: greedily select k of the pool,
@@ -1165,7 +1145,11 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"), col("n_emb"), col("q_emb"))
       .as[(Long, Long, Array[Float], Array[Float])]
     rows.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Float], Array[Float])]) =>
-      val cs = it.toArray
+      // a pool generator may emit duplicate (query, neighbor) rows (e.g. a
+      // union of two generators); keep one copy per id — the oracle's
+      // NOT list_contains exclusion drops every copy after the first, and
+      // per-index selection state would otherwise emit the id twice
+      val cs = it.toArray.distinctBy(_._2)
       def dot(a: Array[Float], b: Array[Float]): Double = {
         var s = 0.0; var i = 0
         while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -1217,18 +1201,8 @@ object Embeddings {
     * [[pqCodebookRefined]] buys vs the first-C convention.
     */
   def pqRecallWith(vectors: DataFrame, queries: DataFrame, cb: DataFrame,
-                   k: Int): DataFrame = {
-    val exact = knnExact(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = pqTopKWith(vectors, queries, cb, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(approx.alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-        col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
-  }
+                   k: Int): DataFrame =
+    knnRecallOf(vectors, queries, k, pqTopKWith(vectors, queries, cb, k))
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering first, then resolving duplicates WITHIN each cluster only,
@@ -1296,16 +1270,7 @@ object Embeddings {
 
   /** KNN recall over an explicit centroid set (see [[ivfTopKWith]]). */
   def ivfRecallWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
-                    nProbe: Int, k: Int): DataFrame = {
-    val exact = knnExact(vectors, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfTopKWith(vectors, queries, centroids, nProbe, k)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(approx.alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-        col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
-  }
+                    nProbe: Int, k: Int): DataFrame =
+    knnRecallOf(vectors, queries, k,
+      ivfTopKWith(vectors, queries, centroids, nProbe, k))
 }

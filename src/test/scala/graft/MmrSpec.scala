@@ -52,4 +52,15 @@ class MmrSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.length == 2 && out.map(_._1).distinct.length == 2)
   }
+
+  test("duplicate (query, neighbor) pool rows select each id at most once") {
+    // a union of two candidate generators without distinct duplicates rows;
+    // the oracle's NOT list_contains exclusion drops the copies, so the
+    // operator must too (selection state is per id, not per pool row)
+    val out = Embeddings.mmrSelect(vecs, queries, cands.union(cands), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.length == 3, s"expected 3 selections, got ${out.toSeq}")
+    assert(out.map(_._1).distinct.length == 3)
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
 }

@@ -1144,7 +1144,61 @@ object CurationQueries {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
+  /** Dataloader worker count for the shard-plan queries. */
+  val ShardWorkers = 8L
+
+  /** Epoch-plan rows with the per-copy shuffle key and worker shard: the key
+    * hashes (doc_id, copy) TOGETHER, so two epochs of the same document land
+    * at independent shards/positions — epoch-level shuffling, not document
+    * pinning — and the draw is replayable (no RNG state, the `q_hash_sample`
+    * argument again).
+    */
+  private def shardRows(spark: SparkSession, dir: String): DataFrame =
+    epochPlan(spark, dir)
+      .withColumn("hk", TextDedup.tokenHash60(
+        concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))))
+      .withColumn("shard", pmod(col("hk"), lit(ShardWorkers)))
+
+  /** Shard plan — the LAST step of the data-loading contract after
+    * [[epochPlan]]: every replicated training row gets its dataloader worker
+    * (`shard`) and that worker's deterministic in-order read `position`
+    * (rank in md5-hash order within the shard — the replayable global
+    * shuffle). This window form sorts each shard on ONE task (1/W of the
+    * corpus — the q_token_budget scale problem verbatim), so
+    * [[shardPlanScalable]] registers the bucketed prefix-scan realization
+    * under the SAME oracle.
+    */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(col("hk").asc, col("doc_id").asc, col("copy").asc)
+    shardRows(spark, dir)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select("doc_id", "copy", "shard", "position")
+  }
+
+  /** [[shardPlan]] through [[graft.operators.PrefixScan]]: the in-shard
+    * position is the within-shard running count of 1s in hash order, i.e.
+    * exactly a grouped prefix scan — group = shard, sort key = hk, row id =
+    * doc_id·2²⁰ + copy (monotone in (doc_id, copy); caps copies per doc at
+    * 2²⁰, orders of magnitude above any schedule's epoch count). No shard
+    * ever sorts on one task; registered under the identical oracle.
+    */
+  def shardPlanScalable(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1L << 20
+    val r = shardRows(spark, dir).select(
+      col("shard").as("lang_id"), col("hk"),
+      (col("doc_id") * P + col("copy")).as("doc_id"), lit(1L).as("n_tokens"))
+    graft.operators.PrefixScan.langTokenCumsum(r)
+      .select(expr(s"doc_id div ${P}L").as("doc_id"),
+        pmod(col("doc_id"), lit(P)).as("copy"),
+        col("lang_id").as("shard"),
+        col("cum_tokens").as("position"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_plan" -> (shardPlan _),
+    "q_shard_plan_scan" -> (shardPlanScalable _),
     "q_epoch_plan" -> (epochPlan _),
     "q_passage_overlap" -> (passageOverlap _),
     "q_winnow" -> (winnowOverlap _),
@@ -1396,6 +1450,46 @@ object CurationQueries {
           FROM h)
         SELECT doc_id, lang_id, n_tokens, cum_tokens
         FROM c WHERE cum_tokens <= $TokenBudget"""
+
+  /** The epoch materializer mirrored as reusable CTEs (`e` = the replicated
+    * row multiset) — the `q_epoch_plan` oracle body, shared with the
+    * shard-plan oracles that consume the same multiset.
+    */
+  private lazy val epochPlanCtes =
+    s"""WITH n AS (
+           SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         s AS (SELECT source, n_tokens,
+                      CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s FROM n),
+         t AS (SELECT sum(s)::BIGINT AS s_tot FROM s),
+         sched AS (
+           SELECT source,
+                  (($EpochBudgetTokens * ((s * 1000000) // s_tot)) // n_tokens)::BIGINT AS epochs_e6
+           FROM s CROSS JOIN t),
+         c AS (
+           SELECT d.doc_id, d.source,
+                  (epochs_e6 // 1000000
+                   + CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 1000000 < epochs_e6 % 1000000
+                          THEN 1 ELSE 0 END)::BIGINT AS n_copies
+           FROM documents d JOIN sched USING (source)),
+         e AS (
+           SELECT doc_id, source, u.copy::BIGINT AS copy
+           FROM c, unnest(CASE WHEN n_copies >= 1 THEN generate_series(1, n_copies) ELSE [] END) AS u(copy))
+     """
+
+  /** Shard assignment + in-shard rank over the epoch multiset — the hash is
+    * of `doc_id || ':' || copy` so every replica draws independently.
+    */
+  private lazy val shardPlanOracle = epochPlanCtes +
+    s""", h AS (
+          SELECT doc_id, copy,
+            CAST('0x' || substring(md5(doc_id || ':' || copy), 1, 15) AS BIGINT) AS hk
+          FROM e)
+        SELECT doc_id, copy, hk % $ShardWorkers AS shard,
+          row_number() OVER (PARTITION BY hk % $ShardWorkers
+            ORDER BY hk ASC, doc_id ASC, copy ASC)::BIGINT AS position
+        FROM h"""
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_rank" -> docRankOracle,
@@ -1704,26 +1798,14 @@ object CurationQueries {
     // the mixture schedule replayed, then the per-doc systematic-rounding
     // draw (60-bit md5 hash mod 1e6, the q_hash_sample equivalence) and the
     // copy fan-out
-    "q_epoch_plan" ->
-      s"""WITH n AS (
-           SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-           FROM documents GROUP BY source),
-         s AS (SELECT source, n_tokens,
-                      CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s FROM n),
-         t AS (SELECT sum(s)::BIGINT AS s_tot FROM s),
-         sched AS (
-           SELECT source,
-                  (($EpochBudgetTokens * ((s * 1000000) // s_tot)) // n_tokens)::BIGINT AS epochs_e6
-           FROM s CROSS JOIN t),
-         c AS (
-           SELECT d.doc_id, d.source,
-                  (epochs_e6 // 1000000
-                   + CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-                            % 1000000 < epochs_e6 % 1000000
-                          THEN 1 ELSE 0 END)::BIGINT AS n_copies
-           FROM documents d JOIN sched USING (source))
-         SELECT doc_id, source, u.copy::BIGINT AS copy
-         FROM c, unnest(CASE WHEN n_copies >= 1 THEN generate_series(1, n_copies) ELSE [] END) AS u(copy)""",
+    "q_epoch_plan" -> (epochPlanCtes +
+      "SELECT doc_id, source, copy FROM e"),
+    // the epoch multiset sharded for W dataloader workers: per-copy 60-bit
+    // hash -> shard = hk % W, position = rank in (hk, doc_id, copy) order
+    // within the shard; ONE oracle for the window form and the prefix-scan
+    // realization
+    "q_shard_plan" -> shardPlanOracle,
+    "q_shard_plan_scan" -> shardPlanOracle,
     "q_mixture_weights" ->
       """WITH n AS (
            SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

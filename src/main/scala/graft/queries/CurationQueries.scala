@@ -1144,6 +1144,44 @@ object CurationQueries {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
+  /** Curriculum phases — order training data easy→hard: per language, every
+    * document is assigned a difficulty quartile of its [[lmScore]] bigram-LM
+    * score (phase 1 = most predictable text = the warm-up phase of a
+    * curriculum-learning schedule; docs the model scored unscorable,
+    * `lm_score_e6 = 0`, land in phase 4). Thresholds are EXACT per-language
+    * order statistics computed from the (lang, score) HISTOGRAM — the
+    * [[qualityQuantileGate]] trick: one aggregation to ≤10⁶ cells per
+    * language, a cumulative window over those cells (never documents), all
+    * three quartile boundaries read from one conditional-max pass, and the
+    * 3-row-per-language threshold table broadcast back. A
+    * `ntile`-over-documents formulation would sort every language partition
+    * on one task; value-threshold quartiles also stay deterministic under
+    * ties (tied scores share a phase — sizes flex, assignment never does).
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val lang = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang_id"))
+    val s = lmScore(spark, dir).select(col("doc_id"), col("lm_score_e6"))
+      .join(lang, "doc_id")
+    val n = s.groupBy("lang_id").agg(count(lit(1)).as("n"))
+    val h = s.groupBy("lang_id", "lm_score_e6").agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("lm_score_e6").desc)
+    val thr = h.withColumn("cum", sum(col("c")).over(wc))
+      .join(n, "lang_id")
+      .groupBy("lang_id")
+      .agg(
+        max(when(col("cum") >= expr("(n + 3) div 4"), col("lm_score_e6"))).as("t1"),
+        max(when(col("cum") >= expr("(2*n + 3) div 4"), col("lm_score_e6"))).as("t2"),
+        max(when(col("cum") >= expr("(3*n + 3) div 4"), col("lm_score_e6"))).as("t3"))
+    s.join(broadcast(thr), "lang_id")
+      .select(col("doc_id"), col("lang_id"), col("lm_score_e6"),
+        when(col("lm_score_e6") >= col("t1"), 1L)
+          .when(col("lm_score_e6") >= col("t2"), 2L)
+          .when(col("lm_score_e6") >= col("t3"), 3L)
+          .otherwise(4L).as("phase"))
+  }
+
   /** Dataloader worker count for the shard-plan queries. */
   val ShardWorkers = 8L
 
@@ -1197,6 +1235,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> (curriculum _),
     "q_shard_plan" -> (shardPlan _),
     "q_shard_plan_scan" -> (shardPlanScalable _),
     "q_epoch_plan" -> (epochPlan _),
@@ -1806,6 +1845,48 @@ object CurationQueries {
     // realization
     "q_shard_plan" -> shardPlanOracle,
     "q_shard_plan_scan" -> shardPlanOracle,
+    // lm-score CTEs verbatim from q_lm_score, lang_id from the shared stats
+    // truth, quartile thresholds as conditional maxima over the DESC
+    // cumulative histogram — (k*n + 3) // 4 = ceil(k*n/4) from the top
+    "q_curriculum" ->
+      s"""WITH s AS ($docStatsSql
+         ), tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+           FROM tok,
+                unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i)),
+         docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
+         m1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
+                FROM m12 GROUP BY 1),
+         model AS (
+           SELECT bigram, (c12 * 1000000) // c1 AS p_e6
+           FROM m12 JOIN m1 ON string_split(m12.bigram, ' ')[1] = m1.w1),
+         sc AS (
+           SELECT doc_id, sum(n * p_e6)::BIGINT AS sp, sum(n)::BIGINT AS nb
+           FROM docbg JOIN model USING (bigram) GROUP BY 1),
+         d AS (
+           SELECT s.doc_id, s.lang_id, coalesce(sp // nb, 0) AS lm_score_e6
+           FROM s LEFT JOIN sc USING (doc_id)),
+         nn AS (SELECT lang_id, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         h AS (SELECT lang_id, lm_score_e6 AS q, count(*)::BIGINT AS c
+               FROM d GROUP BY 1, 2),
+         cum AS (
+           SELECT lang_id, q,
+                  sum(c) OVER (PARTITION BY lang_id ORDER BY q DESC) AS cum
+           FROM h),
+         thr AS (
+           SELECT c.lang_id,
+             max(CASE WHEN c.cum >= (n.n + 3) // 4 THEN c.q END) AS t1,
+             max(CASE WHEN c.cum >= (2*n.n + 3) // 4 THEN c.q END) AS t2,
+             max(CASE WHEN c.cum >= (3*n.n + 3) // 4 THEN c.q END) AS t3
+           FROM cum c JOIN nn n USING (lang_id) GROUP BY 1)
+         SELECT d.doc_id, d.lang_id, d.lm_score_e6,
+           (CASE WHEN d.lm_score_e6 >= t.t1 THEN 1
+                 WHEN d.lm_score_e6 >= t.t2 THEN 2
+                 WHEN d.lm_score_e6 >= t.t3 THEN 3
+                 ELSE 4 END)::BIGINT AS phase
+         FROM d JOIN thr t USING (lang_id)""",
     "q_mixture_weights" ->
       """WITH n AS (
            SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

@@ -220,7 +220,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_span_scrub" -> Set("doc_id", "text"),
       "q_epoch_plan" -> Set("doc_id", "text", "source"),
       "q_shard_plan" -> Set("doc_id", "text", "source"),
-      "q_shard_plan_scan" -> Set("doc_id", "text", "source")).foreach { case (name, allowed) =>
+      "q_shard_plan_scan" -> Set("doc_id", "text", "source"),
+      "q_curriculum" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
       scansOf(name)
         .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
         .foreach { scan =>

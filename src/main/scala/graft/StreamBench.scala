@@ -13,7 +13,7 @@ import graft.sinks.BalanceUpsert
 import graft.sources.{SyntheticCdc, Tables}
 import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
 
-/** Streaming throughput bench — ONE JSON line per pipeline, two pipelines:
+/** Streaming throughput bench — ONE JSON line per pipeline, three pipelines:
   *
   *   1. `stream_clean_rows_per_sec` — the composed corpus cleaner
   *      ([[graft.streaming.CorpusCleanStream]]: language/quality gates,
@@ -24,7 +24,10 @@ import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
   *      three CDC topics → watermarked dedup ×3 → two ±2 s stream-stream
   *      interval joins → filter/decode/fan-out → per-batch balance fold into
   *      the upsert store ([[graft.streaming.StreamingPipeline.dualSink]] —
-  *      the production multi-sink shape).
+  *      the production multi-sink shape);
+  *   3. `ann_serve_queries_per_sec` — the streamed ANN serving tier
+  *      ([[graft.operators.Embeddings.rerankProbeSink]]: query micro-batches
+  *      answered from the pre-built IVF∘PQ index via retrieve-then-rerank).
   *
   * Both drive the SPARK_GRAFT_SF_DIR data via MemoryStream (the only offline
   * stream source) in fixed chunks, each one micro-batch, with monotone event
@@ -174,6 +177,53 @@ object StreamBench {
     }
   }
 
+  /** The streamed ANN serving tier: the sf embeddings table's vectors ALL
+    * replayed as a query stream against the pre-built IVF∘PQ index of the
+    * same corpus, each micro-batch answered through the full
+    * retrieve-then-rerank plan ([[graft.operators.Embeddings.rerankProbeSink]]
+    * — ADC pool from codes alone, exact rerank fetching queries×r float rows
+    * from the static store). The index (codes, assignments, codebook,
+    * centroids) is built ONCE and lineage-cut — per-trigger plans see static
+    * frames only, the serving contract. `rowsOut` counts emitted top-k
+    * neighbor rows; the pipeline is stateless (no watermark state), so
+    * state_rows/bytes report 0 — the serving tier's memory is the index,
+    * not stream state.
+    */
+  def runAnnServe(spark: SparkSession, sfDir: String, chunks: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Embeddings, Lineage}
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = Lineage.cut(corpus.filter($"vec_id" < 16))
+    val codebook = Lineage.cut(Embeddings.pqCodebook(corpus))
+    val codes = Lineage.cut(Embeddings.pqEncode(corpus, codebook)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code")))
+    val assigned = Lineage.cut(Embeddings.ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id")))
+    val store = Lineage.cut(corpus)
+
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val chunkSize = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
+    val in = MemoryStream[(Long, Array[Float])]
+    var rowsOut = 0L
+    val q = Embeddings.rerankProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), codes, assigned, centroids,
+      codebook, store, nProbe = 4, r = 50, k = 10,
+      Files.createTempDirectory("annserve-ck").toString) { res =>
+      rowsOut += res.count()
+      ()
+    }
+    measured(spark) {
+      rows.grouped(chunkSize).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      (rows.length.toLong, rowsOut)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -189,6 +239,7 @@ object StreamBench {
 
     println(runCorpusClean(spark, sfDir, chunks).json("stream_clean_rows_per_sec", sfDir))
     println(runNearPipeline(spark, sfDir, chunks).json("near_pipeline_rows_per_sec", sfDir))
+    println(runAnnServe(spark, sfDir, chunks).json("ann_serve_queries_per_sec", sfDir))
     spark.stop()
   }
 }

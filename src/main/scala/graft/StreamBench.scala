@@ -62,9 +62,10 @@ object StreamBench {
     val listener = new MetricsListener(sink = m =>
       triggers.synchronized { triggers += m }).register(spark)
     val t0 = System.nanoTime()
-    val (rowsIn, rowsOut) = run
+    // the session is SHARED (serial suites, one JVM): a throwing run must not
+    // leak the listener into later pipelines/suites
+    val (rowsIn, rowsOut) = try run finally listener.unregister(spark)
     val wallSec = (System.nanoTime() - t0) / 1e9
-    listener.unregister(spark)
     val snaps = triggers.synchronized(triggers.toVector).filter(_.inputRows > 0)
     val meanBatchMs =
       if (snaps.isEmpty) 0.0 else snaps.map(_.batchDurationMs).sum.toDouble / snaps.size
@@ -91,8 +92,9 @@ object StreamBench {
     val mid = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0) / 2
     val reference = docs.filter($"doc_id" <= mid)
     val arriving = docs.filter($"doc_id" > mid)
-    val index = TextDedup.lshBandedIndex(reference, "doc_id", "text",
-      n = 3, numHashes = 32, rowsPerBand = 2).localCheckpoint(true)
+    val index = graft.operators.Lineage.cut(
+      TextDedup.lshBandedIndex(reference, "doc_id", "text",
+        n = 3, numHashes = 32, rowsPerBand = 2))
 
     val rows = arriving.as[(Long, String)].collect()
     val chunkSize = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
@@ -108,14 +110,15 @@ object StreamBench {
       ()
     }
     measured(spark) {
-      rows.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
-        in.addData(chunk.map { case (id, text) =>
-          (id, text, new Timestamp(1700000000000L + i * 1000L))
-        }.toSeq)
-        q.processAllAvailable()
-      }
-      q.stop()
-      (rows.length.toLong, rowsOut)
+      try {
+        rows.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+          in.addData(chunk.map { case (id, text) =>
+            (id, text, new Timestamp(1700000000000L + i * 1000L))
+          }.toSeq)
+          q.processAllAvailable()
+        }
+        (rows.length.toLong, rowsOut)
+      } finally q.stop()
     }
   }
 
@@ -133,7 +136,7 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cfg = TokenPipeline.Config(SyntheticCdc.TokenAddress)
-    val base = SyntheticCdc.base(Tables(spark, sfDir, "events")).localCheckpoint(true)
+    val base = graft.operators.Lineage.cut(SyntheticCdc.base(Tables(spark, sfDir, "events")))
     def feed(df: DataFrame, timeCol: String): Seq[String] =
       df.orderBy(col(timeCol)).toJSON.collect().toSeq
     val rJson = feed(SyntheticCdc.receiptsWithDups(base), "included_in_block_timestamp")
@@ -165,15 +168,16 @@ object StreamBench {
     val (rC, oC, aC) = (chunked(rJson), chunked(oJson), chunked(aJson))
     val n = Seq(rC.size, oC.size, aC.size).max
     measured(spark) {
-      (0 until n).foreach { i =>
-        rC.lift(i).foreach(c => rIn.addData(c))
-        oC.lift(i).foreach(c => oIn.addData(c))
-        aC.lift(i).foreach(c => aIn.addData(c))
-        q.processAllAvailable()
-      }
-      q.stop()
-      require(store.snapshot.nonEmpty, "balance store stayed empty — pipeline broken")
-      ((rJson.size + oJson.size + aJson.size).toLong, rowsOut)
+      try {
+        (0 until n).foreach { i =>
+          rC.lift(i).foreach(c => rIn.addData(c))
+          oC.lift(i).foreach(c => oIn.addData(c))
+          aC.lift(i).foreach(c => aIn.addData(c))
+          q.processAllAvailable()
+        }
+        require(store.snapshot.nonEmpty, "balance store stayed empty — pipeline broken")
+        ((rJson.size + oJson.size + aJson.size).toLong, rowsOut)
+      } finally q.stop()
     }
   }
 
@@ -215,12 +219,13 @@ object StreamBench {
       ()
     }
     measured(spark) {
-      rows.grouped(chunkSize).foreach { chunk =>
-        in.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-      q.stop()
-      (rows.length.toLong, rowsOut)
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          in.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        (rows.length.toLong, rowsOut)
+      } finally q.stop()
     }
   }
 

@@ -1178,7 +1178,13 @@ object Embeddings {
                 selected.foreach(j => ms = math.max(ms, sim(i, j)))
                 0.7 * rel(i) - 0.3 * ms
               }
-            if (best < 0 || s > bestScore || (s == bestScore && ids(i) < ids(best)))
+            // Double.compare, not >/==: a NaN score (zero-norm embedding)
+            // compares greater than everything and equal to itself — the
+            // same total order DuckDB's max(struct(...)) applies — where
+            // IEEE > / == would both be false and freeze the argmax on
+            // whichever row arrived first (shuffle-order nondeterminism)
+            val c = java.lang.Double.compare(s, bestScore)
+            if (best < 0 || c > 0 || (c == 0 && ids(i) < ids(best)))
               { best = i; bestScore = s }
           }
           i += 1
@@ -1232,6 +1238,13 @@ object Embeddings {
                threshold: Double): DataFrame = {
     val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
+    // the O(n·C) assignment pass feeds three subplans (both sides of the
+    // cell self-join + the keeper election's cent_cos), so the crossJoin
+    // aggregation executes more than once per run — a Lineage.cut here was
+    // MEASURED and lost (warm sf0.1: 2.30 s uncut vs 2.40-2.45 s cut): the
+    // checkpoint write outweighs re-running the cheap broadcast pass, whose
+    // cost is dwarfed by the cell self-join + CC. The r5/r9 break-even rule
+    // again — re-measure before flipping.
     val asg = vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
       .crossJoin(broadcast(c))
       .withColumn("score",

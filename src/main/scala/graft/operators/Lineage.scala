@@ -38,10 +38,14 @@ object Lineage {
     if (cutsEnabled) df.localCheckpoint(true) else df
 
   /** Run `f` with every [[cut]] in the library degraded to the identity —
-    * the plan-audit mode. Restores cuts on exit (also on exception).
+    * the plan-audit mode. Restores the PREVIOUS flag value on exit (also on
+    * exception), so nested/overlapping scopes cannot re-enable cuts inside
+    * an outer audit sweep — a silent re-enable would recreate the exact
+    * checkpoint blind spot this mechanism closes.
     */
   def withoutCuts[A](f: => A): A = {
+    val prev = cutsEnabled
     cutsEnabled = false
-    try f finally cutsEnabled = true
+    try f finally cutsEnabled = prev
   }
 }

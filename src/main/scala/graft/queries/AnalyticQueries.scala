@@ -701,14 +701,9 @@ object AnalyticQueries {
       .groupBy(col("event_type"), col("bucket"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
-    val totals = cells.groupBy("event_type")
-      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
-    cells.join(broadcast(totals), "event_type")
-      .select(col("event_type"), col("n_ref"), col("n_cur"),
-        expr("""abs(c_ref * 1000000 div greatest(n_ref, 1)
-                - c_cur * 1000000 div greatest(n_cur, 1))""").as("l1"))
-      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
-      .agg(expr("sum(l1) div 2").as("tv_e6"))
+    // cells→TV tail shared with the streamed monitor — ONE implementation
+    // holds the streamed-equals-batch contract
+    graft.streaming.DriftMetrics.tvOfCells(cells)
   }
 
   // ------------------------------------------------- interval / as-of joins

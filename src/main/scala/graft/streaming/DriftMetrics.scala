@@ -47,13 +47,23 @@ object DriftMetrics {
     * `q_drift_tv` verbatim, so streamed-then-compared equals the batch query
     * when the windows match (spec-proven in `DriftMetricsSpec`).
     */
-  def tvAgainst(cur: DataFrame, ref: DataFrame): DataFrame = {
-    val cells = cur.select(col("event_type"), col("bucket"), col("c_cur"))
-      .join(ref.select(col("event_type"), col("bucket"), col("c_ref")),
-        Seq("event_type", "bucket"), "full")
-      .select(col("event_type"), col("bucket"),
-        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
-        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+  def tvAgainst(cur: DataFrame, ref: DataFrame): DataFrame =
+    tvOfCells(
+      cur.select(col("event_type"), col("bucket"), col("c_cur"))
+        .join(ref.select(col("event_type"), col("bucket"), col("c_ref")),
+          Seq("event_type", "bucket"), "full")
+        .select(col("event_type"),
+          coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur")))
+
+  /** The ONE cells→TV rollup both the streamed monitor ([[tvAgainst]]) and
+    * the batch `q_drift_tv` report through, so the streamed-equals-batch
+    * contract is held by shared code, not by two copies staying in lockstep:
+    * per event type, exact-integer L1 between the ×10⁶ bucket shares,
+    * halved. Input rows: (event_type, c_ref, c_cur), one per occupied cell
+    * (absent cells contribute 0 to both shares and thus 0 to the L1).
+    */
+  def tvOfCells(cells: DataFrame): DataFrame = {
     val totals = cells.groupBy("event_type")
       .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
     cells.join(broadcast(totals), "event_type")

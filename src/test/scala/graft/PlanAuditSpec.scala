@@ -52,7 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_topk", "q_ann_recall", "q_ivf_stats", "q_hybrid_rrf",
     "q_sq8_topk", "q_sq8_recall", "q_pq_topk", "q_pq_recall",
     "q_ivfpq_topk", "q_ivfpq_recall",
-    "q_ivfpq_rerank", "q_ivfpq_rerank_recall", "q_mmr_topk",
+    "q_ivfpq_rerank", "q_ivfpq_rerank_recall", "q_mmr_topk", "q_mmr_diversity",
     "q_ivfpq_res_topk", "q_ivfpq_res_recall",
     "q_srp_recall", "q_srp_mp_recall",
     "q_srp_recall_sampled", "q_srp_mp_recall_sampled",

@@ -197,9 +197,12 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.operators.{Embeddings, Lineage}
+    // Parameter-locked to the correctness-gated queries: if EmbeddingQueries'
+    // constants move, this bench measures the same configuration (r10 ADVICE).
+    import graft.queries.EmbeddingQueries.{NumCentroids, NProbe, RerankR, K}
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    val centroids = Lineage.cut(corpus.filter($"vec_id" < 16))
+    val centroids = Lineage.cut(corpus.filter($"vec_id" < NumCentroids))
     val codebook = Lineage.cut(Embeddings.pqCodebook(corpus))
     val codes = Lineage.cut(Embeddings.pqEncode(corpus, codebook)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code")))
@@ -213,7 +216,7 @@ object StreamBench {
     var rowsOut = 0L
     val q = Embeddings.rerankProbeSink(
       in.toDF().toDF("vec_id", "embedding"), codes, assigned, centroids,
-      codebook, store, nProbe = 4, r = 50, k = 10,
+      codebook, store, nProbe = NProbe, r = RerankR, k = K,
       Files.createTempDirectory("annserve-ck").toString) { res =>
       rowsOut += res.count()
       ()

@@ -1219,7 +1219,10 @@ object CurationQueries {
     * position is the within-shard running count of 1s in hash order, i.e.
     * exactly a grouped prefix scan — group = shard, sort key = hk, row id =
     * doc_id·2²⁰ + copy (monotone in (doc_id, copy); caps copies per doc at
-    * 2²⁰, orders of magnitude above any schedule's epoch count). No shard
+    * 2²⁰, orders of magnitude above any schedule's epoch count, AND bounds
+    * doc_id below 2⁴³ — beyond that the composite overflows Long, which ANSI
+    * mode turns into a hard error, not silent wraparound; corpora with wider
+    * ids need a 60-bit hash composite like the sort key instead). No shard
     * ever sorts on one task; registered under the identical oracle.
     */
   def shardPlanScalable(spark: SparkSession, dir: String): DataFrame = {

@@ -514,6 +514,11 @@ object TextQueries {
   val TagPhrases: Seq[String] = Seq(
     "hash join", "table scan", "stream column", "window join",
     "order fast", "merge sort", "order order scan")
+  // The oracle interpolates each phrase into a SQL VALUES literal — enforce
+  // the safe charset at registration so a future quote-bearing phrase fails
+  // loudly here instead of silently corrupting the DuckDB side.
+  require(TagPhrases.forall(_.matches("[A-Za-z0-9 ]+")),
+    "dictionary phrases must stay in [A-Za-z0-9 ] (oracle SQL interpolation)")
 
   /** Dictionary phrase tagging (see [[graft.operators.PhraseTag]]). */
   def phraseTags(spark: SparkSession, dir: String): DataFrame =

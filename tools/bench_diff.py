@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Per-query bench regression tripwire (round-10 VERDICT item 6).
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 1.5]
+
+Accepts either bench artifact shape:
+  - the repo's own `bench/rN.json` (one JSON object with a "queries" map), or
+  - the driver's `BENCH_rN.json` wrapper (the JSON line lives inside "tail").
+
+Prints every query whose NEW/OLD ratio exceeds the threshold (regressions)
+or falls below 1/threshold (wins), plus totals, and exits 1 when any
+regression also moved by more than --abs-floor seconds (sub-0.15 s absolute
+moves are run-spread noise at sf0.1, not regressions worth failing on).
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc and isinstance(doc["queries"], dict):
+        return doc["queries"], doc.get("value")
+    # driver wrapper: the bench JSON line is embedded in "tail" (possibly
+    # truncated at the front — recover the queries map by brace matching)
+    tail = doc.get("tail", "")
+    m = re.search(r'"queries":\{', tail)
+    if not m:
+        sys.exit(f"{path}: no queries map found")
+    start = m.end() - 1
+    depth, end = 0, None
+    for i in range(start, len(tail)):
+        if tail[i] == "{":
+            depth += 1
+        elif tail[i] == "}":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    queries = json.loads(tail[start:end])
+    tm = re.search(r'"value":([0-9.]+)', tail)
+    return queries, (float(tm.group(1)) if tm else None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--abs-floor", type=float, default=0.15,
+                    help="ignore regressions smaller than this in seconds")
+    args = ap.parse_args()
+
+    old_q, old_total = load_queries(args.old)
+    new_q, new_total = load_queries(args.new)
+
+    shared = sorted(set(old_q) & set(new_q))
+    added = sorted(set(new_q) - set(old_q))
+    removed = sorted(set(old_q) - set(new_q))
+
+    regressions, wins = [], []
+    for q in shared:
+        o, n = old_q[q], new_q[q]
+        if o <= 0:
+            continue
+        ratio = n / o
+        if ratio > args.threshold and (n - o) >= args.abs_floor:
+            regressions.append((q, o, n, ratio))
+        elif ratio < 1 / args.threshold and (o - n) >= args.abs_floor:
+            wins.append((q, o, n, ratio))
+
+    like_old = sum(old_q[q] for q in shared)
+    like_new = sum(new_q[q] for q in shared)
+    print(f"shared queries: {len(shared)}  added: {len(added)}  removed: {len(removed)}")
+    if old_total and new_total:
+        print(f"total: {old_total:.2f}s -> {new_total:.2f}s")
+    print(f"like-for-like sum: {like_old:.2f}s -> {like_new:.2f}s "
+          f"({like_new / like_old:.2f}x)" if like_old else "")
+    if added:
+        print("added:", ", ".join(added))
+    if removed:
+        print("removed:", ", ".join(removed))
+    for tag, rows in (("REGRESSION", regressions), ("win", wins)):
+        for q, o, n, r in sorted(rows, key=lambda t: -abs(t[2] - t[1])):
+            print(f"{tag:>10}  {q:<28} {o:7.3f}s -> {n:7.3f}s  ({r:.2f}x)")
+    if not regressions:
+        print("no regressions above "
+              f"{args.threshold}x (abs floor {args.abs_floor}s)")
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,25 +23,56 @@ def load_queries(path):
         doc = json.load(f)
     if "queries" in doc and isinstance(doc["queries"], dict):
         return doc["queries"], doc.get("value")
-    # driver wrapper: the bench JSON line is embedded in "tail" (possibly
-    # truncated at the front — recover the queries map by brace matching)
+    # driver wrapper: prefer the pre-parsed bench object when present
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed["queries"], parsed.get("value")
+    # otherwise the bench JSON line is embedded in "tail" — and the driver
+    # truncates long tails from the FRONT, so the '"queries":{' marker (and
+    # any prefix keys like the total) may be gone. Recover what survives.
     tail = doc.get("tail", "")
     m = re.search(r'"queries":\{', tail)
+    if m:
+        start = m.end() - 1
+        depth, end = 0, None
+        for i in range(start, len(tail)):
+            if tail[i] == "{":
+                depth += 1
+            elif tail[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    end = i + 1
+                    break
+        if end is None:
+            # truncated after the marker but before the map closes:
+            # fall through to the pair-scan over the partial map
+            m = None
+        else:
+            queries = json.loads(tail[start:end])
+            # total only trusted when anchored to the untruncated key order
+            tm = re.search(r'"metric":"[^"]*","value":([0-9.]+)', tail)
+            return queries, (float(tm.group(1)) if tm else None)
     if not m:
-        sys.exit(f"{path}: no queries map found")
-    start = m.end() - 1
-    depth, end = 0, None
-    for i in range(start, len(tail)):
-        if tail[i] == "{":
-            depth += 1
-        elif tail[i] == "}":
-            depth -= 1
-            if depth == 0:
-                end = i + 1
-                break
-    queries = json.loads(tail[start:end])
-    tm = re.search(r'"value":([0-9.]+)', tail)
-    return queries, (float(tm.group(1)) if tm else None)
+        # front-truncated tail: regex-collect the '"name": float' pairs up to
+        # the '},"errors"' terminator (the queries map is the only place the
+        # bench line holds a flat name->seconds map). The result is PARTIAL —
+        # the caller diffs the key intersection, which is exactly what a
+        # regression tripwire needs.
+        end = tail.find('},"errors"')
+        body = tail[:end] if end >= 0 else tail
+        pairs = [(mm.start(), mm.group(1), mm.group(2)) for mm in
+                 re.finditer(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', body)]
+        # a cut mid-key leaves a torn first name ('edia_neardup') — only keep
+        # the first pair when its opening quote is properly delimited
+        if pairs and pairs[0][0] > 0 and body[pairs[0][0] - 1] not in ",{":
+            pairs = pairs[1:]
+        queries = {k: float(v) for _, k, v in pairs
+                   if k not in ("value", "sf")}
+        if not queries:
+            sys.exit(f"{path}: no queries map found")
+        print(f"note: {path} tail is front-truncated; "
+              f"recovered {len(queries)} queries, total unavailable")
+        return queries, None
 
 
 def main():

@@ -554,6 +554,20 @@ object CurationQueries {
     * prefix-scanning per-range subtotals (tiny), and offsetting local
     * cumsums — the budget cut lands in one range, so only that range needs
     * the exact scan.
+    *
+    * Token denominator: `n_tokens` here is the WHITESPACE count — the
+    * oracle-checkable baseline. The real-tokenizer denominator is
+    * [[graft.operators.Bpe.bpeTokenCounts]] (BPE tokens under a learned
+    * merge table, itself gated via `q_bpe_encode`): swap it in by replacing
+    * the `tokenCount` column with the broadcast-joined per-word count — the
+    * budget plumbing (hash order, window cumsum, range-partition scale path)
+    * is unchanged. Measured at sf0.01 with the top-20 merge list the gate
+    * checks: 27,165 whitespace tokens vs 97,003 BPE tokens — 3.57 BPE
+    * tokens per word at this shallow 20-merge depth (1.26 chars per BPE
+    * token); a production 32k-merge vocabulary drives tokens-per-word back
+    * toward ~1. A budget stated in tokenizer tokens therefore differs from
+    * the whitespace proxy by a corpus- and vocab-dependent factor, which is
+    * why the denominator is swappable rather than baked in.
     */
   def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -759,6 +773,18 @@ object CurationQueries {
     * (both sub-quadratic), one tiny aggregation over the pair union, split
     * labels joined onto the endpoints — shuffles scale with the evidence,
     * never the corpus.
+    *
+    * Bench-anomaly closure (rounds 9-11): the round-10 driver bench put this
+    * query at 4.31 s — 2.4x its round-9 1.80 s — with no code change in its
+    * lineage, raising an ordering-sensitivity suspicion (it runs right after
+    * the checkpoint-heavy capstones). Two subsequent post-anomaly
+    * measurements came back at the old level with the code still untouched:
+    * a repo-side min-of-3 at 1.80 s and the round-11 driver bench at 1.76 s.
+    * Verdict: environment noise (one-off JIT/GC/page-cache interference),
+    * not a plan or ordering effect — the plan re-audited identical. Precedent
+    * for future anomalies: a single >2x move in one bench run with an
+    * unchanged plan is re-measured before it is treated as a regression
+    * (`tools/bench_diff.py` flags at 1.5x; re-run before acting on a flag).
     */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)

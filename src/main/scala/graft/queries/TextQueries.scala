@@ -343,6 +343,31 @@ object TextQueries {
   def bpePairs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.topPairs(docs(spark, dir), "text", BpeTopK)
 
+  /** BPE tokenizer ENCODING at corpus scale — the inference half that turns
+    * the learned merge table into real token statistics: encode the corpus
+    * vocabulary under the deterministic top-[[BpeTopK]] merge list (the one
+    * `q_bpe_pairs` reports, (freq DESC, pair ASC) ranked) and report the
+    * corpus token table — per BPE token, its weighted occurrence count and
+    * how many distinct words contain it. Scale anatomy in
+    * [[graft.operators.Bpe.encodeVocab]]: corpus work is ONE rollup to the
+    * vocabulary; encoding is vocabulary-sized and shuffle-free; the token
+    * rollup aggregates a vocabulary-sized fan-out. The merge-list collect is
+    * [[BpeTopK]] rows — bounded by construction. The oracle replays the
+    * exact leftmost-lowest-rank single-merge semantics as a recursive CTE
+    * over the space-separated symbol string (first-occurrence splice), so
+    * the comparison is bit-exact with no float or ordering slack.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe.rankedPairMerges(d, "text", BpeTopK)
+    graft.operators.Bpe.encodeVocab(graft.operators.Bpe.wordVocab(d, "text"), merges)
+      .toDF()
+      .select(col("word"), col("wfreq"), explode(col("toks")).as("token"))
+      .groupBy("token")
+      .agg(sum(col("wfreq")).as("occ"),
+        count_distinct(col("word")).as("n_words"))
+  }
+
   /** Vocabulary size for the OOV-rate report: the corpus vocabulary is tiny
     * (~31 distinct words), so 20 leaves a real out-of-vocabulary tail.
     */
@@ -530,6 +555,7 @@ object TextQueries {
     "q_gopher_rules" -> (gopherRules _),
     "q_span_scrub" -> (spanScrub _),
     "q_bpe_pairs" -> (bpePairs _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_oov_rate" -> (oovRate _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
@@ -648,6 +674,49 @@ object TextQueries {
                                     ELSE [] END) AS u(i)
                 GROUP BY 1)
           SELECT pair, freq FROM p ORDER BY freq DESC, pair ASC LIMIT $BpeTopK""",
+    // the BPE encoder replayed exactly: same vocabulary, same ranked top-K
+    // merge list, and the same deterministic semantics — each recursion step
+    // splices the FIRST occurrence of the LOWEST-rank pattern present in the
+    // space-separated symbol string (leftmost-lowest-rank single merge),
+    // terminating when no pattern remains. Pure literal string ops (strpos +
+    // substring splice, no regex in the loop), so both engines agree
+    // bit-for-bit on every input.
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE
+          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1),
+          p AS (SELECT substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
+                FROM v, unnest(CASE WHEN len(word) >= 2
+                                    THEN generate_series(1, len(word) - 1)
+                                    ELSE [] END) AS u(i)
+                GROUP BY 1),
+          m AS (SELECT row_number() OVER (ORDER BY freq DESC, pair ASC) AS r,
+                       ' ' || substring(pair, 1, 1) || ' '
+                           || substring(pair, 2, 1) || ' ' AS pat,
+                       ' ' || pair || ' ' AS rep
+                FROM (SELECT pair, freq FROM p
+                      ORDER BY freq DESC, pair ASC LIMIT $BpeTopK)),
+          enc AS (
+            SELECT word, wfreq,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+                   false AS done
+            FROM v
+            UNION ALL
+            SELECT e.word, e.wfreq,
+                   CASE WHEN mm.pat IS NULL THEN e.s
+                        ELSE substring(e.s, 1, strpos(e.s, mm.pat) - 1) || mm.rep
+                             || substring(e.s, strpos(e.s, mm.pat) + len(mm.pat)) END,
+                   mm.pat IS NULL
+            FROM enc e
+            LEFT JOIN m mm
+              ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
+            WHERE NOT e.done),
+          toks AS (SELECT word, wfreq, unnest(string_split(trim(s), ' ')) AS token
+                   FROM enc WHERE done)
+          SELECT token, sum(wfreq)::BIGINT AS occ,
+                 count(DISTINCT word)::BIGINT AS n_words
+          FROM toks GROUP BY 1""",
     "q_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           voc AS (SELECT term FROM (

@@ -97,4 +97,114 @@ class BpeSpec extends SparkSpec {
     assert(top.getString(0) == firstMerge._1 + firstMerge._2,
       s"q_bpe_pairs top ${top.getString(0)} != first merge $firstMerge")
   }
+
+  test("localized trainer equals the distributed loop on the Sennrich corpus") {
+    val docs = sennrichDocs
+    val dist = Bpe.trainDistributed(docs, "text", rounds = 8)
+    val local = Bpe.train(docs, "text", rounds = 8) // vocab of 4 -> localizes
+    assert(dist.nonEmpty && local == dist,
+      s"local/distributed diverged: $local vs $dist")
+  }
+
+  test("localized trainer equals the sequential reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(word, Gen.choose(1L, 9L))))
+    val prop = Prop.forAll(corpus) { ws =>
+      val vocab = ws.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }
+      val got = Bpe.trainLocal(vocab.toSeq, rounds = 10)
+      got == referenceTrain(vocab, rounds = 10)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"trainLocal diverged from reference: ${res.status}")
+  }
+
+  test("train falls back to the distributed loop above the local-vocab cap") {
+    val docs = sennrichDocs
+    // cap of 2 forces the distributed path on a 4-word vocabulary
+    val forced = Bpe.train(docs, "text", rounds = 5, maxLocalVocab = 2)
+    assert(forced == Bpe.trainDistributed(docs, "text", rounds = 5))
+  }
+
+  /** The DuckDB oracle's formulation of one encode step: splice the first
+    * occurrence of the lowest-rank ' a b '-style pattern in the
+    * space-separated symbol string. Used to prove the list-walk encoder and
+    * the SQL replay are the SAME algorithm on all inputs, not just the
+    * harness corpus.
+    */
+  private def spliceEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val pats = merges.map { case (a, b) => (s" $a $b ", s" $a$b ") }
+    var s = " " + word.split("").filter(_.nonEmpty).mkString(" ") + " "
+    var done = false
+    while (!done) {
+      pats.find(p => s.contains(p._1)) match {
+        case Some((pat, rep)) =>
+          val i = s.indexOf(pat)
+          s = s.substring(0, i) + rep + s.substring(i + pat.length)
+        case None => done = true
+      }
+    }
+    s.trim.split(" ").toSeq.filter(_.nonEmpty)
+  }
+
+  test("encodeWord equals the oracle's string-splice formulation on random input") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val word = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pair = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c"))
+    val merges = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, pair))
+      .map(_.distinct)
+    val prop = Prop.forAll(word, merges) { (w, ms) =>
+      Bpe.encodeWord(w, Bpe.rankMap(ms)) == spliceEncode(w, ms)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"encodeWord diverged from the oracle semantics: ${res.status}")
+  }
+
+  test("encodeWord applies rank priority and round-trips the word") {
+    // rank 0 = ('a','b') outranks rank 1 = ('b','c'): 'abc' -> [ab, c]
+    val rank = Bpe.rankMap(Seq(("a", "b"), ("b", "c")))
+    assert(Bpe.encodeWord("abc", rank) == Seq("ab", "c"))
+    // reversed ranks: ('b','c') wins -> [a, bc]
+    val rank2 = Bpe.rankMap(Seq(("b", "c"), ("a", "b")))
+    assert(Bpe.encodeWord("abc", rank2) == Seq("a", "bc"))
+    // chained self-pair: leftmost-first single merges -> [aa, aa, a]
+    val rank3 = Bpe.rankMap(Seq(("a", "a")))
+    assert(Bpe.encodeWord("aaaaa", rank3) == Seq("aa", "aa", "a"))
+    // cascading merge: (a,b) then (ab,c) via multi-char rank entry
+    val rank4 = Bpe.rankMap(Seq(("a", "b"), ("ab", "c")))
+    assert(Bpe.encodeWord("abc", rank4) == Seq("abc"))
+    assert(Bpe.encodeWord("", rank4).isEmpty)
+  }
+
+  test("encodeVocab round-trips every word and prices compression") {
+    val docs = sennrichDocs
+    val merges = Bpe.train(docs, "text", rounds = 6)
+    val vocab = Bpe.wordVocab(docs, "text")
+    val enc = Bpe.encodeVocab(vocab, merges).collect()
+    assert(enc.length == 4)
+    enc.foreach { e =>
+      assert(e.toks.mkString == e.word, s"lost characters: $e")
+      assert(e.toks.length <= e.word.length)
+    }
+    // trained merges must compress the words they were trained on
+    assert(enc.map(e => e.toks.length.toLong * e.wfreq).sum <
+      enc.map(e => e.word.length.toLong * e.wfreq).sum)
+  }
+
+  test("bpeTokenCounts joins vocabulary token counts back to documents") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest widest"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", rounds = 4)
+    val rank = Bpe.rankMap(merges)
+    val got = Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def n(w: String) = Bpe.encodeWord(w, rank).length.toLong
+    assert(got == Map(
+      1L -> (2 * n("low") + n("lower")),
+      2L -> (n("newest") + n("widest")),
+      3L -> n("low")))
+  }
 }

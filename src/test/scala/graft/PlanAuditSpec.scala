@@ -212,6 +212,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_graph_degree" -> Set("doc_id", "text"),
       "q_cms_freq" -> Set("text"),
       "q_bpe_pairs" -> Set("text"),
+      "q_bpe_encode" -> Set("text"),
       "q_oov_rate" -> Set("doc_id", "text"),
       "q_dsir_weights" -> Set("doc_id", "text", "lang"),
       "q_corpus_diff" -> Set("doc_id", "text"),

@@ -531,6 +531,35 @@ object TextQueries {
   def spanScrub(spark: SparkSession, dir: String): DataFrame =
     spanScrubOf(docs(spark, dir))
 
+  /** Boilerplate threshold for `q_line_dedup`: a line in ≥ this many
+    * DISTINCT documents is template boilerplate. The planted families sit
+    * well clear of it on both sides (global header 500 docs, the two
+    * rotating footer families 100 and ~167, document bodies ≤ the largest
+    * exact-dup group, unique ref lines 1).
+    */
+  val LineMinDocs = 10
+
+  /** Line-level boilerplate dedup (see [[graft.operators.LineDedup]]): drop
+    * every line occurring in ≥ [[LineMinDocs]] distinct documents, keep the
+    * remainder in order. The harness corpus has no newlines, so the query
+    * assembles a deterministic PAGE per document — a global header line, two
+    * rotating footer families keyed on `doc_id`, the document body, and a
+    * unique per-doc ref line — identically in the oracle (the same planted-
+    * fixture convention as `q_pii_scrub`); the dedup then has real work on
+    * every granularity: always-drop, drop-by-family, keep-body, keep-unique.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      lit("home nav menu login"),
+      concat(lit("site banner region "), pmod(col("doc_id"), lit(5L)).cast("string")),
+      col("text"),
+      concat(lit("copyright footer corp "), pmod(col("doc_id"), lit(3L)).cast("string")),
+      concat(lit("ref trace "), col("doc_id").cast("string")))
+    graft.operators.LineDedup.dedupLines(
+      docs(spark, dir).select(col("doc_id"), page.as("page")),
+      "doc_id", "page", LineMinDocs)
+  }
+
   /** Deterministic tagging dictionary for `q_phrase_tags` — multi-token
     * phrases over the harness vocabulary (one 3-gram to exercise length > 2;
     * hit volume is data-dependent, and zero-hit phrases are simply absent
@@ -554,6 +583,7 @@ object TextQueries {
     "q_phrase_tags" -> (phraseTags _),
     "q_gopher_rules" -> (gopherRules _),
     "q_span_scrub" -> (spanScrub _),
+    "q_line_dedup" -> (lineDedup _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_oov_rate" -> (oovRate _),
@@ -661,6 +691,33 @@ object TextQueries {
                 (len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
                 coalesce(a.scrubbed, '') AS scrubbed
          FROM tok t LEFT JOIN agg a USING (doc_id)""",
+    // line-level boilerplate dedup replayed: identical page assembly, raw
+    // line in place of the md5 key (same equivalence classes — the SpanScrub
+    // oracle convention), distinct-doc threshold, ordered string_agg rebuild
+    "q_line_dedup" ->
+      s"""WITH page AS (
+            SELECT doc_id,
+                   'home nav menu login' || chr(10) ||
+                   'site banner region ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+                   text || chr(10) ||
+                   'copyright footer corp ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+                   'ref trace ' || CAST(doc_id AS VARCHAR) AS page
+            FROM documents),
+          ln AS (SELECT doc_id, i, ls[i] AS line
+                 FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM page),
+                      unnest(generate_series(1, len(ls))) AS u(i)),
+          boiler AS (SELECT line FROM ln
+                     GROUP BY 1 HAVING count(DISTINCT doc_id) >= $LineMinDocs),
+          kept AS (SELECT l.doc_id, l.i, l.line
+                   FROM ln l LEFT JOIN boiler b USING (line)
+                   WHERE b.line IS NULL),
+          agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                         string_agg(line, chr(10) ORDER BY i) AS cleaned
+                  FROM kept GROUP BY 1)
+          SELECT p.doc_id, len(string_split(p.page, chr(10)))::BIGINT AS n_lines,
+                 coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                 coalesce(a.cleaned, '') AS cleaned
+          FROM page p LEFT JOIN agg a USING (doc_id)""",
     // BPE round 1 replayed: token rollup -> vocabulary, char pairs as 2-char
     // substrings (all-ASCII corpus; both engines index characters), weighted
     // count, deterministic (freq DESC, pair ASC) top-K

@@ -368,6 +368,24 @@ object TextQueries {
         count_distinct(col("word")).as("n_words"))
   }
 
+  /** Per-document BPE token budget — [[graft.operators.Bpe.bpeTokenCounts]]
+    * under the gate: the whitespace `n_tokens` next to the BPE count under
+    * the same deterministic top-[[BpeTopK]] merge list `q_bpe_encode`
+    * checks, so the token-budget denominator swap documented on
+    * `q_token_budget` is itself oracle-verified per document. One extra
+    * corpus scan beyond the vocabulary encode; the per-word count table
+    * broadcasts.
+    */
+  def bpeBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe.rankedPairMerges(d, "text", BpeTopK)
+    d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(graft.operators.Bpe.bpeTokenCounts(d, "doc_id", "text", merges),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Vocabulary size for the OOV-rate report: the corpus vocabulary is tiny
     * (~31 distinct words), so 20 leaves a real out-of-vocabulary tail.
     */
@@ -586,6 +604,7 @@ object TextQueries {
     "q_line_dedup" -> (lineDedup _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_bpe_budget" -> (bpeBudget _),
     "q_oov_rate" -> (oovRate _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
@@ -774,6 +793,47 @@ object TextQueries {
           SELECT token, sum(wfreq)::BIGINT AS occ,
                  count(DISTINCT word)::BIGINT AS n_words
           FROM toks GROUP BY 1""",
+    // the per-doc budget replayed: the q_bpe_encode recursion reduced to a
+    // per-word token-count table, joined back onto the corpus word stream
+    "q_bpe_budget" ->
+      s"""WITH RECURSIVE
+          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1),
+          p AS (SELECT substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
+                FROM v, unnest(CASE WHEN len(word) >= 2
+                                    THEN generate_series(1, len(word) - 1)
+                                    ELSE [] END) AS u(i)
+                GROUP BY 1),
+          m AS (SELECT row_number() OVER (ORDER BY freq DESC, pair ASC) AS r,
+                       ' ' || substring(pair, 1, 1) || ' '
+                           || substring(pair, 2, 1) || ' ' AS pat,
+                       ' ' || pair || ' ' AS rep
+                FROM (SELECT pair, freq FROM p
+                      ORDER BY freq DESC, pair ASC LIMIT $BpeTopK)),
+          enc AS (
+            SELECT word, wfreq,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+                   false AS done
+            FROM v
+            UNION ALL
+            SELECT e.word, e.wfreq,
+                   CASE WHEN mm.pat IS NULL THEN e.s
+                        ELSE substring(e.s, 1, strpos(e.s, mm.pat) - 1) || mm.rep
+                             || substring(e.s, strpos(e.s, mm.pat) + len(mm.pat)) END,
+                   mm.pat IS NULL
+            FROM enc e
+            LEFT JOIN m mm
+              ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
+            WHERE NOT e.done),
+          wn AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
+                 FROM enc WHERE done),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          cnt AS (SELECT t.doc_id, sum(w2.n_toks)::BIGINT AS n_bpe_tokens
+                  FROM tok t JOIN wn w2 USING (word) GROUP BY 1)
+          SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+                 coalesce(c.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+          FROM documents d LEFT JOIN cnt c USING (doc_id)""",
     "q_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           voc AS (SELECT term FROM (

@@ -43,14 +43,26 @@ object LineDedup {
       .filter(col("nd") >= minDocs)
       .select("h")
 
-  /** Drop boilerplate lines, rejoin the rest in order.
-    * Output: (doc_id, n_lines, n_kept, cleaned).
+  /** The boilerplate index of a static REFERENCE corpus — the template
+    * vocabulary an ingest gate scrubs against. [[Lineage.cut]] at build
+    * (the `SpanScrub.dupIndex` convention) so streaming triggers reuse the
+    * materialized key set instead of re-counting the reference corpus per
+    * micro-batch. The threshold is learned FROM the reference (a line must
+    * recur across ≥ `minDocs` reference documents) — unlike the span
+    * probe's membership-alone rule, because a single occurrence of a line
+    * in the reference is ordinary content, not evidence of a template.
     */
-  def dedupLines(d: DataFrame, idCol: String, pageCol: String,
-                 minDocs: Int): DataFrame = {
-    val lines = docLines(d, idCol, pageCol)
-    val kept = lines
-      .join(boilerplateLines(d, idCol, pageCol, minDocs), Seq("h"), "left_anti")
+  def boilerplateIndex(reference: DataFrame, idCol: String, pageCol: String,
+                       minDocs: Int): DataFrame =
+    Lineage.cut(boilerplateLines(reference, idCol, pageCol, minDocs))
+
+  /** Drop every line whose md5 key is in `boilerH`, rejoin the rest in
+    * order. Output: (doc_id, n_lines, n_kept, cleaned).
+    */
+  def dedupWith(d: DataFrame, idCol: String, pageCol: String,
+                boilerH: DataFrame): DataFrame = {
+    val kept = docLines(d, idCol, pageCol)
+      .join(boilerH, Seq("h"), "left_anti")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         array_join(expr("transform(array_sort(collect_list(struct(i, line))), x -> x.line)"),
@@ -62,4 +74,11 @@ object LineDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  /** Self-dedup of one corpus: drop lines occurring in ≥ `minDocs` distinct
+    * documents of the corpus itself, rejoin the rest in order.
+    */
+  def dedupLines(d: DataFrame, idCol: String, pageCol: String,
+                 minDocs: Int): DataFrame =
+    dedupWith(d, idCol, pageCol, boilerplateLines(d, idCol, pageCol, minDocs))
 }

@@ -69,7 +69,14 @@ object Bpe {
     * tie-broken — plans as TakeOrdered (per-partition heaps, no global sort).
     */
   def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    pairCounts(wordVocab(docs, textCol))
+    topPairsOfVocab(wordVocab(docs, textCol), k)
+
+  /** [[topPairs]] over a prebuilt (word, wfreq) vocabulary — the seam that
+    * lets one (possibly checkpointed) vocabulary feed both the merge-list
+    * derivation and the encode plan without a second corpus rollup.
+    */
+  def topPairsOfVocab(vocab: DataFrame, k: Int): DataFrame =
+    pairCounts(vocab)
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(k)
 
@@ -315,7 +322,13 @@ object Bpe {
     * merges from [[train]] plug into [[encodeVocab]] the same way.
     */
   def rankedPairMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] =
-    topPairs(docs, textCol, k).select("pair").collect()
+    rankedPairMergesOfVocab(wordVocab(docs, textCol), k)
+
+  /** [[rankedPairMerges]] over a prebuilt vocabulary (see
+    * [[topPairsOfVocab]] for why the seam exists).
+    */
+  def rankedPairMergesOfVocab(vocab: DataFrame, k: Int): Seq[(String, String)] =
+    topPairsOfVocab(vocab, k).select("pair").collect()
       .map(r => { val p = r.getString(0); (p.substring(0, 1), p.substring(1, 2)) })
       .toSeq
 
@@ -327,16 +340,21 @@ object Bpe {
     * the corpus is scanned once and shuffled only on `doc_id`.
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Seq[(String, String)]): DataFrame = {
-    val vocab = wordVocab(docs, textCol)
-    val wordToks = encodeVocab(vocab, merges).toDF()
-      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+                     merges: Seq[(String, String)]): DataFrame =
+    bpeTokenCountsWith(docs, idCol, textCol,
+      encodeVocab(wordVocab(docs, textCol), merges).toDF()
+        .select(col("word"), size(col("toks")).cast("long").as("n_toks")))
+
+  /** [[bpeTokenCounts]] against a prebuilt broadcastable (word, n_toks)
+    * table — the seam callers with a shared vocabulary use.
+    */
+  def bpeTokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+                         wordToks: DataFrame): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(broadcast(wordToks), Seq("word"))
       .groupBy("doc_id")
       .agg(sum(col("n_toks")).as("n_bpe_tokens"))
-  }
 
   /** Segment `word` with the learned merges (applied in training order) —
     * the inference half, driver-side over one word; used by specs to show

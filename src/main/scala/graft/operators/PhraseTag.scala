@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * list — never serialized.
   */
 final class TokenAhoCorasick(phrases: Seq[String]) {
+  // A phrase with no tokens would land its output on the ROOT node (a hit
+  // at every position), and an empty token inside a phrase would collapse
+  // under the split where the join form matches the literal string — both
+  // diverge from tagPhrases' contract, so they are rejected at build.
+  require(phrases.forall(p => p.nonEmpty && p.split(" ", -1).forall(_.nonEmpty)),
+    "dictionary phrases must be non-empty with single-space-separated " +
+      s"non-empty tokens; got: ${phrases.filterNot(p => p.nonEmpty && p.split(" ", -1).forall(_.nonEmpty))}")
   private val phraseToks: Array[Array[String]] =
-    phrases.map(_.split(" ").filter(_.nonEmpty)).toArray
+    phrases.map(_.split(" ")).toArray
   private val goto_ = scala.collection.mutable.ArrayBuffer(
     scala.collection.mutable.HashMap.empty[String, Int])
   private val fail = scala.collection.mutable.ArrayBuffer(0)

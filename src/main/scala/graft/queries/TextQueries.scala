@@ -359,8 +359,16 @@ object TextQueries {
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = graft.operators.Bpe.rankedPairMerges(d, "text", BpeTopK)
-    graft.operators.Bpe.encodeVocab(graft.operators.Bpe.wordVocab(d, "text"), merges)
+    // ONE corpus rollup feeds both the merge-list collect and the encode
+    // plan (Lineage-cut, audit-transparent). Measured at sf0.1 (min-of-3
+    // warm, end-to-end incl. the eager collect/cut jobs): shared-cut
+    // 0.48 s vs 0.69 s rebuilding the vocabulary in both jobs — the r12
+    // review's double-rollup finding, priced and kept. (q_bpe_budget
+    // measured a wash, 0.41 vs 0.38 s — it keeps the same shape for the
+    // single-sourced vocabulary, not for speed.)
+    val vocab = graft.operators.Lineage.cut(graft.operators.Bpe.wordVocab(d, "text"))
+    val merges = graft.operators.Bpe.rankedPairMergesOfVocab(vocab, BpeTopK)
+    graft.operators.Bpe.encodeVocab(vocab, merges)
       .toDF()
       .select(col("word"), col("wfreq"), explode(col("toks")).as("token"))
       .groupBy("token")
@@ -378,9 +386,15 @@ object TextQueries {
     */
   def bpeBudget(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = graft.operators.Bpe.rankedPairMerges(d, "text", BpeTopK)
+    // same shared-vocabulary shape as bpeEncode (pricing measured there —
+    // a wash for this query, kept for the single-sourced vocabulary): the
+    // corpus rolls up once, the per-word count table derives from the cut
+    val vocab = graft.operators.Lineage.cut(graft.operators.Bpe.wordVocab(d, "text"))
+    val merges = graft.operators.Bpe.rankedPairMergesOfVocab(vocab, BpeTopK)
+    val wordToks = graft.operators.Bpe.encodeVocab(vocab, merges).toDF()
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
     d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(graft.operators.Bpe.bpeTokenCounts(d, "doc_id", "text", merges),
+      .join(graft.operators.Bpe.bpeTokenCountsWith(d, "doc_id", "text", wordToks),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
@@ -623,6 +637,46 @@ object TextQueries {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_corpus_clean" -> (corpusClean _))
 
+  /** The BPE encode recursion shared by the `q_bpe_encode` and
+    * `q_bpe_budget` oracles — ONE definition so the two gates can never
+    * drift onto different merge semantics: vocabulary rollup, ranked top-K
+    * merge table, and the leftmost-lowest-rank single-merge loop realized
+    * as a first-occurrence splice over the space-separated symbol string
+    * (pure literal strpos + substring in the loop — no regex — so both
+    * engines agree bit-for-bit on every input). Terminal rows are
+    * `enc WHERE done`.
+    */
+  private val bpeEncRecursion: String =
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1),
+          p AS (SELECT substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
+                FROM v, unnest(CASE WHEN len(word) >= 2
+                                    THEN generate_series(1, len(word) - 1)
+                                    ELSE [] END) AS u(i)
+                GROUP BY 1),
+          m AS (SELECT row_number() OVER (ORDER BY freq DESC, pair ASC) AS r,
+                       ' ' || substring(pair, 1, 1) || ' '
+                           || substring(pair, 2, 1) || ' ' AS pat,
+                       ' ' || pair || ' ' AS rep
+                FROM (SELECT pair, freq FROM p
+                      ORDER BY freq DESC, pair ASC LIMIT $BpeTopK)),
+          enc AS (
+            SELECT word, wfreq,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+                   false AS done
+            FROM v
+            UNION ALL
+            SELECT e.word, e.wfreq,
+                   CASE WHEN mm.pat IS NULL THEN e.s
+                        ELSE substring(e.s, 1, strpos(e.s, mm.pat) - 1) || mm.rep
+                             || substring(e.s, strpos(e.s, mm.pat) + len(mm.pat)) END,
+                   mm.pat IS NULL
+            FROM enc e
+            LEFT JOIN m mm
+              ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
+            WHERE NOT e.done)"""
+
   private val jaccardOracle =
     """WITH sh AS (
          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -750,82 +804,22 @@ object TextQueries {
                                     ELSE [] END) AS u(i)
                 GROUP BY 1)
           SELECT pair, freq FROM p ORDER BY freq DESC, pair ASC LIMIT $BpeTopK""",
-    // the BPE encoder replayed exactly: same vocabulary, same ranked top-K
-    // merge list, and the same deterministic semantics — each recursion step
-    // splices the FIRST occurrence of the LOWEST-rank pattern present in the
-    // space-separated symbol string (leftmost-lowest-rank single merge),
-    // terminating when no pattern remains. Pure literal string ops (strpos +
-    // substring splice, no regex in the loop), so both engines agree
-    // bit-for-bit on every input.
+    // the BPE encoder replayed exactly (recursion semantics: see
+    // [[bpeEncRecursion]] — shared verbatim with the q_bpe_budget oracle)
     "q_bpe_encode" ->
       s"""WITH RECURSIVE
-          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-          v AS (SELECT word, count(*)::BIGINT AS wfreq
-                FROM w WHERE len(word) >= 1 GROUP BY 1),
-          p AS (SELECT substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
-                FROM v, unnest(CASE WHEN len(word) >= 2
-                                    THEN generate_series(1, len(word) - 1)
-                                    ELSE [] END) AS u(i)
-                GROUP BY 1),
-          m AS (SELECT row_number() OVER (ORDER BY freq DESC, pair ASC) AS r,
-                       ' ' || substring(pair, 1, 1) || ' '
-                           || substring(pair, 2, 1) || ' ' AS pat,
-                       ' ' || pair || ' ' AS rep
-                FROM (SELECT pair, freq FROM p
-                      ORDER BY freq DESC, pair ASC LIMIT $BpeTopK)),
-          enc AS (
-            SELECT word, wfreq,
-                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
-                   false AS done
-            FROM v
-            UNION ALL
-            SELECT e.word, e.wfreq,
-                   CASE WHEN mm.pat IS NULL THEN e.s
-                        ELSE substring(e.s, 1, strpos(e.s, mm.pat) - 1) || mm.rep
-                             || substring(e.s, strpos(e.s, mm.pat) + len(mm.pat)) END,
-                   mm.pat IS NULL
-            FROM enc e
-            LEFT JOIN m mm
-              ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
-            WHERE NOT e.done),
+          $bpeEncRecursion,
           toks AS (SELECT word, wfreq, unnest(string_split(trim(s), ' ')) AS token
                    FROM enc WHERE done)
           SELECT token, sum(wfreq)::BIGINT AS occ,
                  count(DISTINCT word)::BIGINT AS n_words
           FROM toks GROUP BY 1""",
-    // the per-doc budget replayed: the q_bpe_encode recursion reduced to a
-    // per-word token-count table, joined back onto the corpus word stream
+    // the per-doc budget replayed: the SAME recursion ([[bpeEncRecursion]])
+    // reduced to a per-word token-count table, joined back onto the corpus
+    // word stream
     "q_bpe_budget" ->
       s"""WITH RECURSIVE
-          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-          v AS (SELECT word, count(*)::BIGINT AS wfreq
-                FROM w WHERE len(word) >= 1 GROUP BY 1),
-          p AS (SELECT substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
-                FROM v, unnest(CASE WHEN len(word) >= 2
-                                    THEN generate_series(1, len(word) - 1)
-                                    ELSE [] END) AS u(i)
-                GROUP BY 1),
-          m AS (SELECT row_number() OVER (ORDER BY freq DESC, pair ASC) AS r,
-                       ' ' || substring(pair, 1, 1) || ' '
-                           || substring(pair, 2, 1) || ' ' AS pat,
-                       ' ' || pair || ' ' AS rep
-                FROM (SELECT pair, freq FROM p
-                      ORDER BY freq DESC, pair ASC LIMIT $BpeTopK)),
-          enc AS (
-            SELECT word, wfreq,
-                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
-                   false AS done
-            FROM v
-            UNION ALL
-            SELECT e.word, e.wfreq,
-                   CASE WHEN mm.pat IS NULL THEN e.s
-                        ELSE substring(e.s, 1, strpos(e.s, mm.pat) - 1) || mm.rep
-                             || substring(e.s, strpos(e.s, mm.pat) + len(mm.pat)) END,
-                   mm.pat IS NULL
-            FROM enc e
-            LEFT JOIN m mm
-              ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
-            WHERE NOT e.done),
+          $bpeEncRecursion,
           wn AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
                  FROM enc WHERE done),
           tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

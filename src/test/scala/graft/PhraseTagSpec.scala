@@ -76,6 +76,17 @@ class PhraseTagSpec extends SparkSpec {
     assert(join.nonEmpty && ac == join)
   }
 
+  test("automaton rejects degenerate phrases that would diverge from the join form") {
+    // empty phrase -> output on the root node = a hit at every token;
+    // double space -> split collapses where the join form matches literally
+    for (bad <- Seq("", "a  b", "a ", " a")) {
+      val e = intercept[IllegalArgumentException] {
+        new graft.operators.TokenAhoCorasick(Seq("ok phrase", bad))
+      }
+      assert(e.getMessage.contains("non-empty"), s"'$bad' not rejected: $e")
+    }
+  }
+
   test("automaton path equals the join path on random corpora") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     val tok = Gen.oneOf("a", "b", "c")

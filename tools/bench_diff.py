@@ -59,9 +59,13 @@ def load_queries(path):
         # the caller diffs the key intersection, which is exactly what a
         # regression tripwire needs.
         end = tail.find('},"errors"')
-        body = tail[:end] if end >= 0 else tail
+        # keep the closing brace so the LAST pair retains its delimiter
+        body = tail[:end + 1] if end >= 0 else tail
+        # delimiter lookahead so a scientific-notation time ("q":8.7E-4 from
+        # a sub-ms erroring query) is SKIPPED rather than torn to 8.7 s —
+        # a torn value would fabricate a phantom 10000x regression
         pairs = [(mm.start(), mm.group(1), mm.group(2)) for mm in
-                 re.finditer(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', body)]
+                 re.finditer(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)(?=[,}])', body)]
         # a cut mid-key leaves a torn first name ('edia_neardup') — only keep
         # the first pair when its opening quote is properly delimited
         if pairs and pairs[0][0] > 0 and body[pairs[0][0] - 1] not in ",{":

@@ -72,6 +72,16 @@ def main():
         r = run(repo, open_map)
         assert "recovered 1 queries" in r.stdout, r.stdout
 
+        # scientific-notation times (sub-ms erroring query) must be SKIPPED
+        # in the pair-scan, never torn to their mantissa (8.7E-4 -> 8.7s
+        # would fabricate a phantom regression); trailing torn numbers too
+        sci = write(tmp, "sci.json", {
+            "tail": 'x":9.9,"q_bad":8.7E-4,"q_a":1.0,"q_b":2.0,"q_cut":3.'})
+        r = run(repo, sci)
+        assert "recovered 2 queries" in r.stdout, r.stdout
+        assert "q_bad" not in r.stdout and "q_cut" not in r.stdout, r.stdout
+        assert r.returncode == 0, (r.returncode, r.stdout)
+
         # regression detection still fires (q_b 2.0 -> 4.0 = 2x, abs 2.0s)
         slow = write(tmp, "slow.json", {
             "queries": {"q_a": 1.0, "q_b": 4.0}, "value": 5.0})

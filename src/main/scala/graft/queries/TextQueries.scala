@@ -376,6 +376,37 @@ object TextQueries {
         count_distinct(col("word")).as("n_words"))
   }
 
+  /** Merge rounds for `q_bpe_train` — deep enough that multi-character
+    * symbols appear on both sides of later rules (the part round-1 pair
+    * statistics cannot exercise).
+    */
+  val BpeTrainRounds = 16
+
+  /** FULL sequential BPE training under the gate: the learned merge table
+    * (rank, left, right) for [[BpeTrainRounds]] rounds — upgrading the
+    * trainer from spec-proven to driver-gated, so the whole BPE story
+    * (`q_bpe_pairs` round-1 statistics → `q_bpe_train` the merge sequence →
+    * `q_bpe_encode`/`q_bpe_budget` application) is oracle-checked. The
+    * Spark side is [[graft.operators.Bpe.train]] (distributed corpus
+    * rollup + localized merge loop); the oracle replays sequential
+    * Sennrich'16 training as a recursive CTE over a single-row LIST state:
+    * each step either applies one more leftmost-splice pass of the current
+    * rule to every word still containing it (repeated leftmost single
+    * merges ≡ left-to-right non-overlapping application, exact even inside
+    * self-adjacent runs) or, once the rule is exhausted, recounts adjacent
+    * symbol pairs and selects the next (count DESC, pair ASC) argmax,
+    * stopping below weighted count 2 — the same semantics the Scala
+    * trainer and its sequential reference implement, validated on the
+    * Sennrich corpus, run-heavy edge corpora, and the harness data.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Bpe.train(docs(spark, dir), "text", BpeTrainRounds)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("merge_rank", "left_sym", "right_sym")
+  }
+
   /** Per-document BPE token budget — [[graft.operators.Bpe.bpeTokenCounts]]
     * under the gate: the whitespace `n_tokens` next to the BPE count under
     * the same deterministic top-[[BpeTopK]] merge list `q_bpe_encode`
@@ -619,6 +650,7 @@ object TextQueries {
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_budget" -> (bpeBudget _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_oov_rate" -> (oovRate _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
@@ -814,6 +846,76 @@ object TextQueries {
           SELECT token, sum(wfreq)::BIGINT AS occ,
                  count(DISTINCT word)::BIGINT AS n_words
           FROM toks GROUP BY 1""",
+    // sequential BPE TRAINING replayed (semantics in [[bpeTrain]]'s
+    // scaladoc): single-row LIST state (vocab as spaced symbol strings ×
+    // freqs); per step, either one more leftmost-splice pass of the current
+    // rule (while any word still contains it) or a full recount + next
+    // (count DESC, pair ASC) argmax with the >= 2 stop; r = -1 marks
+    // exhaustion before the round cap. The terminal row is the one with the
+    // longest merge list (ties carry identical lists; ORDER BY r picks
+    // deterministically).
+    "q_bpe_train" ->
+      s"""WITH RECURSIVE
+          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1),
+          init AS (SELECT coalesce(list(struct_pack(
+                     s := ' ' || regexp_replace(word, '(.)', '\\1 ', 'g'),
+                     f := wfreq)), []) AS vocab
+                   FROM v),
+          tr(r, pat, rep, vocab, merges) AS (
+            SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), vocab,
+                   []::VARCHAR[]
+            FROM init
+            UNION ALL
+            SELECT
+              CASE WHEN pending THEN e.r
+                   WHEN best.pat IS NOT NULL THEN e.r + 1
+                   ELSE -1 END,
+              CASE WHEN pending THEN e.pat ELSE best.pat END,
+              CASE WHEN pending THEN e.rep ELSE best.rep END,
+              list_transform(e.vocab, w -> CASE
+                WHEN coalesce(CASE WHEN pending THEN e.pat ELSE best.pat END, '') <> ''
+                     AND strpos(w.s, CASE WHEN pending THEN e.pat ELSE best.pat END) > 0
+                THEN struct_pack(
+                  s := substring(w.s, 1,
+                         strpos(w.s, CASE WHEN pending THEN e.pat ELSE best.pat END) - 1)
+                       || (CASE WHEN pending THEN e.rep ELSE best.rep END)
+                       || substring(w.s,
+                            strpos(w.s, CASE WHEN pending THEN e.pat ELSE best.pat END)
+                            + len(CASE WHEN pending THEN e.pat ELSE best.pat END)),
+                  f := w.f)
+                ELSE w END),
+              CASE WHEN NOT pending AND best.pat IS NOT NULL
+                   THEN list_append(e.merges, trim(best.pat)) ELSE e.merges END
+            FROM (
+              SELECT tr.*,
+                EXISTS (SELECT 1 FROM unnest(tr.vocab) AS u(w)
+                        WHERE tr.pat IS NOT NULL AND strpos(w.s, tr.pat) > 0) AS pending,
+                (SELECT struct_pack(pat := ' ' || a || ' ' || b || ' ',
+                                    rep := ' ' || a || b || ' ')
+                 FROM (
+                   SELECT sy[i] AS a, sy[i+1] AS b, sum(f)::BIGINT AS cnt
+                   FROM (SELECT u.w.f AS f, string_split(trim(u.w.s), ' ') AS sy
+                         FROM unnest(tr.vocab) AS u(w)),
+                        unnest(CASE WHEN len(sy) >= 2
+                                    THEN generate_series(1, len(sy) - 1)
+                                    ELSE [] END) AS g(i)
+                   GROUP BY 1, 2
+                   HAVING sum(f) >= 2
+                   ORDER BY cnt DESC, a ASC, b ASC
+                   LIMIT 1)) AS best
+              FROM tr
+              WHERE tr.r >= 0 AND tr.r < $BpeTrainRounds
+            ) e(r, pat, rep, vocab, merges, pending, best)
+          ),
+          sel AS (SELECT merges FROM tr ORDER BY len(merges) DESC, r ASC LIMIT 1)
+          SELECT i::BIGINT AS merge_rank,
+                 string_split(merges[i], ' ')[1] AS left_sym,
+                 string_split(merges[i], ' ')[2] AS right_sym
+          FROM sel, unnest(CASE WHEN len(merges) >= 1
+                                THEN generate_series(1, len(merges))
+                                ELSE [] END) AS g(i)""",
     // the per-doc budget replayed: the SAME recursion ([[bpeEncRecursion]])
     // reduced to a per-word token-count table, joined back onto the corpus
     // word stream

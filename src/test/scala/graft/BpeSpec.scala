@@ -194,6 +194,30 @@ class BpeSpec extends SparkSpec {
       enc.map(e => e.word.length.toLong * e.wfreq).sum)
   }
 
+  test("q_bpe_train's merge table is well-formed at its gated depth") {
+    // The registered q_bpe_train runs BpeTrainRounds (16) rounds on the
+    // harness corpus specifically so multi-character symbols appear on
+    // both sides of later rules — the regime round-1 pair statistics
+    // (q_bpe_pairs) cannot reach. Assert that structure holds: contiguous
+    // ranks, every multi-char symbol produced by an EARLIER rule, and at
+    // least one rule whose left side is itself a merged symbol.
+    val rows = graft.queries.TextQueries.bpeTrain(spark, "/root/testdata/sf0.001")
+      .orderBy("merge_rank").collect()
+    assert(rows.nonEmpty && rows.length <= graft.queries.TextQueries.BpeTrainRounds)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      "merge ranks must be contiguous from 1")
+    val produced = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      Seq(r.getString(1), r.getString(2)).foreach { sym =>
+        assert(sym.length == 1 || produced.contains(sym),
+          s"symbol '$sym' at rank ${r.getLong(0)} was never produced by an earlier rule")
+      }
+      produced += r.getString(1) + r.getString(2)
+    }
+    assert(rows.exists(_.getString(1).length > 1),
+      "16 rounds must reach a rule whose LEFT side is a merged symbol")
+  }
+
   test("bpeTokenCounts joins vocabulary token counts back to documents") {
     val docs = Seq((1L, "low low lower"), (2L, "newest widest"), (3L, "low"))
       .toDF("doc_id", "text")

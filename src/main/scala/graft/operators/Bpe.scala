@@ -98,9 +98,10 @@ object Bpe {
     * rounds run in memory with incremental pair-count maintenance
     * ([[trainLocal]]) — this is how production tokenizer trainers structure
     * the work, because a 32k-merge vocabulary at one Spark job per round is
-    * a driver-side bottleneck by construction. The distributed loop
-    * ([[trainDistributed]]) remains the fallback for a vocabulary that
-    * cannot localize.
+    * a driver-side bottleneck by construction. The batched distributed loop
+    * ([[trainDistributedBatched]]) is the fallback for a vocabulary that
+    * cannot localize — it proves several sequential rules per pair-count
+    * snapshot instead of one job per rule.
     *
     * Measured on the sf0.01 corpus (8 rounds, local[32], warm session):
     * distributed loop 4.34 s (~1.8 rounds/s, one job per round); localized
@@ -120,7 +121,7 @@ object Bpe {
     // bounded by construction, so not a `.collect()` anti-pattern
     val local = vocab.limit(maxLocalVocab + 1).collect()
     if (local.length <= maxLocalVocab) trainLocal(local.toSeq, rounds)
-    else trainDistributed(docs, textCol, rounds)
+    else trainDistributedBatched(docs, textCol, rounds)
   }
 
   /** In-memory merge loop over a collected (word, freq) vocabulary, with
@@ -196,33 +197,70 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Distributed merge loop — the fallback when the vocabulary cannot
-    * localize. The symbol table lives distributed for the whole loop; only
-    * the single argmax row crosses to the driver each round (one Spark job
-    * per merge rule — bounded and correct, but a driver-side bottleneck at a
-    * production 32k-merge vocabulary, which is why [[train]] prefers
-    * [[trainLocal]]).
+  /** The character symbolization of the (word, freq) vocabulary — round 0 of
+    * either distributed merge loop. split-on-empty keeps a trailing "" under
+    * Spark's limit=-1 semantics — array_remove drops it so symbols are
+    * exactly the characters.
+    */
+  private def symVocab(docs: DataFrame, textCol: String): Dataset[BpeSymWord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordVocab(docs, textCol)
+      .select(array_remove(split(col("word"), ""), "").as("syms"), col("wfreq"))
+      .as[BpeSymWord]
+  }
+
+  /** Adjacent symbol-pair counts over the CURRENT symbolization: (left,
+    * right) pairs weighted by word frequency — vocabulary-sized work, one
+    * aggregation with map-side combine.
+    */
+  def symPairCounts(vocab: Dataset[BpeSymWord]): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    vocab.flatMap { w =>
+        w.syms.iterator.zip(w.syms.iterator.drop(1))
+          .map { case (a, b) => (a, b, w.wfreq) }.toSeq
+      }
+      .toDF("left", "right", "wfreq")
+      .groupBy("left", "right").agg(sum(col("wfreq")).as("freq"))
+  }
+
+  /** Apply a merge-rule list to one word's symbol array, sequentially in
+    * rule order, each rule left-to-right non-overlapping — the single
+    * definition of "apply" shared by both distributed loops and
+    * [[segment]], so trainer and inference cannot drift.
+    */
+  def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    var cur = syms
+    merges.foreach { case (a, b) =>
+      val merged = a + b
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+          out += merged; i += 2
+        } else { out += cur(i); i += 1 }
+      }
+      cur = out.toSeq
+    }
+    cur
+  }
+
+  /** Distributed merge loop — one Spark job per merge rule. Kept as the
+    * reference shape the batched loop ([[trainDistributedBatched]]) is
+    * spec-proven equal to; [[train]]'s distributed fallback uses the
+    * batched loop. The symbol table lives distributed for the whole loop;
+    * only the single argmax row crosses to the driver each round.
     */
   def trainDistributed(docs: DataFrame, textCol: String, rounds: Int): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // split-on-empty keeps a trailing "" under Spark's limit=-1 semantics —
-    // array_remove drops it so symbols are exactly the characters
-    var vocab: Dataset[BpeSymWord] = wordVocab(docs, textCol)
-      .select(array_remove(split(col("word"), ""), "").as("syms"), col("wfreq"))
-      .as[BpeSymWord]
+    var vocab = symVocab(docs, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
     while (round < rounds && !exhausted) {
-      // pair counts over the CURRENT symbolization: (left, right) adjacent
-      // symbol pairs weighted by word frequency — vocabulary-sized work
-      val best = vocab.flatMap { w =>
-          w.syms.iterator.zip(w.syms.iterator.drop(1))
-            .map { case (a, b) => (a, b, w.wfreq) }.toSeq
-        }
-        .toDF("left", "right", "wfreq")
-        .groupBy("left", "right").agg(sum(col("wfreq")).as("freq"))
+      val best = symPairCounts(vocab)
         .orderBy(col("freq").desc, col("left").asc, col("right").asc)
         .limit(1)
         .as[(String, String, Long)]
@@ -230,23 +268,322 @@ object Bpe {
       best.headOption match {
         case Some((a, b, freq)) if freq >= 2 =>
           merges += ((a, b))
-          val merged = a + b
-          vocab = vocab.map { w =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < w.syms.length) {
-              if (i + 1 < w.syms.length && w.syms(i) == a && w.syms(i + 1) == b) {
-                out += merged; i += 2
-              } else { out += w.syms(i); i += 1 }
-            }
-            BpeSymWord(out.toSeq, w.wfreq)
-          }
+          val rule = Seq((a, b))
+          vocab = vocab.map(w => BpeSymWord(applyMerges(w.syms, rule), w.wfreq))
           // truncate the growing typed-map lineage every few rounds
           if ((merges.length % 4) == 0)
             vocab = Lineage.cut(vocab.toDF()).as[BpeSymWord]
         case _ => exhausted = true
       }
       round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Saturating add for nonnegative longs — the hazard caps in
+    * [[planBatch]] sum upper bounds and must degrade to "unbounded"
+    * (= reject everything after) rather than wrap.
+    */
+  private def satAdd(x: Long, y: Long): Long =
+    if (x + y < x) Long.MaxValue else x + y
+
+  /** Plan the longest batch of merge rules provably equal to running the
+    * sequential trainer rule-by-rule, from ONE frozen snapshot of the
+    * top-`M` pair counts. Pure driver-side logic — the distributed loop
+    * calls it between jobs; specs drive it directly.
+    *
+    * `frozen` is the (count DESC, pair ASC)-sorted top of the pair-count
+    * table; `sawAll` says the snapshot is the WHOLE table (uncollected
+    * pairs otherwise have count ≤ the last frozen count). The plan walks
+    * the frozen list in order and accepts each candidate only while the
+    * sequential schedule is still provable from the snapshot:
+    *
+    *   - structural exactness: the candidate shares no symbol with an
+    *     already-accepted rule (its occurrences can be neither destroyed
+    *     nor created by applying the batch so far) and neither of its
+    *     symbols equals an earlier rule's merged string (a frozen symbol
+    *     spelled like a new symbol would conflate their counts);
+    *   - dominance: its frozen count strictly exceeds every OTHER pair's
+    *     best-case current count — the next frozen count (sort order
+    *     bounds the rest), the uncollected-pair ceiling, and `gainCap`,
+    *     the summed upper bound on every pair count the batch can have
+    *     raised. Applying rule (a,b) creates only pair types containing
+    *     the new symbol a+b, and each new occurrence consumes an adjacency
+    *     (x→a) or (b→y), so one rule's new-pair types are each bounded by
+    *     its worst frozen neighbor count (or the uncollected ceiling, or
+    *     earlier gains); summing those per-rule bounds caps every possible
+    *     gain, including regained counts of already-applied rules and
+    *     conflated spellings. Ties are never accepted (strict >), so the
+    *     (count DESC, pair ASC) tie-break cannot be usurped.
+    *
+    * A self-pair (a,a) is its own frozen neighbor, so its bound equals its
+    * own count and the batch naturally ends right after it — no special
+    * case. The first candidate is the true argmax of a fresh snapshot and
+    * is always accepted, so every batch makes progress and the worst case
+    * degrades to the one-rule-per-job baseline, never below it.
+    */
+  def planBatch(frozen: Seq[((String, String), Long)], sawAll: Boolean,
+                maxMerges: Int): Seq[(String, String)] = {
+    if (frozen.isEmpty || maxMerges <= 0 || frozen.head._2 < 2L) return Nil
+    val unknownCeil: Long = if (sawAll) 0L else frozen.last._2
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val batchSyms = scala.collection.mutable.Set.empty[String]
+    val mergedStrs = scala.collection.mutable.Set.empty[String]
+    var gainCap = 0L
+    var i = 0
+    var stopped = false
+    while (!stopped && i < frozen.length && out.length < maxMerges) {
+      val ((a, b), cnt) = frozen(i)
+      val structuralOk = i == 0 ||
+        (!batchSyms(a) && !batchSyms(b) && !mergedStrs(a) && !mergedStrs(b))
+      val restCeil =
+        if (i + 1 < frozen.length) math.max(frozen(i + 1)._2, unknownCeil)
+        else unknownCeil
+      val dominanceOk = i == 0 || cnt > satAdd(restCeil, gainCap)
+      if (cnt < 2L || !structuralOk || !dominanceOk) stopped = true
+      else {
+        out += ((a, b))
+        // worst-case count of any ONE pair type this rule can create:
+        // consumed adjacencies are (x→a) and (b→y) — frozen neighbors,
+        // uncollected pairs (≤ ceiling), or earlier-gain adjacencies
+        val neighborMax = frozen.iterator
+          .filter { case ((x, y), _) => y == a || x == b }
+          .map(_._2).maxOption.getOrElse(0L)
+        gainCap = satAdd(gainCap, satAdd(math.max(neighborMax, unknownCeil), gainCap))
+        batchSyms += a += b
+        mergedStrs += (a + b)
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Cap on the collected rows of the full pair+triple statistics table.
+    * The table is bounded by DISTINCT adjacency types, not vocabulary
+    * size — a natural-language symbol alphabet keeps it in the tens of
+    * thousands (driver-trivial at ~60 B/row) — but an adversarial corpus
+    * (huge raw alphabet) can blow it up, so collection is capped and the
+    * loop degrades to the pairs-only top-`M` proof past the cap.
+    */
+  val StatsCapDefault: Int = 200000
+
+  /** ONE Spark job that freezes the planner's whole world: the COMPLETE
+    * aggregated pair-count and triple-count tables of the current
+    * symbolization. One flatMap emits boundary-padded triples — (sᵢ, sᵢ₊₁,
+    * sᵢ₊₂ or "" at the word end), exactly n−1 rows per n-symbol word, the
+    * SAME map-side row count as a plain pair-count job ("" is safe as the
+    * pad: real symbols are never empty) — one aggregation shuffles them,
+    * one capped collect lands them. The pair table is the padded-triple
+    * table summed over its third symbol, computed driver-side; the triple
+    * table is the unpadded rows. So the exact planner's extra statistics
+    * are free at the map side, which is what dominates — without the
+    * padding trick a separate pairs+triples emission measured the batched
+    * loop 1.7× SLOWER than the one-rule baseline on a 3M-word synthetic
+    * corpus whose batches degenerate to one rule (random text self-chains
+    * everywhere). Returns None when the table exceeds `cap` (collection
+    * order is arbitrary under limit, so a truncated table is discarded,
+    * not trusted).
+    */
+  private def collectStats(vocab: Dataset[BpeSymWord], cap: Int)
+    : Option[(Map[(String, String), Long], Map[(String, String, String), Long])] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val rows = vocab.flatMap { w =>
+        val n = w.syms.length
+        (0 until n - 1).iterator.map { i =>
+          (w.syms(i), w.syms(i + 1), if (i + 2 < n) w.syms(i + 2) else "", w.wfreq)
+        }.toSeq
+      }
+      .toDF("s1", "s2", "s3", "wfreq")
+      .groupBy("s1", "s2", "s3").agg(sum(col("wfreq")).as("freq"))
+      .limit(cap + 1)
+      .as[(String, String, String, Long)]
+      .collect()
+    if (rows.length > cap) None
+    else {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      rows.foreach { case (a, b, _, f) =>
+        val k = (a, b); pairs.update(k, pairs.getOrElse(k, 0L) + f)
+      }
+      Some((
+        pairs.toMap,
+        rows.iterator.filter(_._3.nonEmpty)
+          .map { case (a, b, c, f) => ((a, b, c), f) }.toMap))
+    }
+  }
+
+  /** Plan the longest batch of merge rules EXACTLY equal to running the
+    * sequential trainer rule-by-rule, from the complete frozen pair and
+    * triple statistics of [[collectStats]]. Pure driver-side logic.
+    *
+    * With the whole pair table in hand every maintained count is exact,
+    * so every argmax pick (count DESC, pair ASC) IS the sequential pick —
+    * no dominance margins needed. After emitting rule (a,b) the planner
+    * updates counts exactly from the triple table — #(x,a,b) moves from
+    * pair (x,a) to the new (x,a+b), #(a,b,y) from (b,y) to (a+b,y); a
+    * spelling collision (a+b naming an existing symbol) just adds counts,
+    * which is exactly what happens in the data — and keeps going. The
+    * batch closes (after the emitted rule, whose pick is still exact)
+    * only when the NEXT update would outrun the frozen triples:
+    *   - the picked rule is a batch-created pair, or its symbols carry an
+    *     earlier rule's symbols or spelling (its contexts are 4-gram- or
+    *     post-batch-dependent);
+    *   - a context symbol of the rule was touched by an earlier rule
+    *     (the frozen triple predates that rewrite);
+    *   - the rule can self-chain — triple (a,b,a) or (b,a,b) nonzero,
+    *     (a,a,a) for a self-pair — making left-to-right application
+    *     4-gram-dependent.
+    * Every batch emits ≥ 1 rule, so the worst case is the one-rule
+    * baseline loop, never below it. Exactness (not approximation) is the
+    * contract: `BpeSpec` replays random corpora against the sequential
+    * reference.
+    */
+  def planBatchExact(pairs: Map[(String, String), Long],
+                     triples: Map[(String, String, String), Long],
+                     maxMerges: Int): Seq[(String, String)] = {
+    val known = scala.collection.mutable.Map.from(pairs)
+    val newPairs = scala.collection.mutable.Set.empty[(String, String)]
+    val touched = scala.collection.mutable.Set.empty[String]
+    val mergedStrs = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var open = true
+    while (open && out.length < maxMerges) {
+      // exact argmax by (count DESC, pair ASC) over maintained counts
+      var best: ((String, String), Long) = null
+      known.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 && Ordering[(String, String)].lt(e._1, best._1)))
+          best = e
+      }
+      if (best == null || best._2 < 2L) open = false // exhausted — exact, no unknowns
+      else {
+        val (a, b) = best._1
+        out += ((a, b))
+        val m = a + b
+        val contexts = triples.iterator.filter { case ((x, y, z), _) =>
+          (y == a && z == b) || (x == a && y == b)
+        }.toSeq
+        val clean = !newPairs(best._1) &&
+          !touched(a) && !touched(b) && !mergedStrs(a) && !mergedStrs(b) &&
+          triples.getOrElse((a, b, a), 0L) == 0L &&
+          triples.getOrElse((b, a, b), 0L) == 0L &&
+          contexts.forall { case ((x, y, z), _) =>
+            val ctx = if (y == a && z == b) x else z
+            !touched(ctx) && !mergedStrs(ctx)
+          }
+        if (!clean) open = false // rule emitted; updates beyond proof — stop
+        else {
+          known.remove((a, b))
+          contexts.foreach { case ((x, y, z), c) =>
+            if (y == a && z == b) { // left context: (x,a) -> (x, m)
+              known.updateWith((x, a))(_.map(_ - c).filter(_ != 0L))
+              known.updateWith((x, m))(o => Some(o.getOrElse(0L) + c))
+              newPairs += ((x, m))
+            } else { // right context: (b,z) -> (m, z)
+              known.updateWith((b, z))(_.map(_ - c).filter(_ != 0L))
+              known.updateWith((m, z))(o => Some(o.getOrElse(0L) + c))
+              newPairs += ((m, z))
+            }
+          }
+          touched += a += b
+          mergedStrs += m
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Consecutive one-rule statistics batches before the batched loop
+    * concludes the corpus doesn't chain (random/adversarial text
+    * self-chains almost every rule) and drops to plain one-rule argmax
+    * jobs; it retries a statistics snapshot every [[StatsRetryEvery]]
+    * rounds in case later symbolizations chain again.
+    */
+  val DegenerateAfter: Int = 2
+  val StatsRetryEvery: Int = 8
+
+  /** Distributed merge loop, BATCHED: one Spark job freezes the complete
+    * pair+triple statistics ([[collectStats]] — one scan, one shuffle,
+    * one capped collect, map-side rows equal to a plain pair job via the
+    * padded-triple trick), [[planBatchExact]] proves as many sequential
+    * rules from the frozen tables as their exactness holds, and one typed
+    * map applies the whole batch. Output is EXACTLY [[trainDistributed]]'s
+    * — spec-proven against the sequential reference on random corpora.
+    *
+    * The win is driver round-trips per rule on corpora whose merge
+    * schedules CHAIN (natural language does: es→est-style shared-symbol
+    * merges). Measured at sf0.1 documents (16 rules, warm session):
+    * 7 snapshots for 16 rules (2.3 rules/job), 3.12 s vs the one-rule
+    * loop's 3.84 s (0.81×). Random text is the opposite regime — nearly
+    * every rule self-chains, batches degenerate to one rule, and the
+    * stats job's wider shuffle (triple types ≫ pair types) made the loop
+    * 1.5× SLOWER on a 3M-word base36 corpus — so the loop is adaptive:
+    * after [[DegenerateAfter]] consecutive one-rule batches it switches
+    * to plain one-rule argmax jobs (the baseline's exact step) and
+    * retries a statistics snapshot every [[StatsRetryEvery]] rounds,
+    * bounding the adversarial case near baseline (measured 32.7 s vs
+    * 27.4 s = 1.19×, 3 stats + 13 argmax jobs for 16 rules, on the same
+    * 3M-word corpus) while keeping the chaining win. At a production
+    * 32k-rule vocabulary the expected mix is batch-deep on the early
+    * Zipf-dominated rules and argmax-bound on the tail, with the retry
+    * re-arming batching whenever the symbolization chains again — the
+    * worst case is the one-rule baseline plus one stats retry per
+    * [[StatsRetryEvery]] rounds, never an extra scan of the corpus
+    * (everything here is vocabulary-sized). If the statistics table
+    * outgrows
+    * [[StatsCapDefault]] (adversarially large symbol alphabet), the
+    * snapshot degrades to a top-`topM` pairs-only proof
+    * ([[planBatch]]).
+    */
+  def trainDistributedBatched(docs: DataFrame, textCol: String, rounds: Int,
+                              topM: Int = 64): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = symVocab(docs, textCol)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var batches = 0
+    var exhausted = false
+    var oneRuleBatches = 0 // consecutive stats batches that landed 1 rule
+    var sinceStats = 0     // one-rule-mode rounds since the last stats try
+    while (merges.length < rounds && !exhausted) {
+      val degenerate = oneRuleBatches >= DegenerateAfter
+      val batch =
+        if (degenerate && sinceStats < StatsRetryEvery) {
+          // the corpus isn't chaining: a plain argmax job (1 row to the
+          // driver) is cheaper than a statistics snapshot
+          sinceStats += 1
+          symPairCounts(vocab)
+            .orderBy(col("freq").desc, col("left").asc, col("right").asc)
+            .limit(1)
+            .as[(String, String, Long)]
+            .collect()
+            .collect { case (a, b, f) if f >= 2L => (a, b) }.toSeq
+        } else {
+          sinceStats = 0
+          val planned = collectStats(vocab, StatsCapDefault) match {
+            case Some((pairs, triples)) =>
+              planBatchExact(pairs, triples, rounds - merges.length)
+            case None => // stats table too big to land: pairs-only top-M proof
+              val rows = symPairCounts(vocab)
+                .orderBy(col("freq").desc, col("left").asc, col("right").asc)
+                .limit(topM + 1)
+                .as[(String, String, Long)]
+                .collect()
+              val frozen = rows.iterator.map { case (l, r, f) => ((l, r), f) }.toSeq
+              planBatch(frozen, rows.length <= topM, rounds - merges.length)
+          }
+          oneRuleBatches = if (planned.length <= 1) oneRuleBatches + 1 else 0
+          planned
+        }
+      if (batch.isEmpty) exhausted = true
+      else {
+        merges ++= batch
+        val rules = batch
+        vocab = vocab.map(w => BpeSymWord(applyMerges(w.syms, rules), w.wfreq))
+        batches += 1
+        if ((batches % 4) == 0)
+          vocab = Lineage.cut(vocab.toDF()).as[BpeSymWord]
+      }
     }
     merges.toSeq
   }
@@ -360,18 +697,6 @@ object Bpe {
     * the inference half, driver-side over one word; used by specs to show
     * the rules round-trip.
     */
-  def segment(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = word.split("").toSeq.filter(_.nonEmpty)
-    merges.foreach { case (a, b) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      syms = out.toSeq
-    }
-    syms
-  }
+  def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    applyMerges(word.split("").toSeq.filter(_.nonEmpty), merges)
 }

@@ -128,6 +128,105 @@ class BpeSpec extends SparkSpec {
     assert(forced == Bpe.trainDistributed(docs, "text", rounds = 5))
   }
 
+  test("planBatch accepts a steep symbol-disjoint prefix and stops on each hazard") {
+    // steep disjoint counts: all three rules provable from one snapshot
+    assert(Bpe.planBatch(Seq((("a", "b"), 100L), (("c", "d"), 10L), (("e", "f"), 3L)),
+      sawAll = true, maxMerges = 8) == Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // shared symbol: applying (a,b) can change (b,c)'s count -> stop after 1
+    assert(Bpe.planBatch(Seq((("a", "b"), 100L), (("b", "c"), 10L)),
+      sawAll = true, maxMerges = 8) == Seq(("a", "b")))
+    // self-pair is its own neighbor: gain cap equals its count -> batch of 1
+    assert(Bpe.planBatch(Seq((("a", "a"), 100L), (("c", "d"), 99L)),
+      sawAll = true, maxMerges = 8) == Seq(("a", "a")))
+    // truncated snapshot: uncollected pairs may tie (c,d) at 10 -> stop
+    assert(Bpe.planBatch(Seq((("a", "b"), 100L), (("c", "d"), 10L)),
+      sawAll = false, maxMerges = 8) == Seq(("a", "b")))
+    // neighbor gain: merging (a,b) can create (c,ab) with up to count(c,a)=90
+    // occurrences, which would outrank (c,d) at 80 -> stop after 1
+    assert(Bpe.planBatch(Seq((("a", "b"), 100L), (("c", "a"), 90L), (("c", "d"), 80L)),
+      sawAll = true, maxMerges = 8) == Seq(("a", "b")))
+    // maxMerges truncates; count<2 never merges; first rule always accepted
+    assert(Bpe.planBatch(Seq((("a", "b"), 100L), (("c", "d"), 10L)),
+      sawAll = true, maxMerges = 1) == Seq(("a", "b")))
+    assert(Bpe.planBatch(Seq((("a", "b"), 1L)), sawAll = true, maxMerges = 8).isEmpty)
+    assert(Bpe.planBatch(Nil, sawAll = true, maxMerges = 8).isEmpty)
+  }
+
+  /** Driver-only twin of [[Bpe.trainDistributedBatched]]: identical loop —
+    * frozen top-M snapshot, the SAME [[Bpe.planBatch]], the SAME
+    * [[Bpe.applyMerges]] — with the distributed pair count computed
+    * locally, so scalacheck can hammer the batch planner's hazard logic
+    * across hundreds of corpora without a Spark job per sample. The only
+    * unshared piece (pair counting + sort) is the piece the Sennrich
+    * Spark test pins to the real cluster path.
+    */
+  private def trainBatchedSim(vocab: Map[String, Long], rounds: Int, topM: Int,
+                              withTriples: Boolean): Seq[(String, String)] = {
+    var syms: Seq[(Seq[String], Long)] =
+      vocab.toSeq.map { case (w, f) => w.split("").toSeq.filter(_.nonEmpty) -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < rounds && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val batch =
+        if (!withTriples) {
+          val rows = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(topM + 1)
+          Bpe.planBatch(rows, rows.length <= topM, rounds - merges.length)
+        } else {
+          // mirror Bpe.collectStats: the COMPLETE pair and triple tables
+          val t3 = scala.collection.mutable.Map.empty[(String, String, String), Long]
+          syms.foreach { case (s, f) =>
+            s.indices.dropRight(2).foreach { i =>
+              val k = (s(i), s(i + 1), s(i + 2))
+              t3(k) = t3.getOrElse(k, 0L) + f
+            }
+          }
+          Bpe.planBatchExact(counts.toMap, t3.toMap, rounds - merges.length)
+        }
+      if (batch.isEmpty) exhausted = true
+      else {
+        merges ++= batch
+        syms = syms.map { case (s, f) => Bpe.applyMerges(s, batch) -> f }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("batched trainer equals the sequential reference on random corpora at every snapshot size") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(word, Gen.choose(1L, 9L))))
+    // tiny topM exercises the uncollected-pair ceiling; large topM the
+    // full structural/dominance walk
+    val topM = Gen.oneOf(2, 4, 16, 64)
+    val prop = Prop.forAll(corpus, topM) { (ws, m) =>
+      val vocab = ws.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }
+      val expected = referenceTrain(vocab, rounds = 10)
+      // exact (triple-informed) planner AND the pairs-only fallback must
+      // both replay the sequential schedule
+      trainBatchedSim(vocab, rounds = 10, topM = m, withTriples = true) == expected &&
+        trainBatchedSim(vocab, rounds = 10, topM = m, withTriples = false) == expected
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(400), prop)
+    assert(res.passed, s"batched trainer diverged from reference: ${res.status}")
+  }
+
+  test("batched distributed trainer matches the one-rule loop on the Sennrich corpus") {
+    val docs = sennrichDocs
+    val baseline = Bpe.trainDistributed(docs, "text", rounds = 8)
+    assert(baseline.nonEmpty)
+    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 8) == baseline)
+    // a 2-pair snapshot still converges (smaller batches, same rules)
+    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 8, topM = 2) == baseline)
+    // exhaustion: no repeating pair -> no rules
+    assert(Bpe.trainDistributedBatched(Seq("ab cd").toDF("text"), "text", rounds = 3).isEmpty)
+  }
+
   /** The DuckDB oracle's formulation of one encode step: splice the first
     * occurrence of the lowest-rank ' a b '-style pattern in the
     * space-separated symbol string. Used to prove the list-walk encoder and

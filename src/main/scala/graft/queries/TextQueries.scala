@@ -399,10 +399,30 @@ object TextQueries {
     * trainer and its sequential reference implement, validated on the
     * Sennrich corpus, run-heavy edge corpora, and the harness data.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    mergeTable(spark,
+      graft.operators.Bpe.train(docs(spark, dir), "text", BpeTrainRounds))
+
+  /** The DISTRIBUTED batched trainer under the same gate as `q_bpe_train`
+    * (identical oracle SQL): [[graft.operators.Bpe.trainDistributedBatched]]
+    * forced onto the oversized-vocabulary fallback path `Bpe.train` would
+    * only take past its 2M-word localization cap, so the
+    * snapshot-plan-apply loop — statistics freeze, exact batch planner,
+    * adaptive one-rule degeneration — is driver-gated, not just
+    * spec-proven, on the harness corpus. Must emit the byte-identical
+    * merge sequence the sequential oracle replays.
+    */
+  def bpeTrainDist(spark: SparkSession, dir: String): DataFrame =
+    mergeTable(spark, graft.operators.Bpe.trainDistributedBatched(
+      docs(spark, dir), "text", BpeTrainRounds))
+
+  /** The (merge_rank, left_sym, right_sym) projection both trainer gates
+    * share.
+    */
+  private def mergeTable(spark: SparkSession,
+                         merges: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    graft.operators.Bpe.train(docs(spark, dir), "text", BpeTrainRounds)
-      .zipWithIndex
+    merges.zipWithIndex
       .map { case ((a, b), i) => (i + 1L, a, b) }
       .toDF("merge_rank", "left_sym", "right_sym")
   }
@@ -651,6 +671,7 @@ object TextQueries {
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_budget" -> (bpeBudget _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_train_dist" -> (bpeTrainDist _),
     "q_oov_rate" -> (oovRate _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
@@ -725,7 +746,7 @@ object TextQueries {
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     // every start position whose slice joins back to the phrase counts once;
     // overlapping starts each count, end-truncated slices cannot equal the
     // full phrase string
@@ -1187,4 +1208,11 @@ object TextQueries {
           JOIN stats s USING (doc_id)
           LEFT JOIN losers l USING (doc_id)
           WHERE l.doc_id IS NULL""")
+
+  /** The batched distributed trainer must replay the SAME sequential merge
+    * schedule (its exactness contract), so its gate is `q_bpe_train`'s
+    * oracle verbatim.
+    */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_bpe_train_dist" -> oracleSqlBase("q_bpe_train"))
 }

@@ -801,9 +801,41 @@ object AnalyticQueries {
       dayofmonth(col("o_orderdate")).as("d"),
       quarter(col("o_orderdate")).as("q"))
 
+  /** Z-ORDER LAYOUT audit over (customer, order-day): Morton-interleave
+    * the min/max-grid-normalized coordinates
+    * ([[graft.operators.ZOrder.zValue]] — all codegen'd shift/mask
+    * built-ins), cut the z-range into 64 fixed buckets (top 6 z bits: the
+    * quadtree cells a 64-file clustered layout would produce, no sort
+    * needed), and report each bucket's row count and per-dimension min/max
+    * — exactly the statistics a min/max-pruning reader consults, making
+    * the locality the layout buys (bounded extents in BOTH dimensions per
+    * bucket) oracle-checkable. Scale shape: one scan, a broadcast 1-row
+    * min/max attach, one 64-group aggregation with map-side combine; the
+    * write-side realization (`ZOrder.writeClustered`, one range exchange)
+    * is priced against a single-key sort in `ZOrderSpec`.
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("y"))
+    val b = o.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    o.crossJoin(broadcast(b)) // 1-row scalar attach (audit-exempt aggregate)
+      .select(col("x"), col("y"),
+        graft.operators.ZOrder.zValue(col("x"), col("mnx"), col("mxx"),
+          col("y"), col("mny"), col("mxy")).as("z"))
+      .select(col("x"), col("y"),
+        shiftright(col("z"), 2 * graft.operators.ZOrder.GridBits - 6).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+        min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+  }
+
   // -------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
     "q3_topk" -> (q3Topk _),
@@ -1231,5 +1263,37 @@ object AnalyticQueries {
     "q_date_parts" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
            dayofmonth(o_orderdate) AS d, quarter(o_orderdate) AS q
-         FROM orders""")
+         FROM orders""",
+    // the Morton interleave replayed with the same magic-mask bit spread
+    // (decimal constants shared with ZOrder.spreadBits); grid scaling is
+    // exact integer floor-division on both engines
+    "q_zorder_layout" ->
+      """WITH d AS (SELECT o_custkey::BIGINT AS x,
+                  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS y FROM orders),
+         b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+                      min(y) AS mny, max(y) AS mxy FROM d),
+         g AS (SELECT x, y,
+                 ((x - mnx) * 65536) // (mxx - mnx + 1) AS gx,
+                 ((y - mny) * 65536) // (mxy - mny + 1) AS gy
+               FROM d, b),
+         p1 AS (SELECT x, y,
+                  (gx | (gx << 16)) & 281470681808895 AS ax1,
+                  (gy | (gy << 16)) & 281470681808895 AS ay1 FROM g),
+         p2 AS (SELECT x, y,
+                  (ax1 | (ax1 << 8)) & 71777214294589695 AS ax2,
+                  (ay1 | (ay1 << 8)) & 71777214294589695 AS ay2 FROM p1),
+         p3 AS (SELECT x, y,
+                  (ax2 | (ax2 << 4)) & 1085102592571150095 AS ax3,
+                  (ay2 | (ay2 << 4)) & 1085102592571150095 AS ay3 FROM p2),
+         p4 AS (SELECT x, y,
+                  (ax3 | (ax3 << 2)) & 3689348814741910323 AS ax4,
+                  (ay3 | (ay3 << 2)) & 3689348814741910323 AS ay4 FROM p3),
+         p5 AS (SELECT x, y,
+                  (ax4 | (ax4 << 1)) & 6148914691236517205 AS sx,
+                  (ay4 | (ay4 << 1)) & 6148914691236517205 AS sy FROM p4),
+         z AS (SELECT x, y, (sx | (sy << 1)) >> 26 AS bucket FROM p5)
+         SELECT bucket, count(*)::BIGINT AS n_rows,
+                min(x) AS min_cust, max(x) AS max_cust,
+                min(y) AS min_day, max(y) AS max_day
+         FROM z GROUP BY 1""")
 }

@@ -80,6 +80,55 @@ object Bpe {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(k)
 
+  /** UTF-8 BINARY string order — the collation Spark's `UTF8String`
+    * comparisons (the distributed loops' `orderBy`) and DuckDB's default
+    * binary collation (the oracle's `ORDER BY a, b`) both implement. Every
+    * DRIVER-side argmax tie-break in this file must use it instead of
+    * JVM `String.compareTo`: the two orders disagree exactly when one
+    * string leads with a supplementary code point (UTF-16 surrogates
+    * 0xD800–0xDFFF sort below 0xE000–0xFFFF code units, while their UTF-8
+    * encodings, 0xF0…, sort ABOVE the 3-byte 0xE… forms) — a tied pair
+    * count on such symbols would otherwise pick different merge rules on
+    * the driver vs the cluster/oracle paths (`BpeSpec` pins the case).
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** (left, right) pair order under [[utf8Lt]] — the tie-break key. */
+  private[graft] def pairLt(p: (String, String), q: (String, String)): Boolean =
+    utf8Lt(p._1, q._1) || (p._1 == q._1 && utf8Lt(p._2, q._2))
+
+  /** Split into Unicode CODE POINTS — the symbolization Spark's
+    * split-on-empty produces (its `UTF8String` regex walks code points).
+    * JVM `String.split("")` splits UTF-16 code UNITS instead, tearing a
+    * supplementary character into two lone surrogates — a driver-side
+    * symbol alphabet that silently diverges from the cluster's the moment
+    * a corpus contains an emoji (and whose lone-surrogate symbols don't
+    * even round-trip through UTF-8). Every driver-side symbolization in
+    * this file must use this helper (`BpeSpec` pins an astral corpus
+    * across all four trainer paths).
+    */
+  private[graft] def codePoints(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toSeq
+  }
+
   /** Vocabulary-size ceiling for localizing the merge loop: below it the
     * (word, freq) table collects to the driver and the rounds run in memory.
     * 2M rows × ~50 B ≈ 100 MB — comfortably inside any driver heap, and a
@@ -139,7 +188,7 @@ object Bpe {
     import scala.collection.mutable
     val words: Array[(mutable.ArrayBuffer[String], Long)] = vocab.iterator
       .map { case (w, f) =>
-        (mutable.ArrayBuffer.from[String](w.split("").filter(_.nonEmpty)), f)
+        (mutable.ArrayBuffer.from[String](codePoints(w)), f)
       }.toArray
     val counts = mutable.HashMap.empty[(String, String), Long]
     val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
@@ -159,11 +208,12 @@ object Bpe {
     var round = 0
     var exhausted = false
     while (round < rounds && !exhausted) {
-      // deterministic argmax regardless of hash iteration order
+      // deterministic argmax regardless of hash iteration order; ties
+      // break in UTF-8 binary order to match the cluster/oracle paths
       var best: ((String, String), Long) = null
       counts.foreach { e =>
         if (best == null || e._2 > best._2 ||
-          (e._2 == best._2 && Ordering[(String, String)].lt(e._1, best._1)))
+          (e._2 == best._2 && pairLt(e._1, best._1)))
           best = e
       }
       if (best == null || best._2 < 2L) exhausted = true
@@ -441,6 +491,13 @@ object Bpe {
   def planBatchExact(pairs: Map[(String, String), Long],
                      triples: Map[(String, String, String), Long],
                      maxMerges: Int): Seq[(String, String)] = {
+    // index the triple table by the rule pair it contextualizes, ONCE per
+    // snapshot — without it each emitted rule rescans all |triples| rows,
+    // quadratic driver work across a production 32k-rule run (the per-rule
+    // argmax below stays a linear scan, the same cost class trainLocal
+    // accepts per round)
+    val leftCtx = triples.toSeq.groupBy { case ((_, y, z), _) => (y, z) }
+    val rightCtx = triples.toSeq.groupBy { case ((x, y, _), _) => (x, y) }
     val known = scala.collection.mutable.Map.from(pairs)
     val newPairs = scala.collection.mutable.Set.empty[(String, String)]
     val touched = scala.collection.mutable.Set.empty[String]
@@ -448,11 +505,12 @@ object Bpe {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var open = true
     while (open && out.length < maxMerges) {
-      // exact argmax by (count DESC, pair ASC) over maintained counts
+      // exact argmax by (count DESC, pair ASC-in-UTF-8-binary-order) over
+      // maintained counts — the same collation as the cluster/oracle paths
       var best: ((String, String), Long) = null
       known.foreach { e =>
         if (best == null || e._2 > best._2 ||
-          (e._2 == best._2 && Ordering[(String, String)].lt(e._1, best._1)))
+          (e._2 == best._2 && pairLt(e._1, best._1)))
           best = e
       }
       if (best == null || best._2 < 2L) open = false // exhausted — exact, no unknowns
@@ -460,9 +518,11 @@ object Bpe {
         val (a, b) = best._1
         out += ((a, b))
         val m = a + b
-        val contexts = triples.iterator.filter { case ((x, y, z), _) =>
-          (y == a && z == b) || (x == a && y == b)
-        }.toSeq
+        // distinct: the one triple shape in both indexes, (a,a,a) under a
+        // self-pair rule, must appear once (as the old linear filter had
+        // it); it is unreachable past `clean` anyway
+        val contexts = (leftCtx.getOrElse((a, b), Nil) ++
+          rightCtx.getOrElse((a, b), Nil)).distinct
         val clean = !newPairs(best._1) &&
           !touched(a) && !touched(b) && !mergedStrs(a) && !mergedStrs(b) &&
           triples.getOrElse((a, b, a), 0L) == 0L &&
@@ -531,12 +591,13 @@ object Bpe {
     * [[StatsRetryEvery]] rounds, never an extra scan of the corpus
     * (everything here is vocabulary-sized). If the statistics table
     * outgrows
-    * [[StatsCapDefault]] (adversarially large symbol alphabet), the
-    * snapshot degrades to a top-`topM` pairs-only proof
-    * ([[planBatch]]).
+    * `statsCap` (default [[StatsCapDefault]]; adversarially large symbol
+    * alphabet — injectable so specs can force the branch), the snapshot
+    * degrades to a top-`topM` pairs-only proof ([[planBatch]]).
     */
   def trainDistributedBatched(docs: DataFrame, textCol: String, rounds: Int,
-                              topM: Int = 64): Seq[(String, String)] = {
+                              topM: Int = 64,
+                              statsCap: Int = StatsCapDefault): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = symVocab(docs, textCol)
@@ -560,7 +621,7 @@ object Bpe {
             .collect { case (a, b, f) if f >= 2L => (a, b) }.toSeq
         } else {
           sinceStats = 0
-          val planned = collectStats(vocab, StatsCapDefault) match {
+          val planned = collectStats(vocab, statsCap) match {
             case Some((pairs, triples)) =>
               planBatchExact(pairs, triples, rounds - merges.length)
             case None => // stats table too big to land: pairs-only top-M proof
@@ -578,8 +639,7 @@ object Bpe {
       if (batch.isEmpty) exhausted = true
       else {
         merges ++= batch
-        val rules = batch
-        vocab = vocab.map(w => BpeSymWord(applyMerges(w.syms, rules), w.wfreq))
+        vocab = vocab.map(w => BpeSymWord(applyMerges(w.syms, batch), w.wfreq))
         batches += 1
         if ((batches % 4) == 0)
           vocab = Lineage.cut(vocab.toDF()).as[BpeSymWord]
@@ -608,8 +668,7 @@ object Bpe {
     * step never matters against the corpus rollup.
     */
   def encodeWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    val syms = scala.collection.mutable.ArrayBuffer.from[String](
-      word.split("").filter(_.nonEmpty))
+    val syms = scala.collection.mutable.ArrayBuffer.from[String](codePoints(word))
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -666,7 +725,11 @@ object Bpe {
     */
   def rankedPairMergesOfVocab(vocab: DataFrame, k: Int): Seq[(String, String)] =
     topPairsOfVocab(vocab, k).select("pair").collect()
-      .map(r => { val p = r.getString(0); (p.substring(0, 1), p.substring(1, 2)) })
+      .map { r => // a "pair" is TWO CODE POINTS (Spark substr counts code
+        // points) — JVM substring(0,1)/(1,2) would tear an astral first char
+        val cps = codePoints(r.getString(0))
+        (cps(0), cps(1))
+      }
       .toSeq
 
   /** Per-document BPE token counts under the ranked merges — the
@@ -698,5 +761,5 @@ object Bpe {
     * the rules round-trip.
     */
   def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
-    applyMerges(word.split("").toSeq.filter(_.nonEmpty), merges)
+    applyMerges(codePoints(word), merges)
 }

@@ -410,7 +410,11 @@ object TextQueries {
     * snapshot-plan-apply loop — statistics freeze, exact batch planner,
     * adaptive one-rule degeneration — is driver-gated, not just
     * spec-proven, on the harness corpus. Must emit the byte-identical
-    * merge sequence the sequential oracle replays.
+    * merge sequence the sequential oracle replays. Like `q_bpe_train`,
+    * construction trains EAGERLY (the merge loop is inherently driver-
+    * sequenced), so every registry sweep that builds this query — the
+    * plan audit does, twice — pays the training jobs; priced at sf0.001:
+    * ~2 s per build, accepted to keep the audit's every-query invariant.
     */
   def bpeTrainDist(spark: SparkSession, dir: String): DataFrame =
     mergeTable(spark, graft.operators.Bpe.trainDistributedBatched(

@@ -15,7 +15,7 @@ class BpeSpec extends SparkSpec {
   /** Sequential reference: BPE merges over a (word -> freq) map. */
   private def referenceTrain(vocab: Map[String, Long], rounds: Int): Seq[(String, String)] = {
     var syms: Map[Seq[String], Long] =
-      vocab.map { case (w, f) => w.split("").toSeq.filter(_.nonEmpty) -> f }
+      vocab.map { case (w, f) => Bpe.codePoints(w) -> f }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var r = 0
     var done = false
@@ -25,7 +25,8 @@ class BpeSpec extends SparkSpec {
         s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
       }
       val best = counts.toSeq
-        .sortBy { case ((a, b), c) => (-c, a, b) }
+        .sortWith { case ((p1, c1), (p2, c2)) =>
+          c1 > c2 || (c1 == c2 && Bpe.pairLt(p1, p2)) }
         .headOption
       best match {
         case Some(((a, b), c)) if c >= 2 =>
@@ -163,7 +164,7 @@ class BpeSpec extends SparkSpec {
   private def trainBatchedSim(vocab: Map[String, Long], rounds: Int, topM: Int,
                               withTriples: Boolean): Seq[(String, String)] = {
     var syms: Seq[(Seq[String], Long)] =
-      vocab.toSeq.map { case (w, f) => w.split("").toSeq.filter(_.nonEmpty) -> f }
+      vocab.toSeq.map { case (w, f) => Bpe.codePoints(w) -> f }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < rounds && !exhausted) {
@@ -173,7 +174,10 @@ class BpeSpec extends SparkSpec {
       }
       val batch =
         if (!withTriples) {
-          val rows = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(topM + 1)
+          val rows = counts.toSeq
+            .sortWith { case ((p1, c1), (p2, c2)) =>
+              c1 > c2 || (c1 == c2 && Bpe.pairLt(p1, p2)) }
+            .take(topM + 1)
           Bpe.planBatch(rows, rows.length <= topM, rounds - merges.length)
         } else {
           // mirror Bpe.collectStats: the COMPLETE pair and triple tables
@@ -221,10 +225,52 @@ class BpeSpec extends SparkSpec {
     val baseline = Bpe.trainDistributed(docs, "text", rounds = 8)
     assert(baseline.nonEmpty)
     assert(Bpe.trainDistributedBatched(docs, "text", rounds = 8) == baseline)
-    // a 2-pair snapshot still converges (smaller batches, same rules)
-    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 8, topM = 2) == baseline)
+    // statsCap = 0 forces the stats-table-too-big degradation, so the
+    // pairs-only top-M planBatch branch runs END-TO-END on the cluster
+    // path; a 2-pair snapshot still converges (smaller batches, same rules)
+    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 8, topM = 2,
+      statsCap = 0) == baseline)
+    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 8, topM = 64,
+      statsCap = 0) == baseline)
     // exhaustion: no repeating pair -> no rules
     assert(Bpe.trainDistributedBatched(Seq("ab cd").toDF("text"), "text", rounds = 3).isEmpty)
+  }
+
+  test("argmax tie-breaks in UTF-8 binary order on every path") {
+    // U+1F600 (4-byte UTF-8, leads 0xF0) vs U+E000 (3-byte, leads 0xEE):
+    // JVM UTF-16 order puts the surrogate-led smile FIRST, UTF-8 binary
+    // order (Spark's UTF8String, DuckDB's binary collation) puts it LAST —
+    // a tied pair count on such symbols must break the same way everywhere
+    val smile = new String(Character.toChars(0x1F600))
+    val priv = "\uE000"
+    assert(smile < priv && Bpe.utf8Lt(priv, smile)) // the orders disagree
+    val vocab = Seq(s"a$smile" -> 2L, s"a$priv" -> 2L)
+    assert(Bpe.trainLocal(vocab, rounds = 1) == Seq(("a", priv)))
+    assert(Bpe.planBatchExact(
+      Map(("a", smile) -> 2L, ("a", priv) -> 2L), Map.empty, 1) == Seq(("a", priv)))
+    // the cluster paths (Spark orderBy = UTF-8 binary) agree
+    val docs = Seq(s"a$smile a$priv a$smile a$priv").toDF("text")
+    assert(Bpe.trainDistributed(docs, "text", rounds = 1) == Seq(("a", priv)))
+    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 1) == Seq(("a", priv)))
+  }
+
+  test("symbolization is code points everywhere, never UTF-16 code units") {
+    val smile = new String(Character.toChars(0x1F600))
+    // JVM String.split("") would tear the astral char into two surrogates
+    assert(Bpe.codePoints(s"a$smile" + "b") == Seq("a", smile, "b"))
+    // deeper training on an astral corpus: local, distributed, and batched
+    // loops agree (symbol alphabets identical), and segmentation round-trips
+    val docs = Seq(
+      Seq.fill(4)(s"$smile${smile}ab").mkString(" "),
+      Seq.fill(2)(s"${smile}ab").mkString(" ")).toDF("text")
+    val dist = Bpe.trainDistributed(docs, "text", rounds = 4)
+    assert(dist.nonEmpty)
+    assert(Bpe.train(docs, "text", rounds = 4) == dist) // localizes
+    assert(Bpe.trainDistributedBatched(docs, "text", rounds = 4) == dist)
+    val seg = Bpe.segment(s"$smile${smile}ab", dist)
+    assert(seg.mkString == s"$smile${smile}ab")
+    val enc = Bpe.encodeWord(s"$smile${smile}ab", Bpe.rankMap(dist))
+    assert(enc.mkString == s"$smile${smile}ab")
   }
 
   /** The DuckDB oracle's formulation of one encode step: splice the first
@@ -235,7 +281,7 @@ class BpeSpec extends SparkSpec {
     */
   private def spliceEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
     val pats = merges.map { case (a, b) => (s" $a $b ", s" $a$b ") }
-    var s = " " + word.split("").filter(_.nonEmpty).mkString(" ") + " "
+    var s = " " + Bpe.codePoints(word).mkString(" ") + " "
     var done = false
     while (!done) {
       pats.find(p => s.contains(p._1)) match {

@@ -62,7 +62,16 @@ class ZOrderSpec extends SparkSpec {
 
   test("z-clustered layout prunes both dimensions; a single-key sort prunes one") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
-    dir.deleteOnExit()
+    try testLayout(dir)
+    finally { // deleteOnExit can't remove non-empty dirs — clean recursively
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  private def testLayout(dir: java.io.File): Unit = {
     val nFiles = 16
     // 256×256 uniform grid — every (x, y) cell once; grid normalization is
     // identity up to scaling, so the layout quality is purely the curve's

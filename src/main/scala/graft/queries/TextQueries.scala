@@ -666,7 +666,50 @@ object TextQueries {
     graft.operators.PhraseTag.tagPhrases(docs(spark, dir), "doc_id", "text",
       TagPhrases)
 
+  /** Probe suffixes for `q_nfc_canon`: canonically equivalent, byte-distinct.
+    * NOTE: \uXXXX escapes are inert in Scala 2.13 triple-quoted strings, so
+    * the oracle SQL interpolates these constants rather than spelling them.
+    */
+  val NfcProbePre = " caf\u00e9"  // precomposed U+00E9
+  val NfcProbeDec = " cafe\u0301" // decomposed e + combining acute U+0301
+
+  /** Unicode canonical-equivalence audit
+    * ([[graft.functions.NfcNormalizeExpression]]): the same visible text
+    * arrives precomposed (`é` = U+00E9) or decomposed (`e` + U+0301)
+    * depending on the producing stack, and every byte-keyed dedup stage
+    * treats the two as distinct unless the corpus is NFC-normalized first.
+    * The harness corpus is pure ASCII (trivially NFC), so the query plants
+    * a deterministic probe suffix per document — precomposed / decomposed /
+    * plain by `doc_id % 3`, assembled identically in the oracle (the
+    * `q_pii_scrub` fixture convention) — and reports the corpus-release
+    * numbers: document count, how many documents are not NFC-normal, and
+    * the distinct-content count under raw bytes vs under the canonical
+    * form (their gap = duplicates that byte-equality dedup misses).
+    *
+    * Scale shape: one pruned scan, per-row codegen'd normalization (with
+    * an allocation-free `isNormalized` fast path — real corpora are
+    * overwhelmingly already-NFC), exact global distincts over 16-byte md5
+    * keys (two-phase partial aggregation; the sketch family is the
+    * approximate path at extreme cardinality).
+    */
+  def nfcCanon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalizeExpression.nfcNormalize
+    val m3 = pmod(col("doc_id"), lit(3L))
+    val probe = concat(col("text"),
+      when(m3 === 0L, lit(NfcProbePre))
+        .when(m3 === 1L, lit(NfcProbeDec))
+        .otherwise(lit(" plain")))
+    docs(spark, dir).select(probe.as("probe"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(nfcNormalize(col("probe")) =!= col("probe"), 1L)
+          .otherwise(0L)).as("n_denormal"),
+        countDistinct(md5(col("probe").cast("binary"))).as("distinct_raw"),
+        countDistinct(md5(nfcNormalize(col("probe")).cast("binary")))
+          .as("distinct_nfc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nfc_canon" -> (nfcCanon _),
     "q_phrase_tags" -> (phraseTags _),
     "q_gopher_rules" -> (gopherRules _),
     "q_span_scrub" -> (spanScrub _),
@@ -751,6 +794,20 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // DuckDB's nfc_normalize implements the same Unicode-standard NFC as
+    // the JDK kernel behind the Spark expression; the probe suffixes are
+    // the same é / e+́ escapes the Spark side plants
+    "q_nfc_canon" ->
+      s"""WITH p AS (SELECT text ||
+             CASE doc_id % 3 WHEN 0 THEN '$NfcProbePre'
+                             WHEN 1 THEN '$NfcProbeDec'
+                             ELSE ' plain' END AS probe
+           FROM documents)
+         SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN nfc_normalize(probe) <> probe THEN 1 ELSE 0 END)::BIGINT AS n_denormal,
+           count(DISTINCT md5(probe))::BIGINT AS distinct_raw,
+           count(DISTINCT md5(nfc_normalize(probe)))::BIGINT AS distinct_nfc
+         FROM p""",
     // every start position whose slice joins back to the phrase counts once;
     // overlapping starts each count, end-truncated slices cannot equal the
     // full phrase string

@@ -29,6 +29,13 @@ class GraftFunctionsSpec extends SparkSpec {
                               CAST(array(3.0, 4.0) AS array<float>)) AS d""")
       .as[Double].collect()(0)
     assert(dot === 11.0)
+
+    // decomposed e + U+0301 composes to the precomposed form (literal
+    // passed via parameterized concat: \uXXXX escapes are lexer-level in
+    // normal Scala strings, so build the SQL by interpolation)
+    val nfc = spark.sql(
+      s"SELECT nfc_normalize('${"café"}') AS n").as[String].collect()(0)
+    assert(nfc == "café")
   }
 
   /** The SQL-only user path end-to-end: harness tables as views + injected

@@ -18,12 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The kernel is `java.text.Normalizer` (the JDK's Unicode-standard NFC,
   * the same normal form DuckDB's `nfc_normalize` implements — the oracle
-  * seam for `q_nfc_canon`), with an `isNormalized` fast path: real corpora
-  * are overwhelmingly already-NFC (all-ASCII trivially so), and the check
-  * is a scan with no allocation, so the common case costs one pass and
-  * returns the input value unchanged (expression-level passthrough of the
-  * child's UTF8String, the `Coalesce` convention). Scale shape: per-row
-  * narrow map, no shuffle, stays inside whole-stage codegen.
+  * seam for `q_nfc_canon`), behind two fast paths: an allocation-free
+  * in-place byte scan returns all-ASCII rows immediately (ASCII is NFC by
+  * definition, and real corpora are overwhelmingly ASCII), and rows that
+  * are non-ASCII but already normal return after the `isNormalized` check
+  * without re-encoding — both pass the child's UTF8String value through
+  * unchanged (the `Coalesce` convention). Scale shape: per-row narrow
+  * map, no shuffle, stays inside whole-stage codegen.
   */
 case class NfcNormalizeExpression(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -47,8 +48,17 @@ case class NfcNormalizeExpression(child: Expression)
 
 object NfcNormalizeExpression {
 
-  /** Java-callable kernel shared by interpreted eval and generated code. */
+  /** Java-callable kernel shared by interpreted eval and generated code.
+    * All-ASCII input (the overwhelming row class in practice) is NFC by
+    * definition and returns after one allocation-free byte scan; only rows
+    * carrying a non-ASCII byte pay the String decode + `isNormalized`
+    * check, and only genuinely non-normal rows pay the normalization.
+    */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes // getByte reads in place; getBytes may copy the array
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: canonical already
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

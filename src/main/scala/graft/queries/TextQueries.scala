@@ -687,7 +687,7 @@ object TextQueries {
     * form (their gap = duplicates that byte-equality dedup misses).
     *
     * Scale shape: one pruned scan, per-row codegen'd normalization (with
-    * an allocation-free `isNormalized` fast path — real corpora are
+    * an allocation-free all-ASCII byte-scan fast path — real corpora are
     * overwhelmingly already-NFC), exact global distincts over 16-byte md5
     * keys (two-phase partial aggregation; the sketch family is the
     * approximate path at extreme cardinality).

@@ -30,12 +30,12 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(dot === 11.0)
 
-    // decomposed e + U+0301 composes to the precomposed form (literal
-    // passed via parameterized concat: \uXXXX escapes are lexer-level in
-    // normal Scala strings, so build the SQL by interpolation)
+    // decomposed e + U+0301 composes to the precomposed form (normal
+    // single-quoted Scala strings DO process \uXXXX escapes — only
+    // triple-quoted ones are inert, see TextQueries.NfcProbeDec)
     val nfc = spark.sql(
-      s"SELECT nfc_normalize('${"café"}') AS n").as[String].collect()(0)
-    assert(nfc == "café")
+      "SELECT nfc_normalize('cafe\u0301') AS n").as[String].collect()(0)
+    assert(nfc == "caf\u00e9")
   }
 
   /** The SQL-only user path end-to-end: harness tables as views + injected

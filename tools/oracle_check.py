@@ -32,7 +32,9 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
-oracle = json.load(open(f'{out}/oracle_sql.json'))
+# Verify writes UTF-8 unconditionally; q_nfc_canon's probe literals are
+# non-ASCII, so never trust the locale's preferred encoding here
+oracle = json.load(open(f'{out}/oracle_sql.json', encoding='utf-8'))
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:

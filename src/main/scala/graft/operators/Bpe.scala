@@ -198,7 +198,12 @@ object Bpe {
     * reference: all adjacent occurrences count (overlap included), merges
     * apply left-to-right non-overlapping, stop when no pair occurs twice.
     */
-  def trainLocal(vocab: Seq[(String, Long)], rounds: Int): Seq[(String, String)] = {
+  def trainLocal(vocab: Seq[(String, Long)], rounds: Int,
+                 compactSlack: Int = 1 << 16): Seq[(String, String)] = {
+    // compactSlack keeps compaction amortized in production (rebuild only
+    // once stale entries dominate AND the heap is large); it is injectable
+    // so BpeSpec can force the rebuild branch every round (a negative
+    // slack) and prove compaction cannot change the learned sequence
     import scala.collection.mutable
     val words: Array[(mutable.ArrayBuffer[String], Long)] = vocab.iterator
       .map { case (w, f) =>
@@ -247,7 +252,7 @@ object Bpe {
       }
       touched.clear()
       // compact when lazily-deleted entries dominate: rebuild from the map
-      if (heap.size > 4 * counts.size + (1 << 16)) {
+      if (heap.size > 4L * counts.size + compactSlack) {
         heap.clear()
         counts.foreach(heap += _)
       }

@@ -122,6 +122,24 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, s"trainLocal diverged from reference: ${res.status}")
   }
 
+  test("forced heap compaction cannot change the learned sequence") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // a negative slack makes the lazy-heap rebuild fire on EVERY flush —
+    // the branch never triggers at spec scale under the production
+    // threshold (4x map size + 64k), so force it and pin equality
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(word, Gen.choose(1L, 9L))))
+    val prop = Prop.forAll(corpus) { ws =>
+      val vocab = ws.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }
+      Bpe.trainLocal(vocab.toSeq, rounds = 10, compactSlack = Int.MinValue) ==
+        referenceTrain(vocab, rounds = 10)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"compaction changed the sequence: ${res.status}")
+  }
+
   test("train falls back to the distributed loop above the local-vocab cap") {
     val docs = sennrichDocs
     // cap of 2 forces the distributed path on a 4-word vocabulary

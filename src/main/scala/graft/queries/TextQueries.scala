@@ -708,7 +708,58 @@ object TextQueries {
           .as("distinct_nfc"))
   }
 
+  /** Probe suffixes for `q_moji_repair`. The corrupted form is DERIVED (the
+    * clean suffix's UTF-8 bytes re-read as Latin-1 — exactly the corruption
+    * [[graft.functions.MojibakeRepairExpression]] inverts), never spelled,
+    * so the fixture and the repair can't drift. Interpolated into the
+    * oracle for the same triple-quoted-escape reason as the NFC probes.
+    */
+  val MojiCleanSuffix: String = " r\u00e9sum\u00e9"
+  val MojiBadSuffix: String = new String(
+    MojiCleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+  val MojiFffdSuffix: String = " lost\ufffdchar"
+
+  /** Encoding-corruption repair audit
+    * ([[graft.functions.MojibakeRepairExpression]]): the companion of
+    * `q_nfc_canon` on the corpus-hygiene axis — NFC resolves canonical
+    * EQUIVALENCE, this one inverts double-encoded UTF-8 (bytes re-read as
+    * Latin-1 and re-encoded, `é` → `Ã©`), the classic multi-hop ingest
+    * corruption. The ASCII harness corpus gets a planted four-class probe
+    * by `doc_id % 4`: plain / corrupted (must repair) / genuinely-accented
+    * (must pass through — its lone Latin-1 bytes are invalid UTF-8) /
+    * replacement-char U+FFFD (unrepairable, flagged for human attention).
+    * The oracle computes the probe assembly and the U+FFFD detection
+    * symmetrically and replays the EXPECTED repair from the fixture
+    * (DuckDB has no Latin-1 codec — the `q_pii_scrub` replay convention),
+    * so any deviation of the expression from exactly-one-layer inversion
+    * hash-mismatches. Reported: document count, repaired count, U+FFFD
+    * count, and distinct content before vs after repair (their gap =
+    * duplicates that byte-equality dedup misses under encoding skew).
+    *
+    * Scale shape: one pruned scan, per-row codegen'd repair with the
+    * allocation-free all-ASCII fast path, exact global distincts over
+    * 16-byte md5 keys (two-phase partial aggregation).
+    */
+  def mojiRepair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MojibakeRepairExpression.mojibakeRepair
+    val m4 = pmod(col("doc_id"), lit(4L))
+    val probe = concat(col("text"),
+      when(m4 === 1L, lit(MojiBadSuffix))
+        .when(m4 === 2L, lit(MojiCleanSuffix))
+        .when(m4 === 3L, lit(MojiFffdSuffix))
+        .otherwise(lit(" plain")))
+    docs(spark, dir).select(probe.as("probe"))
+      .select(col("probe"), mojibakeRepair(col("probe")).as("rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rep") =!= col("probe"), 1L).otherwise(0L)).as("n_repaired"),
+        sum(when(col("probe").contains("\ufffd"), 1L).otherwise(0L)).as("n_fffd"),
+        countDistinct(md5(col("probe").cast("binary"))).as("distinct_raw"),
+        countDistinct(md5(col("rep").cast("binary"))).as("distinct_rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moji_repair" -> (mojiRepair _),
     "q_nfc_canon" -> (nfcCanon _),
     "q_phrase_tags" -> (phraseTags _),
     "q_gopher_rules" -> (gopherRules _),
@@ -794,6 +845,27 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // probe assembly and U+FFFD detection computed symmetrically; the
+    // repair itself is REPLAYED from the fixture (DuckDB has no Latin-1
+    // codec): exactly the corrupted class decodes one layer back to the
+    // clean suffix — any other behavior of the expression hash-mismatches
+    "q_moji_repair" ->
+      s"""WITH p AS (SELECT doc_id, text,
+             text || CASE doc_id % 4 WHEN 1 THEN '$MojiBadSuffix'
+                                     WHEN 2 THEN '$MojiCleanSuffix'
+                                     WHEN 3 THEN '$MojiFffdSuffix'
+                                     ELSE ' plain' END AS probe
+           FROM documents),
+         r AS (SELECT probe,
+             CASE WHEN doc_id % 4 = 1 THEN text || '$MojiCleanSuffix'
+                  ELSE probe END AS rep
+           FROM p)
+         SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN rep <> probe THEN 1 ELSE 0 END)::BIGINT AS n_repaired,
+           sum(CASE WHEN contains(probe, '${"\ufffd"}') THEN 1 ELSE 0 END)::BIGINT AS n_fffd,
+           count(DISTINCT md5(probe))::BIGINT AS distinct_raw,
+           count(DISTINCT md5(rep))::BIGINT AS distinct_rep
+         FROM r""",
     // DuckDB's nfc_normalize implements the same Unicode-standard NFC as
     // the JDK kernel behind the Spark expression; the probe suffixes are
     // the same é / e+́ escapes the Spark side plants

@@ -9,12 +9,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpression, FingerprintExpression, NfcNormalizeExpression, ShinglesExpression}
+import graft.functions.{DotProductExpression, FingerprintExpression, MojibakeRepairExpression, NfcNormalizeExpression, ShinglesExpression}
 
 /** SQL registration of graft's native expressions, so `spark.sql` users get
   * them too: `fingerprint(text)`, `dot_product_f(a, b)`,
   * `shingles(text, n)` (n must be a literal), `nfc_normalize(text)` (the
-  * DuckDB-compatible name).
+  * DuckDB-compatible name), `mojibake_repair(text)`.
   */
 object GraftFunctions {
 
@@ -26,6 +26,10 @@ object GraftFunctions {
     "nfc_normalize" -> { args =>
       require(args.length == 1, "nfc_normalize(text) takes 1 argument")
       NfcNormalizeExpression(args.head)
+    },
+    "mojibake_repair" -> { args =>
+      require(args.length == 1, "mojibake_repair(text) takes 1 argument")
+      MojibakeRepairExpression(args.head)
     },
     "dot_product_f" -> { args =>
       require(args.length == 2, "dot_product_f(a, b) takes 2 arguments")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, floor, lit, row_number, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, floor, lit, max, min, row_number, size, sum, when}
 import graft.operators.Embeddings
 import graft.sources.Tables
 
@@ -268,6 +268,33 @@ object EmbeddingQueries {
   def ivfStats(spark: SparkSession, dir: String): DataFrame =
     Embeddings.ivfBucketStats(vectors(spark, dir), NumCentroids)
 
+  /** Embedding-table health audit — the data-quality gate a pipeline runs
+    * before spending compute on an ANN index build: per label, vector count,
+    * the dimension range (a ragged `dim_min ≠ dim_max` means a broken
+    * upstream encoder batch), zero-norm vectors (degenerate rows that make
+    * cosine undefined and poison centroid training), and the L2-norm range
+    * and sum in e6 fixed point (norm collapse or blow-up is the standard
+    * symptom of an encoder regression; integer stats keep both engines
+    * bit-equal and the sum order-independent).
+    *
+    * Scale shape: one scan, per-row codegen'd self-dot, two-phase partial
+    * aggregation onto the tiny label domain — no shuffle wider than the
+    * group-by, no joins.
+    */
+  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        floor(Embeddings.l2Norm(col("embedding")) * lit(1e6)).cast("long").as("norm_e6"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(when(col("norm_e6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm_e6")).as("norm_min_e6"),
+        max(col("norm_e6")).as("norm_max_e6"),
+        sum(col("norm_e6")).as("norm_sum_e6"))
+
   /** Reciprocal-rank-fusion constant (the standard k=60 from Cormack et al.).
     */
   val RrfK = 60
@@ -319,6 +346,7 @@ object EmbeddingQueries {
     "q_srp_stats" -> (srpStats _),
     "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
+    "q_embed_stats" -> (embedStats _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_embed_groups" -> (embedDedupGroups _),
     "q_knn_topk" -> (knnExact _),
@@ -786,6 +814,26 @@ object EmbeddingQueries {
           FROM (SELECT * FROM exact_pairs
                 WHERE vec_a % $RecallSampleMod = 0 AND vec_b % $RecallSampleMod = 0) e
           LEFT JOIN srp_mp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    // len()-driven index range (not the fixed 64) so the dim audit and the
+    // norm agree even on a ragged table; list_sum(list_transform(...))
+    // evaluates sequentially left-to-right, matching the Spark expression
+    // bit-for-bit; every reported stat is integer so the sums are
+    // order-independent
+    "q_embed_stats" ->
+      """WITH v AS (SELECT label::BIGINT AS label,
+                embedding::DOUBLE[] AS e,
+                len(embedding)::BIGINT AS dim
+              FROM embeddings),
+          n AS (SELECT label, dim,
+                floor(sqrt(list_sum(list_transform(range(1, len(e)::INT + 1),
+                                                   i -> e[i]*e[i]))) * 1e6)::BIGINT AS norm_e6
+              FROM v)
+          SELECT label, count(*)::BIGINT AS n_vecs,
+                 min(dim) AS dim_min, max(dim) AS dim_max,
+                 sum(CASE WHEN norm_e6 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+                 min(norm_e6) AS norm_min_e6, max(norm_e6) AS norm_max_e6,
+                 sum(norm_e6)::BIGINT AS norm_sum_e6
+          FROM n GROUP BY 1""",
     "q_retrieval_mrr" -> (base +
       """SELECT e.query_id,
                 coalesce(1000000 // a.rank, 0)::BIGINT AS rr_e6

@@ -758,7 +758,66 @@ object TextQueries {
         countDistinct(md5(col("rep").cast("binary"))).as("distinct_rep"))
   }
 
+  /** Character classes for `q_ws_norm`, single-sourced so the Spark and
+    * DuckDB regexes can never drift (and because \uXXXX escapes are inert in
+    * the triple-quoted oracle strings): invisible format characters to strip
+    * (zero-width space / non-joiner / joiner, BOM/ZWNBSP, soft hyphen) and
+    * the whitespace-run class to collapse (ASCII whitespace + NBSP). Literal
+    * characters only — the class syntax means the same thing to Java regex
+    * and RE2.
+    */
+  val WsZwClass: String = "[\u200b\u200c\u200d\ufeff\u00ad]"
+  val WsRunClass: String = "[ \t\n\r\f\u000b\u00a0]+"
+
+  /** Probe suffixes for `q_ws_norm`, planted per `doc_id % 3` (the harness
+    * corpus is single-spaced ASCII, trivially normal): invisible-infested /
+    * whitespace-run-infested (NBSP, tab, newline, multi-space, trailing) /
+    * plain.
+    */
+  val WsProbeZw: String = " zero\u200bwidth\ufeffmark\u00ad end"
+  val WsProbeRun: String = " run\u00a0\tof \n  spaces "
+
+  /** Whitespace + invisible-character normalization: strip zero-width
+    * format characters, collapse whitespace runs (including NBSP) to one
+    * space, trim. Pure built-in composition — `regexp_replace`/`trim` are
+    * codegen'd native expressions, so no custom kernel is needed for this
+    * hygiene stage.
+    */
+  def wsNormalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, WsZwClass, ""), WsRunClass, " "))
+
+  /** Invisible-character / whitespace normalization audit — the third rung
+    * of the corpus-hygiene ladder after `q_nfc_canon` (canonical
+    * equivalence) and `q_moji_repair` (encoding corruption): zero-width
+    * characters and non-standard whitespace (NBSP, tabs, run-on spaces,
+    * trailing blanks) are invisible to a reader but split otherwise
+    * identical documents across every byte-keyed dedup stage and inflate
+    * whitespace token counts. Planted three-class probe by `doc_id % 3`
+    * (invisibles / runs / plain), assembled identically in the oracle;
+    * reported: document count, documents changed by normalization, and
+    * distinct content raw vs normalized (the gap = duplicates byte
+    * dedup misses under whitespace skew).
+    *
+    * Scale shape: one pruned scan, per-row codegen'd regex normalization,
+    * exact global distincts over 16-byte md5 keys (two-phase partial
+    * aggregation) — same shape as the other two hygiene audits.
+    */
+  def wsNorm(spark: SparkSession, dir: String): DataFrame = {
+    val m3 = pmod(col("doc_id"), lit(3L))
+    val probe = concat(col("text"),
+      when(m3 === 0L, lit(WsProbeZw))
+        .when(m3 === 1L, lit(WsProbeRun))
+        .otherwise(lit(" plain")))
+    docs(spark, dir).select(probe.as("probe"))
+      .select(col("probe"), wsNormalize(col("probe")).as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("probe"), 1L).otherwise(0L)).as("n_changed"),
+        countDistinct(md5(col("probe").cast("binary"))).as("distinct_raw"),
+        countDistinct(md5(col("norm").cast("binary"))).as("distinct_norm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ws_norm" -> (wsNorm _),
     "q_moji_repair" -> (mojiRepair _),
     "q_nfc_canon" -> (nfcCanon _),
     "q_phrase_tags" -> (phraseTags _),
@@ -845,6 +904,24 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // same literal character classes (interpolated, so they cannot drift
+    // from the Spark side) — literal-char classes mean the same thing to
+    // RE2 and Java regex; 'g' matches Spark's replace-all default
+    "q_ws_norm" ->
+      s"""WITH p AS (SELECT text ||
+             CASE doc_id % 3 WHEN 0 THEN '$WsProbeZw'
+                             WHEN 1 THEN '$WsProbeRun'
+                             ELSE ' plain' END AS probe
+           FROM documents),
+         n AS (SELECT probe,
+             trim(regexp_replace(regexp_replace(probe, '$WsZwClass', '', 'g'),
+                                 '$WsRunClass', ' ', 'g')) AS norm
+           FROM p)
+         SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN norm <> probe THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+           count(DISTINCT md5(probe))::BIGINT AS distinct_raw,
+           count(DISTINCT md5(norm))::BIGINT AS distinct_norm
+         FROM n""",
     // probe assembly and U+FFFD detection computed symmetrically; the
     // repair itself is REPLAYED from the fixture (DuckDB has no Latin-1
     // codec): exactly the corrupted class decodes one layer back to the

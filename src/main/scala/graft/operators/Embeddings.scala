@@ -224,6 +224,35 @@ object Embeddings {
         expr("(n_vecs * 1000000) div n_total").as("share_e6"))
   }
 
+  /** Clustering-QUALITY view of the IVF layout — the companion of
+    * [[ivfBucketStats]] (which audits bucket BALANCE): per bucket, the
+    * member count, the summed member-to-own-centroid cosine (e6-floored —
+    * integer, so the sum is order-independent and oracle-checkable), and
+    * the worst member's cosine. Low `sum_cos_e6 / n_vecs` means a diffuse
+    * bucket (recall@nprobe suffers); a very low `min_cos_e6` is an outlier
+    * assigned by elimination. Same plan shape as the assignment pass every
+    * IVF query already runs: one scan, broadcast centroids (O(n·C) scored
+    * rows, C tiny), two-phase aggregation onto the C-row bucket domain.
+    */
+  def ivfBucketQuality(vectors: DataFrame, numCentroids: Int): DataFrame = {
+    val c = firstCentroids(vectors, numCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        l2Norm(col("embedding")).as("c_norm"))
+    vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
+      .crossJoin(broadcast(c))
+      .withColumn("score",
+        dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("score")),
+        struct(col("score"), -col("cent_id"))).as("best"))
+      .select(col("best.cent_id").as("cent_id"),
+        floor(col("best.score") * lit(1e6)).cast("long").as("cos_e6"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("cos_e6")).as("sum_cos_e6"),
+        min(col("cos_e6")).as("min_cos_e6"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
     * cosine ≥ threshold. Exact all-pairs over a broadcast side — correct at
     * harness scale and the oracle for the blocked variants; at 100 TB the

@@ -268,6 +268,12 @@ object EmbeddingQueries {
   def ivfStats(spark: SparkSession, dir: String): DataFrame =
     Embeddings.ivfBucketStats(vectors(spark, dir), NumCentroids)
 
+  /** Per-bucket clustering quality (cohesion + worst member) — see
+    * [[Embeddings.ivfBucketQuality]].
+    */
+  def ivfQuality(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfBucketQuality(vectors(spark, dir), NumCentroids)
+
   /** Embedding-table health audit — the data-quality gate a pipeline runs
     * before spending compute on an ANN index build: per label, vector count,
     * the dimension range (a ragged `dim_min ≠ dim_max` means a broken
@@ -346,6 +352,7 @@ object EmbeddingQueries {
     "q_srp_stats" -> (srpStats _),
     "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
+    "q_ivf_quality" -> (ivfQuality _),
     "q_embed_stats" -> (embedStats _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_embed_groups" -> (embedDedupGroups _),
@@ -814,6 +821,30 @@ object EmbeddingQueries {
           FROM (SELECT * FROM exact_pairs
                 WHERE vec_a % $RecallSampleMod = 0 AND vec_b % $RecallSampleMod = 0) e
           LEFT JOIN srp_mp_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b"""),
+    // the same max-cosine/lowest-id assignment rule as `base`'s assign CTE,
+    // widened with the winning score so the bucket rollup can price
+    // cohesion; e6-floored to integers before any sum
+    "q_ivf_quality" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          nrm AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                  FROM v),
+          c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
+          scored AS (
+            SELECT v.vec_id, c.cent_id,
+              (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                / (nv.nm * nc.nm)) AS score,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM v CROSS JOIN c
+            JOIN nrm nv ON nv.vec_id = v.vec_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id),
+          best AS (SELECT cent_id, floor(score * 1e6)::BIGINT AS cos_e6
+                   FROM scored WHERE rn = 1)
+          SELECT cent_id, count(*)::BIGINT AS n_vecs,
+                 sum(cos_e6)::BIGINT AS sum_cos_e6, min(cos_e6) AS min_cos_e6
+          FROM best GROUP BY 1""",
     // len()-driven index range (not the fixed 64) so the dim audit and the
     // norm agree even on a ragged table; list_sum(list_transform(...))
     // evaluates sequentially left-to-right, matching the Spark expression

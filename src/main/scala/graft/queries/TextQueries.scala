@@ -758,6 +758,38 @@ object TextQueries {
         countDistinct(md5(col("rep").cast("binary"))).as("distinct_rep"))
   }
 
+  /** Thresholds (Jaccard %) the calibration query prices — bracketing the
+    * production 60 on both sides, single-sourced into the oracle.
+    */
+  val JaccardCalibThresholds: Seq[Long] = Seq(50L, 60L, 70L, 80L, 90L)
+
+  /** Dedup-threshold calibration: the pair count a Jaccard dedup pass would
+    * act on at each candidate threshold, from ONE shared intersection stage
+    * ([[TextDedup.shingleIntersections]] — the same unthresholded frame
+    * `q_jaccard_pairs`/`q_containment` filter). Choosing the Jaccard cutoff
+    * is the highest-leverage knob in lexical dedup (too low deletes
+    * boilerplate-similar but distinct documents, too high keeps true
+    * near-dups); this prices the knob instead of asserting it. Thresholds
+    * with zero surviving pairs are reported as explicit zeros (equi-join
+    * re-attach of the 5-row threshold table — no inequality join).
+    *
+    * Scale shape: identical to `q_jaccard_pairs` (shingle-hash equi-join,
+    * 8-byte shuffle keys, optional hot-shingle cap) plus a 5× narrow
+    * explode of the per-pair frame — the sweep costs one candidate join,
+    * not five.
+    */
+  def jaccardCalib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = TextDedup.shingleIntersections(docs(spark, dir), "doc_id", "text", n = 3)
+    val counts = w.select(col("inter"), col("size_a"), col("size_b"),
+        explode(lit(JaccardCalibThresholds.toArray)).as("threshold"))
+      .filter(col("inter") * 100 >= col("threshold") * (col("size_a") + col("size_b") - col("inter")))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    JaccardCalibThresholds.toDF("threshold")
+      .join(counts, Seq("threshold"), "left")
+      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** Character classes for `q_ws_norm`, single-sourced so the Spark and
     * DuckDB regexes can never drift (and because \uXXXX escapes are inert in
     * the triple-quoted oracle strings): invisible format characters to strip
@@ -817,6 +849,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaccard_calib" -> (jaccardCalib _),
     "q_ws_norm" -> (wsNorm _),
     "q_moji_repair" -> (mojiRepair _),
     "q_nfc_canon" -> (nfcCanon _),
@@ -904,6 +937,29 @@ object TextQueries {
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // the jaccardOracle's shared intersection CTEs, unthresholded, swept
+    // over the single-sourced threshold list; LEFT JOIN so zero-pair
+    // thresholds report explicit zeros like the Spark side's re-attach
+    "q_jaccard_calib" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+         ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT i.doc_a, i.inter, sa.sz AS size_a, sb.sz AS size_b
+               FROM inter i
+               JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b),
+         th AS (SELECT unnest([${JaccardCalibThresholds.mkString(", ")}]) AS threshold)
+         SELECT th.threshold::BIGINT AS threshold,
+                count(j.doc_a)::BIGINT AS n_pairs
+         FROM th LEFT JOIN j
+           ON j.inter * 100 >= th.threshold * (j.size_a + j.size_b - j.inter)
+         GROUP BY 1""",
     // same literal character classes (interpolated, so they cannot drift
     // from the Spark side) — literal-char classes mean the same thing to
     // RE2 and Java regex; 'g' matches Spark's replace-all default

@@ -790,6 +790,82 @@ object TextQueries {
       .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
 
+  /** Signature length the LSH banding calibration factorizes — the
+    * `q_minhash_lsh` default (`numHashes = 32` in
+    * [[TextDedup.minhashDedupPairs]]), so every priced config is an
+    * integral rows×bands split of the signature actually deployed.
+    */
+  val LshCalibNumHashes: Int = 32
+
+  /** Rows-per-band values the calibration prices (powers of two so both
+    * engines can evaluate J^r and miss^b as exact IEEE squaring chains):
+    * r ∈ {1,…,16} ⇒ b = 32/r bands, spanning recall-heavy (r=1, every
+    * signature value its own band) to precision-heavy (r=16, two bands).
+    */
+  val LshCalibRowsPerBand: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** LSH banding calibration: prices the (rowsPerBand, bands) knob of
+    * [[TextDedup.minhashDedupPairs]] ANALYTICALLY — per config, the expected
+    * number of true pairs (exact Jaccard ≥ 60%) the banding would catch and
+    * the expected total candidate-pair volume it would generate, both from
+    * the catch probability p = 1−(1−J^r)^b evaluated on the exact per-pair
+    * Jaccard. Running five actual LSH passes would not be oracle-checkable
+    * (candidate sets depend on the hash family, which DuckDB cannot
+    * reproduce) and would cost five bucket joins; the analytic form needs
+    * only the ONE sub-quadratic shingle-intersection frame — pairs sharing
+    * zero shingles have J = 0 hence p = 0 exactly, so the equi-join support
+    * IS the support of the expectation.
+    *
+    * Float determinism: J = inter/union is one exactly-rounded IEEE divide;
+    * J^r and (1−J^r)^b are explicit SQUARING CHAINS (each step one
+    * exactly-rounded multiply, identically associated in both engines — no
+    * pow(), whose libm rounding is not cross-engine stable); each pair's p
+    * is fixed-pointed to floor(p·10⁶) BEFORE summing, so the aggregate is
+    * an order-insensitive BIGINT sum, never a float sum (CLAUDE.md float
+    * rule). At 100 TB the same plan runs on a document sample — the
+    * expectation columns are means, so they scale linearly.
+    */
+  def lshCalib(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextDedup.shingleIntersections(docs(spark, dir), "doc_id", "text", n = 3)
+    val unionSz = col("size_a") + col("size_b") - col("inter")
+    var df = w
+      .withColumn("j1", col("inter").cast("double") / unionSz)
+      .withColumn("is_true", col("inter") * 100 >= lit(60L) * unionSz)
+    for (e <- Seq(2, 4, 8, 16))
+      df = df.withColumn(s"j$e", col(s"j${e / 2}") * col(s"j${e / 2}"))
+    for (r <- LshCalibRowsPerBand) {
+      val squarings = Integer.numberOfTrailingZeros(LshCalibNumHashes / r)
+      df = df.withColumn(s"m${r}_0", lit(1.0d) - col(s"j$r"))
+      for (s <- 1 to squarings)
+        df = df.withColumn(s"m${r}_$s", col(s"m${r}_${s - 1}") * col(s"m${r}_${s - 1}"))
+      df = df.withColumn(s"p$r",
+        floor((lit(1.0d) - col(s"m${r}_$squarings")) * lit(1000000.0d)).cast("long"))
+    }
+    val aggCols =
+      Seq(coalesce(sum(when(col("is_true"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_true")) ++
+        LshCalibRowsPerBand.flatMap { r =>
+          Seq(
+            coalesce(sum(when(col("is_true"), col(s"p$r")).otherwise(lit(0L))), lit(0L)).as(s"catch_$r"),
+            coalesce(sum(col(s"p$r")), lit(0L)).as(s"cand_$r"))
+        }
+    // one global agg row (exists even on an empty corpus, matching the
+    // oracle's global-agg CTE) exploded into one row per config — a literal
+    // struct array, not a join, so no BNLJ enters the plan
+    val configRows = LshCalibRowsPerBand.map { r =>
+      struct(
+        lit(r.toLong).as("rows_per_band"),
+        lit((LshCalibNumHashes / r).toLong).as("bands"),
+        col("n_true"),
+        col(s"catch_$r").as("exp_catch_e6"),
+        col(s"cand_$r").as("exp_cand_e6"))
+    }
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(configRows: _*)).as("c"))
+      .select(col("c.rows_per_band").as("rows_per_band"), col("c.bands").as("bands"),
+        col("c.n_true").as("n_true"), col("c.exp_catch_e6").as("exp_catch_e6"),
+        col("c.exp_cand_e6").as("exp_cand_e6"))
+  }
+
   /** Character classes for `q_ws_norm`, single-sourced so the Spark and
     * DuckDB regexes can never drift (and because \uXXXX escapes are inert in
     * the triple-quoted oracle strings): invisible format characters to strip
@@ -850,6 +926,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_calib" -> (jaccardCalib _),
+    "q_lsh_calib" -> (lshCalib _),
     "q_ws_norm" -> (wsNorm _),
     "q_moji_repair" -> (mojiRepair _),
     "q_nfc_canon" -> (nfcCanon _),
@@ -936,7 +1013,57 @@ object TextQueries {
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)"""
 
+  /** `q_lsh_calib` oracle, GENERATED from the same single-sourced config
+    * list as the Spark side so the squaring chains cannot drift: nested
+    * one-column-per-step subqueries mirror the `withColumn` chain exactly
+    * (same intermediates, same association), per-pair fixed-point before the
+    * BIGINT sums, one global-agg CTE fanned out by UNION ALL per config.
+    */
+  private def lshCalibOracle: String = {
+    var chain = "SELECT * FROM pairs"
+    for (e <- Seq(2, 4, 8, 16))
+      chain = s"SELECT *, j${e / 2} * j${e / 2} AS j$e FROM ($chain)"
+    for (r <- LshCalibRowsPerBand) {
+      val k = Integer.numberOfTrailingZeros(LshCalibNumHashes / r)
+      chain = s"SELECT *, 1.0::DOUBLE - j$r AS m${r}_0 FROM ($chain)"
+      for (s <- 1 to k)
+        chain = s"SELECT *, m${r}_${s - 1} * m${r}_${s - 1} AS m${r}_$s FROM ($chain)"
+      chain = s"SELECT *, CAST(floor((1.0::DOUBLE - m${r}_$k) * 1000000.0::DOUBLE) AS BIGINT) AS p$r FROM ($chain)"
+    }
+    val aggCols = (
+      Seq("coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)::BIGINT AS n_true") ++
+        LshCalibRowsPerBand.flatMap { r =>
+          Seq(
+            s"coalesce(sum(CASE WHEN is_true THEN p$r ELSE 0 END), 0)::BIGINT AS catch_$r",
+            s"coalesce(sum(p$r), 0)::BIGINT AS cand_$r")
+        }).mkString(",\n                ")
+    val fanout = LshCalibRowsPerBand.map { r =>
+      s"SELECT ${r}::BIGINT AS rows_per_band, ${LshCalibNumHashes / r}::BIGINT AS bands, " +
+        s"n_true, catch_$r AS exp_catch_e6, cand_$r AS exp_cand_e6 FROM agg"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+         ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS j1,
+                  i.inter * 100 >= 60 * (sa.sz + sb.sz - i.inter) AS is_true
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b),
+         agg AS (
+           SELECT $aggCols
+           FROM ($chain))
+         $fanout"""
+  }
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q_lsh_calib" -> lshCalibOracle,
     // the jaccardOracle's shared intersection CTEs, unthresholded, swept
     // over the single-sourced threshold list; LEFT JOIN so zero-pair
     // thresholds report explicit zeros like the Spark side's re-attach

@@ -790,6 +790,59 @@ object TextQueries {
       .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
 
+  /** Hot-shingle caps (max docs containing a shingle before it is excluded
+    * from candidate generation) the skew-guard calibration prices. cap=1 is
+    * the degenerate anchor — a SHARED shingle has frequency ≥ 2, so capping
+    * at 1 destroys all detection; 16 exceeds the sf0.01 max frequency (7),
+    * pricing the guard as free where there is no skew.
+    */
+  val CapCalibCaps: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)
+
+  /** Skew-guard calibration: prices [[TextDedup.shingleIntersections]]'
+    * `maxShingleFreq` cap — the knob that bounds the candidate join's
+    * per-shingle blowup (a shingle in f docs yields f² pair rows; the cap
+    * makes the worst case cap² regardless of corpus skew, which is what
+    * lets the plan survive 100 TB boilerplate). Per cap: `n_pairs` = the
+    * Jaccard ≥ 60% pairs still detected on the CAPPED shingle sets (sizes
+    * and intersections both recomputed post-cap, exactly as the production
+    * path computes them), and `entries_dropped` = the doc-shingle entries
+    * the cap excluded (the shuffle volume the guard saves). All five caps
+    * share ONE shingle scan and ONE frequency aggregation; zero-row caps
+    * report explicit zeros via the 5-row equi-join re-attach.
+    *
+    * The 5× explode multiplies the candidate-join shuffle by the config
+    * count — a calibration query runs on a corpus sample at 100 TB, not
+    * the full corpus; the knob it prices is what the full-corpus plans use.
+    */
+  def capCalib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = TextDedup.shingles(docs(spark, dir), "doc_id", "text", n = 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val withF = sh.join(sh.groupBy("shingle").agg(count(lit(1)).as("f")), Seq("shingle"))
+    val ex = withF.select(col("doc_id"), col("shingle"), col("f"),
+      explode(lit(CapCalibCaps.toArray)).as("cap"))
+    val dropped = ex.groupBy("cap")
+      .agg(sum(when(col("f") > col("cap"), lit(1L)).otherwise(lit(0L))).as("entries_dropped"))
+    val kept = ex.filter(col("f") <= col("cap")).select("cap", "doc_id", "shingle")
+    val sizes = kept.groupBy("cap", "doc_id").agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("cap"), col("shingle"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("cap"), col("shingle"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("cap", "shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("cap", "doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col("cap"), col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("cap", "doc_a"))
+      .join(sizes.select(col("cap"), col("doc_id").as("doc_b"), col("sz").as("size_b")),
+        Seq("cap", "doc_b"))
+      .filter(col("inter") * 100 >= lit(60L) * (col("size_a") + col("size_b") - col("inter")))
+      .groupBy("cap").agg(count(lit(1)).as("n_pairs"))
+    CapCalibCaps.toDF("cap")
+      .join(pairs, Seq("cap"), "left")
+      .join(dropped, Seq("cap"), "left")
+      .select(col("cap"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("entries_dropped"), lit(0L)).as("entries_dropped"))
+  }
+
   /** Signature length the LSH banding calibration factorizes — the
     * `q_minhash_lsh` default (`numHashes = 32` in
     * [[TextDedup.minhashDedupPairs]]), so every priced config is an
@@ -927,6 +980,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_calib" -> (jaccardCalib _),
     "q_lsh_calib" -> (lshCalib _),
+    "q_cap_calib" -> (capCalib _),
     "q_ws_norm" -> (wsNorm _),
     "q_moji_repair" -> (mojiRepair _),
     "q_nfc_canon" -> (nfcCanon _),
@@ -1064,6 +1118,42 @@ object TextQueries {
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_lsh_calib" -> lshCalibOracle,
+    // capped sizes/intersections recomputed per cap exactly as the Spark
+    // side (and the production maxShingleFreq path) compute them; string
+    // shingles here vs 64-bit hashed keys there — equal mod the documented
+    // per-pair 2^-64 collision argument
+    "q_cap_calib" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+         ), f AS (SELECT shingle, count(*) AS f FROM sh GROUP BY 1),
+         caps AS (SELECT unnest([${CapCalibCaps.mkString(", ")}]) AS cap),
+         ex AS (SELECT s.doc_id, s.shingle, f.f, c.cap
+                FROM sh s JOIN f USING (shingle) CROSS JOIN caps c),
+         dropped AS (
+           SELECT cap, sum(CASE WHEN f > cap THEN 1 ELSE 0 END) AS entries_dropped
+           FROM ex GROUP BY 1),
+         kept AS (SELECT cap, doc_id, shingle FROM ex WHERE f <= cap),
+         sizes AS (SELECT cap, doc_id, count(*) AS sz FROM kept GROUP BY 1, 2),
+         inter AS (
+           SELECT a.cap, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.cap = b.cap AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3),
+         pairs AS (
+           SELECT i.cap, count(*) AS n_pairs
+           FROM inter i
+           JOIN sizes sa ON sa.cap = i.cap AND sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.cap = i.cap AND sb.doc_id = i.doc_b
+           WHERE i.inter * 100 >= 60 * (sa.sz + sb.sz - i.inter)
+           GROUP BY 1)
+         SELECT c.cap::BIGINT AS cap,
+                coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+                coalesce(d.entries_dropped, 0)::BIGINT AS entries_dropped
+         FROM caps c
+         LEFT JOIN pairs p USING (cap)
+         LEFT JOIN dropped d USING (cap)""",
     // the jaccardOracle's shared intersection CTEs, unthresholded, swept
     // over the single-sourced threshold list; LEFT JOIN so zero-pair
     // thresholds report explicit zeros like the Spark side's re-attach

@@ -674,6 +674,54 @@ object CurationQueries {
         expr(s"start % $SeqLen").as("pack_offset"))
   }
 
+  /** Sequence lengths the packing calibration prices — bracketing the
+    * deployed [[SeqLen]] (512) by 4× on both sides, single-sourced into the
+    * oracle.
+    */
+  val PackCalibLens: Seq[Long] = Seq(128L, 256L, 512L, 1024L, 2048L)
+
+  /** Packing-length calibration: prices [[SeqLen]], the max-sequence-length
+    * knob of the concat-and-chunk packer ([[seqPack]]). Concat-and-chunk
+    * wastes no intra-sequence padding, so the trade is FRAGMENTATION vs
+    * sequence count: per candidate length L — `n_seqs` (training sequences
+    * produced, ⌈lang_total/L⌉ summed over languages), `n_docs_split`
+    * (documents cut by a sequence boundary, i.e. whose first and last token
+    * land in different packs — the coherence cost), and `tail_pad_tokens`
+    * (the only padding: each language's final partial sequence). All three
+    * are integer arithmetic over the ONE per-language token prefix sum the
+    * packer itself computes, swept by a narrow 5× explode; the 100 TB
+    * realization of that cumsum is the same range-partition prefix scan as
+    * [[seqPackScalable]].
+    */
+  def packCalib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = col("text")
+    val s = docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
+    val c = s.withColumn("strt", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val perDoc = c.select(col("strt"), col("n_tokens"),
+        explode(lit(PackCalibLens.toArray)).as("max_len"))
+      .groupBy("max_len")
+      .agg(sum(when(expr("strt div max_len") =!= expr("(strt + n_tokens - 1) div max_len"),
+        lit(1L)).otherwise(lit(0L))).as("n_docs_split"))
+    val langTot = s.groupBy("lang_id").agg(sum(col("n_tokens")).as("tot"))
+    val perLang = langTot.select(col("tot"), explode(lit(PackCalibLens.toArray)).as("max_len"))
+      .groupBy("max_len")
+      .agg(sum(expr("(tot + max_len - 1) div max_len")).as("n_seqs"),
+        sum(expr("(max_len - tot % max_len) % max_len")).as("tail_pad_tokens"))
+    PackCalibLens.toDF("max_len")
+      .join(perDoc, Seq("max_len"), "left")
+      .join(perLang, Seq("max_len"), "left")
+      .select(col("max_len"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("n_docs_split"), lit(0L)).as("n_docs_split"),
+        coalesce(col("tail_pad_tokens"), lit(0L)).as("tail_pad_tokens"))
+  }
+
   /** Training-mixture report: documents, tokens, and exact fixed-point token
     * share per (language, source) cell — the sanity table every mixture
     * re-weighting decision reads. One aggregation plus a 1-row broadcast for
@@ -1276,6 +1324,7 @@ object CurationQueries {
     "q_data_split" -> (dataSplit _),
     "q_seq_pack" -> (seqPack _),
     "q_seq_pack_scan" -> (seqPackScalable _),
+    "q_pack_calib" -> (packCalib _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
@@ -1843,6 +1892,38 @@ object CurationQueries {
           FROM h GROUP BY 1, 2""",
     "q_seq_pack" -> seqPackOracle,
     "q_seq_pack_scan" -> seqPackOracle,
+    // the seqPackOracle's prefix-sum CTEs swept over the single-sourced
+    // length list; LEFT JOIN re-attach keeps explicit zeros on empty input
+    "q_pack_calib" ->
+      s"""WITH s AS ($langTokensCte),
+          h AS (
+            SELECT s.*,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+            FROM s),
+          c AS (
+            SELECT doc_id, lang_id, n_tokens,
+              (sum(n_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+                - n_tokens AS strt
+            FROM h),
+          cfg AS (SELECT unnest([${PackCalibLens.mkString(", ")}]) AS max_len),
+          d AS (
+            SELECT cfg.max_len,
+              sum(CASE WHEN strt // max_len <> (strt + n_tokens - 1) // max_len
+                       THEN 1 ELSE 0 END) AS n_docs_split
+            FROM c CROSS JOIN cfg GROUP BY 1),
+          lt AS (SELECT lang_id, sum(n_tokens)::BIGINT AS tot FROM s GROUP BY 1),
+          l AS (
+            SELECT cfg.max_len,
+              sum((tot + max_len - 1) // max_len) AS n_seqs,
+              sum((max_len - tot % max_len) % max_len) AS tail_pad_tokens
+            FROM lt CROSS JOIN cfg GROUP BY 1)
+          SELECT cfg.max_len::BIGINT AS max_len,
+                 coalesce(l.n_seqs, 0)::BIGINT AS n_seqs,
+                 coalesce(d.n_docs_split, 0)::BIGINT AS n_docs_split,
+                 coalesce(l.tail_pad_tokens, 0)::BIGINT AS tail_pad_tokens
+          FROM cfg
+          LEFT JOIN d USING (max_len)
+          LEFT JOIN l USING (max_len)""",
     "q_token_budget" -> tokenBudgetOracle,
     // the scalable prefix-scan realization must produce the IDENTICAL table
     "q_token_budget_scan" -> tokenBudgetOracle,

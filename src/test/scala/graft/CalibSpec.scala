@@ -106,7 +106,27 @@ class CalibSpec extends SparkSpec {
     assert(drops === drops.sorted.reverse, "entries_dropped not non-increasing in cap")
   }
 
-  test("all three calibrations emit explicit zero rows on an empty corpus") {
+  test("packCalib: hand-computed table on uniform docs (order-independent starts)") {
+    // 12 identical-size docs of 40 tokens, one language: starts are the
+    // multiples of 40 whatever the hash order, so the whole table is
+    // hand-computable. total = 480 tokens; identity n_seqs*L = 480 + tail.
+    val words = (1 to 40).map(i => s"t$i").mkString(" ")
+    val dir = writeDocs((1L to 12L).map(i => i -> words): _*)
+    val got = graft.queries.CurationQueries.packCalib(spark, dir)
+      .select("max_len", "n_seqs", "n_docs_split", "tail_pad_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val expected = Map(
+      128L -> (4L, 3L, 32L),   // boundaries 128/256/384 cut the docs at 120/240/360
+      256L -> (2L, 1L, 32L),
+      512L -> (1L, 0L, 32L),
+      1024L -> (1L, 0L, 544L),
+      2048L -> (1L, 0L, 1568L))
+    assert(got === expected)
+    for ((l, (seqs, _, tail)) <- got)
+      assert(seqs * l === 480L + tail, s"ceil/tail identity broken at L=$l")
+  }
+
+  test("every calibration emits explicit zero rows on an empty corpus") {
     val dir = writeDocs()
     val cases = Seq(
       (TextQueries.lshCalib(spark, dir), TextQueries.LshCalibRowsPerBand.length,
@@ -114,7 +134,10 @@ class CalibSpec extends SparkSpec {
       (TextQueries.jaccardCalib(spark, dir), TextQueries.JaccardCalibThresholds.length,
         Seq("n_pairs")),
       (TextQueries.capCalib(spark, dir), TextQueries.CapCalibCaps.length,
-        Seq("n_pairs", "entries_dropped")))
+        Seq("n_pairs", "entries_dropped")),
+      (graft.queries.CurationQueries.packCalib(spark, dir),
+        graft.queries.CurationQueries.PackCalibLens.length,
+        Seq("n_seqs", "n_docs_split", "tail_pad_tokens")))
     for ((q, n, metricCols) <- cases) {
       val rows = q.collect()
       assert(rows.length === n, s"expected one row per config, got ${rows.length}")

@@ -225,6 +225,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_jaccard_calib" -> Set("doc_id", "text"),
       "q_lsh_calib" -> Set("doc_id", "text"),
       "q_cap_calib" -> Set("doc_id", "text"),
+      "q_pack_calib" -> Set("doc_id", "text"),
       "q_span_scrub" -> Set("doc_id", "text"),
       "q_line_dedup" -> Set("doc_id", "text"),
       "q_epoch_plan" -> Set("doc_id", "text", "source"),

@@ -205,6 +205,76 @@ object Embeddings {
     topKPerQuery(scored, k)
   }
 
+  /** IVF probe-depth sweep: prices the `nProbe` knob of [[ivfTopK]] — per
+    * probe depth, the recall numerator/denominator against the exact top-k
+    * AND the candidate volume the probe would score (`n_candidates`, the
+    * cost axis: candidates scale ~linearly with nprobe while recall
+    * saturates; the sweep shows where). ONE assignment pass, ONE
+    * centroid-ranking window (ranked to `max(probes)` and reused by every
+    * depth — a candidate at bucket rank r serves every depth ≥ r), and ONE
+    * candidate-scoring join feed all depths via a narrow explode; the exact
+    * baseline runs once. Every per-depth metric is an integer count, so the
+    * result is hash-stable at any parallelism.
+    */
+  def ivfProbeSweep(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
+                    probes: Seq[Int], k: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val maxProbe = probes.max
+    val centroids = firstCentroids(vectors, numCentroids)
+    val assigned = ivfAssign(vectors, centroids)
+    val members = vectors.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_score").desc, col("cent_id").asc)
+    val probeRanks = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_norm"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_score",
+        dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= maxProbe)
+      .select("query_id", "q_emb", "q_norm", "cent_id", "c_rank")
+    val cand = members.join(broadcast(probeRanks), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+      .select(col("query_id"), col("c_rank"), col("score"), col("neighbor_id"),
+        explode(lit(probes.toArray)).as("nprobe"))
+      .filter(col("c_rank") <= col("nprobe"))
+    val nCand = cand.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val agg = new graft.functions.TopK(k)
+    val ivf = cand.select(col("nprobe"), col("query_id"), col("score"), col("neighbor_id"))
+      .as[(Int, Long, Double, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => (r._3, r._4))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("key", "topk")
+      .select(col("key._1").as("nprobe"), col("key._2").as("query_id"),
+        explode(col("topk")).as("e"))
+      .select(col("nprobe"), col("query_id"), col("e._2").as("neighbor_id"))
+    val exactSwept = knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        explode(lit(probes.toArray)).as("nprobe"))
+    val hits = exactSwept.alias("e")
+      .join(ivf.alias("a"),
+        col("e.nprobe") === col("a.nprobe") &&
+          col("e.query_id") === col("a.query_id") &&
+          col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.nprobe").as("nprobe"))
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+    probes.map(_.toLong).toDF("nprobe")
+      .join(hits.withColumn("nprobe", col("nprobe").cast("long")), Seq("nprobe"), "left")
+      .join(nCand.withColumn("nprobe", col("nprobe").cast("long")), Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
   /** IVF index-health report: per-bucket member counts and corpus share.
     * Bucket balance is what decides whether the IVF path actually delivers
     * its sub-quadratic promise — one runaway bucket turns the bucket-local

@@ -44,6 +44,20 @@ object EmbeddingQueries {
     Embeddings.ivfRecall(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, NProbe, K)
 
+  /** Probe depths the IVF sweep prices — bracketing the deployed [[NProbe]]
+    * (4) on both sides, single-sourced into the oracle. Powers of two up to
+    * half the centroid count.
+    */
+  val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** `q_ivf_sweep`: recall AND candidate volume per probe depth — the
+    * cost/recall curve behind the [[NProbe]] = 4 choice, measured in one
+    * plan (see [[Embeddings.ivfProbeSweep]]).
+    */
+  def ivfSweep(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfProbeSweep(vectors(spark, dir), queryVectors(spark, dir),
+      NumCentroids, IvfSweepProbes, K)
+
   def sq8TopK(spark: SparkSession, dir: String): DataFrame =
     Embeddings.sq8TopK(vectors(spark, dir), queryVectors(spark, dir), K)
 
@@ -360,6 +374,7 @@ object EmbeddingQueries {
     "q_hard_negatives" -> (hardNegatives _),
     "q_ann_topk" -> (ivfTopK _),
     "q_ann_recall" -> (ivfRecall _),
+    "q_ivf_sweep" -> (ivfSweep _),
     "q_sq8_topk" -> (sq8TopK _),
     "q_sq8_recall" -> (sq8Recall _),
     "q_pq_topk" -> (pqTopK _),
@@ -1042,6 +1057,56 @@ object EmbeddingQueries {
          LEFT JOIN approx a
            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          GROUP BY e.query_id"""),
+    // the `probes`/`approx` CTEs re-derived at depth max(IvfSweepProbes)
+    // with the bucket rank carried, swept by one config join; the final
+    // LEFT JOIN re-attach keeps explicit zero rows on an empty table
+    "q_ivf_sweep" -> (base +
+      s""", pr AS (
+            SELECT query_id, qe, cent_id, rn AS c_rank FROM (
+              SELECT q.query_id, q.qe, c.cent_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i]))
+                    / (nq.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+              FROM q CROSS JOIN c
+              JOIN nrm nq ON nq.vec_id = q.query_id
+              JOIN nrm nc ON nc.vec_id = c.cent_id)
+            WHERE rn <= ${IvfSweepProbes.max}),
+          cand AS (
+            SELECT p.query_id, p.c_rank, a.vec_id AS neighbor_id,
+              (list_sum(list_transform(range(1, 65), i -> p.qe[i]*v.e[i]))
+                / (nq.nm * nv.nm)) AS score
+            FROM pr p
+            JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            JOIN v ON v.vec_id = a.vec_id
+            JOIN nrm nq ON nq.vec_id = p.query_id
+            JOIN nrm nv ON nv.vec_id = a.vec_id),
+          cfg AS (SELECT unnest([${IvfSweepProbes.mkString(", ")}]) AS nprobe),
+          swept AS (
+            SELECT cfg.nprobe, cd.query_id, cd.neighbor_id, cd.score
+            FROM cand cd JOIN cfg ON cd.c_rank <= cfg.nprobe),
+          ivf AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+              SELECT nprobe, query_id, neighbor_id,
+                row_number() OVER (PARTITION BY nprobe, query_id
+                  ORDER BY score DESC, neighbor_id ASC) AS rnk
+              FROM swept)
+            WHERE rnk <= $K),
+          ex AS (SELECT cfg.nprobe, e.query_id, e.neighbor_id
+                 FROM exact e CROSS JOIN cfg),
+          h AS (
+            SELECT ex.nprobe, count(i.neighbor_id) AS hits, count(*) AS total
+            FROM ex LEFT JOIN ivf i
+              ON i.nprobe = ex.nprobe AND i.query_id = ex.query_id
+                 AND i.neighbor_id = ex.neighbor_id
+            GROUP BY 1),
+          ncand AS (SELECT nprobe, count(*) AS n_candidates FROM swept GROUP BY 1)
+          SELECT cfg.nprobe::BIGINT AS nprobe,
+                 coalesce(h.hits, 0)::BIGINT AS hits,
+                 coalesce(h.total, 0)::BIGINT AS total,
+                 coalesce(ncand.n_candidates, 0)::BIGINT AS n_candidates
+          FROM cfg
+          LEFT JOIN h USING (nprobe)
+          LEFT JOIN ncand USING (nprobe)"""),
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           nrm AS (SELECT vec_id,

@@ -175,7 +175,21 @@ object Embeddings {
     * trained k-means — anything with (vec_id, embedding)).
     */
   def ivfTopKWith(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
-                  nProbe: Int, k: Int): DataFrame = {
+                  nProbe: Int, k: Int): DataFrame =
+    topKPerQuery(probedCandidates(vectors, queries, centroids, nProbe), k)
+
+  /** THE IVF probe stage, shared verbatim by the production path
+    * ([[ivfTopKWith]]) and its calibration ([[ivfProbeSweep]]) so the sweep
+    * can never price a stale algorithm: assignment pass, centroid ranking
+    * per query (window over the broadcast numCentroids-row side only,
+    * tie-break `c_score DESC, cent_id ASC`), bucket join of the `depth`
+    * best buckets, self-exclusion, exact cosine per candidate. Emits
+    * (query_id, c_rank, score, neighbor_id) with `c_rank` = the candidate's
+    * bucket's probe rank, so a caller sweeping depths can reuse ONE join —
+    * a candidate at bucket rank r serves every probe depth ≥ r.
+    */
+  private def probedCandidates(vectors: DataFrame, queries: DataFrame,
+                               centroids: DataFrame, depth: Int): DataFrame = {
     val assigned = ivfAssign(vectors, centroids)
     val members = vectors.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
@@ -192,17 +206,14 @@ object Embeddings {
       .withColumn("c_score",
         dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("c_rank", row_number().over(probeW))
-      .filter(col("c_rank") <= nProbe)
-      .select("query_id", "q_emb", "q_norm", "cent_id")
+      .filter(col("c_rank") <= depth)
+      .select("query_id", "q_emb", "q_norm", "cent_id", "c_rank")
 
-    // Final ranking over the probed buckets via the bounded aggregator; the
-    // probe-selection window above stays a window — it ranks only
-    // numCentroids candidates per query on the broadcast side.
-    val scored = members.join(broadcast(probes), Seq("cent_id"))
+    members.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
-    topKPerQuery(scored, k)
+      .select(col("query_id"), col("c_rank"), col("score"), col("neighbor_id"))
   }
 
   /** IVF probe-depth sweep: prices the `nProbe` knob of [[ivfTopK]] — per
@@ -219,29 +230,8 @@ object Embeddings {
   def ivfProbeSweep(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
                     probes: Seq[Int], k: Int): DataFrame = {
     import vectors.sparkSession.implicits._
-    val maxProbe = probes.max
     val centroids = firstCentroids(vectors, numCentroids)
-    val assigned = ivfAssign(vectors, centroids)
-    val members = vectors.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
-      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-    val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-      l2Norm(col("embedding")).as("c_norm"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("c_score").desc, col("cent_id").asc)
-    val probeRanks = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        l2Norm(col("embedding")).as("q_norm"))
-      .crossJoin(broadcast(c))
-      .withColumn("c_score",
-        dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-      .withColumn("c_rank", row_number().over(probeW))
-      .filter(col("c_rank") <= maxProbe)
-      .select("query_id", "q_emb", "q_norm", "cent_id", "c_rank")
-    val cand = members.join(broadcast(probeRanks), Seq("cent_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+    val cand = probedCandidates(vectors, queries, centroids, probes.max)
       .select(col("query_id"), col("c_rank"), col("score"), col("neighbor_id"),
         explode(lit(probes.toArray)).as("nprobe"))
       .filter(col("c_rank") <= col("nprobe"))

@@ -770,24 +770,28 @@ object TextQueries {
     * is the highest-leverage knob in lexical dedup (too low deletes
     * boilerplate-similar but distinct documents, too high keeps true
     * near-dups); this prices the knob instead of asserting it. Thresholds
-    * with zero surviving pairs are reported as explicit zeros (equi-join
-    * re-attach of the 5-row threshold table — no inequality join).
+    * with zero surviving pairs are reported as explicit zeros (the single
+    * global-agg row exists even on an empty corpus).
     *
     * Scale shape: identical to `q_jaccard_pairs` (shingle-hash equi-join,
-    * 8-byte shuffle keys, optional hot-shingle cap) plus a 5× narrow
-    * explode of the per-pair frame — the sweep costs one candidate join,
-    * not five.
+    * 8-byte shuffle keys, optional hot-shingle cap) plus ONE ungrouped
+    * aggregation with a conditional count per threshold, fanned out from
+    * the 1-row result by a literal struct array — the sweep costs one
+    * candidate join and no extra shuffle.
     */
   def jaccardCalib(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val w = TextDedup.shingleIntersections(docs(spark, dir), "doc_id", "text", n = 3)
-    val counts = w.select(col("inter"), col("size_a"), col("size_b"),
-        explode(lit(JaccardCalibThresholds.toArray)).as("threshold"))
-      .filter(col("inter") * 100 >= col("threshold") * (col("size_a") + col("size_b") - col("inter")))
-      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
-    JaccardCalibThresholds.toDF("threshold")
-      .join(counts, Seq("threshold"), "left")
-      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+    val unionSz = col("size_a") + col("size_b") - col("inter")
+    val aggCols = JaccardCalibThresholds.map { t =>
+      coalesce(sum(when(col("inter") * 100 >= lit(t) * unionSz, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as(s"n_$t")
+    }
+    val rows = JaccardCalibThresholds.map { t =>
+      struct(lit(t).as("threshold"), col(s"n_$t").as("n_pairs"))
+    }
+    w.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(rows: _*)).as("c"))
+      .select(col("c.threshold").as("threshold"), col("c.n_pairs").as("n_pairs"))
   }
 
   /** Hot-shingle caps (max docs containing a shingle before it is excluded
@@ -818,12 +822,17 @@ object TextQueries {
     import spark.implicits._
     val sh = TextDedup.shingles(docs(spark, dir), "doc_id", "text", n = 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val withF = sh.join(sh.groupBy("shingle").agg(count(lit(1)).as("f")), Seq("shingle"))
-    val ex = withF.select(col("doc_id"), col("shingle"), col("f"),
-      explode(lit(CapCalibCaps.toArray)).as("cap"))
-    val dropped = ex.groupBy("cap")
-      .agg(sum(when(col("f") > col("cap"), lit(1L)).otherwise(lit(0L))).as("entries_dropped"))
-    val kept = ex.filter(col("f") <= col("cap")).select("cap", "doc_id", "shingle")
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+    // a shingle in f docs contributes f doc-shingle entries, so the drop
+    // count comes from the distinct-shingle-sized frequency table — no
+    // second pass over the 5x-exploded entries frame
+    val dropped = freq.select(col("f"), explode(lit(CapCalibCaps.toArray)).as("cap"))
+      .groupBy("cap")
+      .agg(sum(when(col("f") > col("cap"), col("f")).otherwise(lit(0L))).as("entries_dropped"))
+    val kept = sh.join(freq, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"), col("f"),
+        explode(lit(CapCalibCaps.toArray)).as("cap"))
+      .filter(col("f") <= col("cap")).select("cap", "doc_id", "shingle")
     val sizes = kept.groupBy("cap", "doc_id").agg(count(lit(1)).as("sz"))
     val a = kept.select(col("cap"), col("shingle"), col("doc_id").as("doc_a"))
     val b = kept.select(col("cap"), col("shingle"), col("doc_id").as("doc_b"))

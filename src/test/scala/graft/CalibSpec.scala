@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.TextDedup
+import org.apache.spark.sql.functions.{col, sum}
+import graft.operators.{Embeddings, TextDedup}
 import graft.queries.TextQueries
 
 /** Cross-checks for the dedup knob-calibration trio. The DuckDB gate proves
@@ -124,6 +125,31 @@ class CalibSpec extends SparkSpec {
     assert(got === expected)
     for ((l, (seqs, _, tail)) <- got)
       assert(seqs * l === 480L + tail, s"ceil/tail identity broken at L=$l")
+  }
+
+  test("ivfProbeSweep: deployed-depth row equals ivfRecall's aggregate; sweep is monotone; empty input keeps zero rows") {
+    // 60 deterministic 8-dim vectors, none zero-norm; the sweep's
+    // nprobe = 2 row must equal the single-depth production recall path
+    // aggregated over queries, and nested candidate sets make both hits
+    // and candidate volume non-decreasing in depth
+    val v = (0L until 60L).map(i =>
+        (i, Array.tabulate(8)(d => (((i * 31 + d * 17) % 13) - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = v.filter(col("vec_id") < 5)
+    val sweep = Embeddings.ivfProbeSweep(v, q, numCentroids = 4, probes = Seq(1, 2, 4), k = 3)
+      .select("nprobe", "hits", "total", "n_candidates").as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val rec = Embeddings.ivfRecall(v, q, numCentroids = 4, nProbe = 2, k = 3)
+      .agg(sum("hits"), sum("k")).as[(Long, Long)].head()
+    assert((sweep(2L)._1, sweep(2L)._2) === rec)
+    assert(sweep(1L)._1 <= sweep(2L)._1 && sweep(2L)._1 <= sweep(4L)._1)
+    assert(sweep(1L)._3 < sweep(2L)._3 && sweep(2L)._3 < sweep(4L)._3)
+
+    val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyRows = Embeddings.ivfProbeSweep(emptyV, emptyV, 4, Seq(1, 2, 4), 3).collect()
+    assert(emptyRows.length === 3)
+    assert(emptyRows.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
   }
 
   test("every calibration emits explicit zero rows on an empty corpus") {

@@ -41,20 +41,32 @@ object Bench {
       materialize(name).left.foreach(msg => errors += name -> msg)
       (System.nanoTime() - t0) / 1e9
     }
+    // (min, median) of 3 warm runs per query. The min is the headline (and
+    // the cross-round "queries" map the driver has always recorded); the
+    // median is emitted beside it because same-build full runs at sf0.1
+    // spread up to ~1.3× on individual sub-second queries (r12 VERDICT) and
+    // the median of 3 absorbs a single spike where the min cannot absorb a
+    // single lucky run — `bench_diff.py` diffs on the median when both
+    // artifacts carry it.
     val results = names.map { name =>
       val first = timeOnce(name)
       // a query that errored is reported once, not re-run (and not re-timed)
-      name -> (if (errors.contains(name)) first
-               else math.min(first, math.min(timeOnce(name), timeOnce(name))))
+      name -> (if (errors.contains(name)) (first, first)
+               else {
+                 val ts = Seq(first, timeOnce(name), timeOnce(name)).sorted
+                 (ts.head, ts(1))
+               })
     }
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (mn, _)) => s""""${esc(k)}":$mn""" }.mkString("{", ",", "}")
+    val qsMed = results.map { case (k, (_, md)) => s""""${esc(k)}":$md""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // methodology is part of the record: each number is min-of-3 warm runs
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"stat":"min","warmup":true,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    val totalMed = results.map(_._2._2).sum
+    // methodology is part of the record: min-of-3 headline, median-of-3 beside
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"stat":"min","value_median":$totalMed,"warmup":true,"queries":$qs,"queries_median":$qsMed,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

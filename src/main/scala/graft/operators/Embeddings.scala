@@ -97,7 +97,16 @@ object Embeddings {
   /** Per-vector nearest-centroid assignment (IVF "index build"): one pass over
     * the vectors against broadcast centroids; argmax by (score, -cent_id).
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignScored(vectors, centroids).select("vec_id", "cent_id")
+
+  /** [[ivfAssign]] with the winning cosine kept alongside the bucket — THE
+    * assignment pass (one definition, so the tie-break `(score, -cent_id)`
+    * cannot desync between the production probes and the quality audit that
+    * reports on their buckets). Same plan shape: broadcast centroids, one
+    * scored fan-out, one two-phase argmax aggregation.
+    */
+  def ivfAssignScored(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
     vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
@@ -105,7 +114,10 @@ object Embeddings {
       .withColumn("score",
         dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
       .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("score"), -col("cent_id"))).as("cent_id"))
+      .agg(max_by(struct(col("cent_id"), col("score")),
+        struct(col("score"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.score").as("score"))
   }
 
   /** First-C centroid choice: deterministic and DuckDB-mirrorable, which is
@@ -290,23 +302,16 @@ object Embeddings {
     * integer, so the sum is order-independent and oracle-checkable), and
     * the worst member's cosine. Low `sum_cos_e6 / n_vecs` means a diffuse
     * bucket (recall@nprobe suffers); a very low `min_cos_e6` is an outlier
-    * assigned by elimination. Same plan shape as the assignment pass every
-    * IVF query already runs: one scan, broadcast centroids (O(n·C) scored
-    * rows, C tiny), two-phase aggregation onto the C-row bucket domain.
+    * assigned by elimination. Built directly on [[ivfAssignScored]] — the
+    * same assignment pass production probes run, so the reported buckets
+    * are by construction the probed buckets: one scan, broadcast centroids
+    * (O(n·C) scored rows, C tiny), two-phase aggregation onto the C-row
+    * bucket domain.
     */
   def ivfBucketQuality(vectors: DataFrame, numCentroids: Int): DataFrame = {
-    val c = firstCentroids(vectors, numCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        l2Norm(col("embedding")).as("c_norm"))
-    vectors.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("v_norm"))
-      .crossJoin(broadcast(c))
-      .withColumn("score",
-        dotD(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cent_id"), col("score")),
-        struct(col("score"), -col("cent_id"))).as("best"))
-      .select(col("best.cent_id").as("cent_id"),
-        floor(col("best.score") * lit(1e6)).cast("long").as("cos_e6"))
+    ivfAssignScored(vectors, firstCentroids(vectors, numCentroids))
+      .select(col("cent_id"),
+        floor(col("score") * lit(1e6)).cast("long").as("cos_e6"))
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("cos_e6")).as("sum_cos_e6"),

@@ -545,6 +545,30 @@ object CurationQueries {
     */
   val TokenBudget = 2000L
 
+  /** The ONE (doc_id, lang_id, n_tokens, hk) frame every per-language
+    * prefix-sum stage consumes — [[tokenBudgetSample]],
+    * [[tokenBudgetSampleScalable]], [[seqPack]], [[seqPackScalable]], and
+    * [[packCalib]] all order documents by the same md5 hash key and sum the
+    * same whitespace token count, so the frame lives here once: a drift in
+    * the ordering or the denominator now changes every consumer (and its
+    * oracle twin `langTokensCte` + the shared hash CTE) together instead of
+    * silently desynchronizing the calibration from the packer it prices.
+    */
+  private def langTokensFrame(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.langId(t).as("lang_id"),
+      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+  }
+
+  /** The per-language (hk, doc_id)-ordered running-total window all the
+    * window-form consumers of [[langTokensFrame]] share.
+    */
+  private def langCumsumWindow: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
+
   /** Deterministic token-budget sampling: fill each language's token budget
     * in md5-hash order (replayable — same sample on re-run or re-shard,
     * unlike `rand()`), keeping documents while the running token total fits.
@@ -570,14 +594,8 @@ object CurationQueries {
     * why the denominator is swappable rather than baked in.
     */
   def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val s = docs(spark, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.langId(t).as("lang_id"),
-      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
-    s.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    langTokensFrame(spark, dir)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(langCumsumWindow))
       .filter(col("cum_tokens") <= TokenBudget)
       .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
   }
@@ -590,12 +608,7 @@ object CurationQueries {
     * [[tokenBudgetSample]], so the gate proves the two realizations agree.
     */
   def tokenBudgetSampleScalable(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val s = docs(spark, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.langId(t).as("lang_id"),
-      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
-    graft.operators.PrefixScan.langTokenCumsum(s)
+    graft.operators.PrefixScan.langTokenCumsum(langTokensFrame(spark, dir))
       .filter(col("cum_tokens") <= TokenBudget)
       .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
   }
@@ -644,14 +657,9 @@ object CurationQueries {
     * subtotal, not a global sort.
     */
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val s = docs(spark, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.langId(t).as("lang_id"),
-      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
-    s.withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    langTokensFrame(spark, dir)
+      .withColumn("start",
+        sum(col("n_tokens")).over(langCumsumWindow) - col("n_tokens"))
       .select(col("doc_id"), col("lang_id"),
         expr(s"start div $SeqLen").as("pack_id"),
         expr(s"start % $SeqLen").as("pack_offset"))
@@ -662,12 +670,7 @@ object CurationQueries {
     * registered under the identical oracle as the window form.
     */
   def seqPackScalable(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val s = docs(spark, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.langId(t).as("lang_id"),
-      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
-    graft.operators.PrefixScan.langTokenCumsum(s)
+    graft.operators.PrefixScan.langTokenCumsum(langTokensFrame(spark, dir))
       .withColumn("start", col("cum_tokens") - col("n_tokens"))
       .select(col("doc_id"), col("lang_id"),
         expr(s"start div $SeqLen").as("pack_id"),
@@ -695,14 +698,9 @@ object CurationQueries {
     */
   def packCalib(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = col("text")
-    val s = docs(spark, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.langId(t).as("lang_id"),
-      graft.functions.TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-      TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang_id").orderBy(col("hk").asc, col("doc_id").asc)
-    val c = s.withColumn("strt", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val s = langTokensFrame(spark, dir)
+    val c = s.withColumn("strt",
+      sum(col("n_tokens")).over(langCumsumWindow) - col("n_tokens"))
     val perDoc = c.select(col("strt"), col("n_tokens"),
         explode(lit(PackCalibLens.toArray)).as("max_len"))
       .groupBy("max_len")

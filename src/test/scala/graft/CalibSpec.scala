@@ -13,13 +13,27 @@ import graft.queries.TextQueries
   * the analytic catch probability, and the production `jaccardPairs` path
   * for the threshold/cap sweeps' anchor rows.
   */
-class CalibSpec extends SparkSpec {
+class CalibSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private val fixtureDirs = scala.collection.mutable.ListBuffer.empty[String]
 
   private def writeDocs(rows: (Long, String)*): String = {
     val dir = java.nio.file.Files.createTempDirectory("calib").toString
+    fixtureDirs += dir
     rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
+  }
+
+  override def afterAll(): Unit = {
+    fixtureDirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
   }
 
   /** Fixture with three pairs of known Jaccard: (1,2) at J = 3/5 (a true

@@ -19,14 +19,21 @@ import sys
 
 
 def load_queries(path):
+    """Returns (queries_min, queries_median_or_None, total_or_None).
+
+    The median map ("queries_median", emitted since r13) is the stabler
+    statistic for regression diffing — min-of-3 rewards one lucky run while
+    median-of-3 absorbs one spiked run; `main` diffs on it when BOTH
+    artifacts carry it, else falls back to the min map.
+    """
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc and isinstance(doc["queries"], dict):
-        return doc["queries"], doc.get("value")
+        return doc["queries"], doc.get("queries_median"), doc.get("value")
     # driver wrapper: prefer the pre-parsed bench object when present
     parsed = doc.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
-        return parsed["queries"], parsed.get("value")
+        return parsed["queries"], parsed.get("queries_median"), parsed.get("value")
     # otherwise the bench JSON line is embedded in "tail" — and the driver
     # truncates long tails from the FRONT, so the '"queries":{' marker (and
     # any prefix keys like the total) may be gone. Recover what survives.
@@ -49,9 +56,17 @@ def load_queries(path):
             m = None
         else:
             queries = json.loads(tail[start:end])
+            med = None
+            mm = re.search(r'"queries_median":\{', tail)
+            if mm:
+                try:
+                    dec = json.JSONDecoder()
+                    med, _ = dec.raw_decode(tail[mm.end() - 1:])
+                except ValueError:
+                    med = None
             # total only trusted when anchored to the untruncated key order
             tm = re.search(r'"metric":"[^"]*","value":([0-9.]+)', tail)
-            return queries, (float(tm.group(1)) if tm else None)
+            return queries, med, (float(tm.group(1)) if tm else None)
     if not m:
         # front-truncated tail: regex-collect the '"name": float' pairs up to
         # the '},"errors"' terminator (the queries map is the only place the
@@ -61,6 +76,10 @@ def load_queries(path):
         end = tail.find('},"errors"')
         # keep the closing brace so the LAST pair retains its delimiter
         body = tail[:end + 1] if end >= 0 else tail
+        # don't let the r13+ median map's pairs shadow the min map's
+        med_cut = body.find('},"queries_median"')
+        if med_cut >= 0:
+            body = body[:med_cut + 1]
         # delimiter lookahead so a scientific-notation time ("q":8.7E-4 from
         # a sub-ms erroring query) is SKIPPED rather than torn to 8.7 s —
         # a torn value would fabricate a phantom 10000x regression
@@ -76,7 +95,7 @@ def load_queries(path):
             sys.exit(f"{path}: no queries map found")
         print(f"note: {path} tail is front-truncated; "
               f"recovered {len(queries)} queries, total unavailable")
-        return queries, None
+        return queries, None, None
 
 
 def main():
@@ -88,8 +107,13 @@ def main():
                     help="ignore regressions smaller than this in seconds")
     args = ap.parse_args()
 
-    old_q, old_total = load_queries(args.old)
-    new_q, new_total = load_queries(args.new)
+    old_q, old_med, old_total = load_queries(args.old)
+    new_q, new_med, new_total = load_queries(args.new)
+    if isinstance(old_med, dict) and isinstance(new_med, dict):
+        print("stat: median-of-3 (both artifacts carry queries_median)")
+        old_q, new_q = old_med, new_med
+    else:
+        print("stat: min-of-3 (median map absent on at least one side)")
 
     shared = sorted(set(old_q) & set(new_q))
     added = sorted(set(new_q) - set(old_q))

@@ -88,6 +88,43 @@ def main():
         r = run(repo, slow)
         assert r.returncode == 1 and "REGRESSION" in r.stdout, r.stdout
 
+        # r13+ median maps: when BOTH sides carry queries_median the diff
+        # runs on it (q_b median 2.0 -> 2.1 = no regression even though the
+        # min map says 2.0 -> 4.0), and one-sided median falls back to min
+        med_old = write(tmp, "med_old.json", {
+            "queries": {"q_a": 1.0, "q_b": 2.0}, "value": 3.0,
+            "queries_median": {"q_a": 1.1, "q_b": 2.0}})
+        med_new = write(tmp, "med_new.json", {
+            "queries": {"q_a": 1.0, "q_b": 4.0}, "value": 5.0,
+            "queries_median": {"q_a": 1.1, "q_b": 2.1}})
+        r = run(med_old, med_new)
+        assert "stat: median-of-3" in r.stdout, r.stdout
+        assert r.returncode == 0, (r.returncode, r.stdout)
+        r = run(repo, med_new)
+        assert "stat: min-of-3" in r.stdout, r.stdout
+        assert r.returncode == 1 and "REGRESSION" in r.stdout, r.stdout
+
+        # intact driver tail carrying both maps: brace-match must return the
+        # MIN map and the median map must parse from its own marker
+        both_line = ('{"metric":"bench","value":3.5,"unit":"sec",'
+                     '"queries":{"q_a":1.0,"q_b":4.0},'
+                     '"queries_median":{"q_a":1.1,"q_b":2.1},'
+                     '"errors":{},"sf":0.1}')
+        both = write(tmp, "both.json", {"tail": both_line, "parsed": None})
+        r = run(med_old, both)
+        assert "stat: median-of-3" in r.stdout, r.stdout
+        assert r.returncode == 0, (r.returncode, r.stdout)
+
+        # front-truncated tail WITH a median map: the pair-scan must not let
+        # median pairs shadow the min map's, and median diffing is off
+        torn_med = write(tmp, "torn_med.json", {
+            "tail": 'x":9.9,"q_a":1.2,"q_b":2.2},'
+                    '"queries_median":{"q_a":8.8,"q_b":8.8},'
+                    '"errors":{},"sf":0.1}', "parsed": None})
+        r = run(repo, torn_med)
+        assert "recovered 2 queries" in r.stdout, r.stdout
+        assert "8.8" not in r.stdout, r.stdout
+
     print("bench_diff: all shapes OK")
 
 

@@ -613,6 +613,76 @@ object CurationQueries {
       .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-language budget in BPE TOKENS for the `_bpe` twins. The harness
+    * corpus measures ~3.5 BPE tokens per whitespace word under the shallow
+    * top-20 merge list the gate pins (see [[tokenBudgetSample]]'s
+    * denominator note), so 7000 binds at roughly the same document depth as
+    * [[TokenBudget]]=2000 does for the whitespace count — both languages
+    * hit the cap at every sf.
+    */
+  val BpeTokenBudget = 7000L
+
+  /** [[langTokensFrame]] with the REAL tokenizer denominator: per-document
+    * BPE token counts under the deterministic top-`BpeTopK` merge list the
+    * BPE gates (`q_bpe_encode`/`q_bpe_budget`) already oracle-check, in
+    * place of the whitespace count. Scale anatomy (all pieces priced on the
+    * BPE queries): ONE corpus rollup to the vocabulary (Lineage-cut, shared
+    * by the merge-list collect and the count table), vocabulary-sized
+    * encoding, then one broadcast (word → n_toks) join onto the corpus word
+    * stream and a per-doc sum — the corpus is scanned twice (lang/hash
+    * frame + word stream) and shuffled only on `doc_id`. Docs whose every
+    * token misses the vocabulary (none in practice — the vocabulary IS the
+    * corpus rollup) coalesce to 0 so the frame keeps one row per document
+    * like its whitespace twin.
+    */
+  private def langBpeTokensFrame(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val vocab = graft.operators.Lineage.cut(
+      graft.operators.Bpe.wordVocab(d, "text"))
+    val merges = graft.operators.Bpe.rankedPairMergesOfVocab(
+      vocab, TextQueries.BpeTopK)
+    val wordToks = graft.operators.Bpe.encodeVocab(vocab, merges).toDF()
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    d.select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_id"),
+        TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+      .join(graft.operators.Bpe.bpeTokenCountsWith(d, "doc_id", "text", wordToks),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"), col("hk"))
+  }
+
+  /** [[tokenBudgetSample]] with the budget denominated in BPE tokens — the
+    * denominator a production pipeline actually budgets in (a training-token
+    * budget is stated in tokenizer tokens, and the whitespace proxy is off
+    * by a corpus- and vocabulary-dependent factor, measured 3.57× here).
+    * Identical budget plumbing (md5-hash order, per-language cumsum, the
+    * same range-partition prefix-scan scale path as the `_scan` twin); the
+    * oracle replays the same recursion + broadcast word→count join the
+    * `q_bpe_budget` gate already proves.
+    */
+  def tokenBudgetBpe(spark: SparkSession, dir: String): DataFrame = {
+    langBpeTokensFrame(spark, dir)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(langCumsumWindow))
+      .filter(col("cum_tokens") <= BpeTokenBudget)
+      .select(col("doc_id"), col("lang_id"),
+        col("n_tokens").as("n_bpe_tokens"), col("cum_tokens"))
+  }
+
+  /** [[seqPack]] packing [[SeqLen]]-token training sequences of BPE tokens —
+    * what a pretraining packer actually packs (sequence length budgets are
+    * tokenizer-token budgets). Same per-language concat-and-chunk prefix
+    * sum over the [[langBpeTokensFrame]] denominator.
+    */
+  def seqPackBpe(spark: SparkSession, dir: String): DataFrame = {
+    langBpeTokensFrame(spark, dir)
+      .withColumn("start",
+        sum(col("n_tokens")).over(langCumsumWindow) - col("n_tokens"))
+      .select(col("doc_id"), col("lang_id"),
+        expr(s"start div $SeqLen").as("pack_id"),
+        expr(s"start % $SeqLen").as("pack_offset"))
+  }
+
   /** Deterministic stratified train/val/test split report: every document
     * lands in a split by md5-hash bucket of its id (48/1/1 of 50 buckets —
     * replayable on re-run and stable under re-sharding, unlike `rand()`;
@@ -1322,10 +1392,12 @@ object CurationQueries {
     "q_data_split" -> (dataSplit _),
     "q_seq_pack" -> (seqPack _),
     "q_seq_pack_scan" -> (seqPackScalable _),
+    "q_seq_pack_bpe" -> (seqPackBpe _),
     "q_pack_calib" -> (packCalib _),
     "q_unified_groups" -> (unifiedGroups _),
     "q_token_budget" -> (tokenBudgetSample _),
     "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
+    "q_token_budget_bpe" -> (tokenBudgetBpe _),
     "q_mixture_report" -> (mixtureReport _),
     "q_quality_gate" -> (qualityQuantileGate _),
     "q_quantile_sketch" -> (quantileSketch _),
@@ -1551,6 +1623,33 @@ object CurationQueries {
         SELECT doc_id, lang_id, strt // $SeqLen AS pack_id,
                strt % $SeqLen AS pack_offset
         FROM c"""
+
+  /** The BPE-token denominator CTE chain shared by the `q_token_budget_bpe`
+    * and `q_seq_pack_bpe` oracles: the SAME encode recursion as the BPE
+    * gates ([[TextQueries.bpeEncRecursion]] — single definition, so the
+    * curation twins can never drift from `q_bpe_budget`'s merge semantics)
+    * reduced to a per-word token-count table, joined onto the corpus word
+    * stream, per-doc summed, lang-labeled via the same language CTE as the
+    * whitespace twins, and cumsum'd in the same (hk, doc_id) order.
+    * Callers prepend `WITH RECURSIVE` and select from `bcum`.
+    */
+  private lazy val bpeDenomCtes =
+    s"""${TextQueries.bpeEncRecursion},
+        wn AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
+               FROM enc WHERE done),
+        btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+        bcnt AS (SELECT t.doc_id, sum(w2.n_toks)::BIGINT AS n_bpe
+                 FROM btok t JOIN wn w2 USING (word) GROUP BY 1),
+        bl AS (SELECT doc_id, lang_id FROM ($langTokensCte)),
+        bh AS (SELECT bl.doc_id, bl.lang_id,
+                 coalesce(bcnt.n_bpe, 0)::BIGINT AS n_bpe_tokens,
+                 CAST('0x' || substring(md5(CAST(bl.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+               FROM bl LEFT JOIN bcnt USING (doc_id)),
+        bcum AS (SELECT doc_id, lang_id, n_bpe_tokens,
+                  (sum(n_bpe_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+                    AS cum_tokens
+                 FROM bh)"""
 
   private lazy val tokenBudgetOracle =
     s"""WITH s AS ($langTokensCte),
@@ -1925,6 +2024,20 @@ object CurationQueries {
     "q_token_budget" -> tokenBudgetOracle,
     // the scalable prefix-scan realization must produce the IDENTICAL table
     "q_token_budget_scan" -> tokenBudgetOracle,
+    // the BPE-denominated twins: same budget/packing plumbing, denominator
+    // replayed through the shared encode recursion (see bpeDenomCtes)
+    "q_token_budget_bpe" ->
+      s"""WITH RECURSIVE
+          $bpeDenomCtes
+          SELECT doc_id, lang_id, n_bpe_tokens, cum_tokens
+          FROM bcum WHERE cum_tokens <= $BpeTokenBudget""",
+    "q_seq_pack_bpe" ->
+      s"""WITH RECURSIVE
+          $bpeDenomCtes
+          SELECT doc_id, lang_id,
+                 (cum_tokens - n_bpe_tokens) // $SeqLen AS pack_id,
+                 (cum_tokens - n_bpe_tokens) % $SeqLen AS pack_offset
+          FROM bcum""",
     // same synthetic-prev derivation (17/13/19 arithmetic), then the diff is
     // one full-outer hash compare
     "q_corpus_diff" ->

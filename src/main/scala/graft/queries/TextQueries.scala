@@ -1021,15 +1021,17 @@ object TextQueries {
     "q_corpus_clean" -> (corpusClean _))
 
   /** The BPE encode recursion shared by the `q_bpe_encode` and
-    * `q_bpe_budget` oracles — ONE definition so the two gates can never
-    * drift onto different merge semantics: vocabulary rollup, ranked top-K
-    * merge table, and the leftmost-lowest-rank single-merge loop realized
-    * as a first-occurrence splice over the space-separated symbol string
-    * (pure literal strpos + substring in the loop — no regex — so both
-    * engines agree bit-for-bit on every input). Terminal rows are
-    * `enc WHERE done`.
+    * `q_bpe_budget` oracles — and, since r13, by the BPE-denominated
+    * curation twins in [[CurationQueries]] (`q_token_budget_bpe`,
+    * `q_seq_pack_bpe`), hence `private[queries]` — ONE definition so the
+    * gates can never drift onto different merge semantics: vocabulary
+    * rollup, ranked top-K merge table, and the leftmost-lowest-rank
+    * single-merge loop realized as a first-occurrence splice over the
+    * space-separated symbol string (pure literal strpos + substring in the
+    * loop — no regex — so both engines agree bit-for-bit on every input).
+    * Terminal rows are `enc WHERE done`.
     */
-  private val bpeEncRecursion: String =
+  private[queries] val bpeEncRecursion: String =
     s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
           v AS (SELECT word, count(*)::BIGINT AS wfreq
                 FROM w WHERE len(word) >= 1 GROUP BY 1),

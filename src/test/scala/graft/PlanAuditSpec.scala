@@ -187,6 +187,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_bloom_merge" -> Set("doc_id", "text", "source"),
       "q_token_budget" -> Set("doc_id", "text"),
       "q_token_budget_scan" -> Set("doc_id", "text"),
+      "q_token_budget_bpe" -> Set("doc_id", "text"),
+      "q_seq_pack_bpe" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),

@@ -814,7 +814,11 @@ object AnalyticQueries {
     * write-side realization (`ZOrder.writeClustered`, one range exchange)
     * is priced against a single-key sort in `ZOrderSpec`.
     */
-  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+  /** The (x = customer, y = order-day) frame + z-value both z-order queries
+    * cluster on — one definition so the layout audit and the physical
+    * pruning readback can never order by different curves.
+    */
+  private def zOrderedOrders(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_custkey").cast("long").as("x"),
       datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("y"))
@@ -824,6 +828,10 @@ object AnalyticQueries {
       .select(col("x"), col("y"),
         graft.operators.ZOrder.zValue(col("x"), col("mnx"), col("mxx"),
           col("y"), col("mny"), col("mxy")).as("z"))
+  }
+
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    zOrderedOrders(s, dir)
       .select(col("x"), col("y"),
         shiftright(col("z"), 2 * graft.operators.ZOrder.GridBits - 6).as("bucket"))
       .groupBy("bucket")
@@ -832,10 +840,63 @@ object AnalyticQueries {
         min(col("y")).as("min_day"), max(col("y")).as("max_day"))
   }
 
+  /** File count for the physical z-order pruning readback — small enough
+    * that every file is non-trivially sized at sf0.001, large enough that a
+    * y-band predicate skips most of them.
+    */
+  val ZPruneFiles = 16
+
+  /** Z-order pruning CLOSED END TO END: physically WRITE the clustered
+    * layout, read the files back, and report the per-file min/max statistics
+    * plus whether a selective y-band predicate touches each file — the
+    * file-skip ratio a min/max-pruning reader achieves, as driver-checked
+    * data rather than a spec assertion. Construction runs the write eagerly
+    * (the `q_bpe_train` precedent: the registry sweep pays the jobs).
+    *
+    * Layout realization: files are EXACT z-rank ntiles (deterministic and
+    * oracle-replayable; equal-(z,x,y) duplicates are interchangeable between
+    * adjacent tiles so the per-file statistics are exchange-invariant),
+    * written via `partitionBy(fid)` after a `repartition` on fid so each
+    * tile lands in exactly ONE physical file — `n_files` (counted from the
+    * `_metadata.file_path` hidden column) driver-asserts that 1:1 contract
+    * against the oracle's literal 1. This is the hash-checkable twin of the
+    * production write (`ZOrder.writeClustered`: sampled-boundary
+    * `repartitionByRange`, same row-balance goal, no global window); the
+    * spec-priced comparison against a single-key sort lives in `ZOrderSpec`.
+    * The y-band [40%, 45%] of the day span touches the few files whose
+    * y-extent overlaps it — z-order bounds BOTH dimensions per file, where
+    * an x-sorted layout leaves every file's y-extent full-range (16/16
+    * touched, measured in `ZOrderSpec`).
+    */
+  def qZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("z"), col("x"), col("y"))
+    val laid = zOrderedOrders(s, dir)
+      .select(col("x"), col("y"), (ntile(ZPruneFiles).over(w) - 1).as("fid"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zprune_${math.abs(dir.hashCode)}"
+    laid.repartition(ZPruneFiles, col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(path)
+    val back = s.read.parquet(path)
+      .select(col("fid").cast("long").as("fid"), col("x"), col("y"),
+        col("_metadata.file_path").as("fp"))
+    val bounds = back.agg(min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    back.groupBy("fid")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("fp")).as("n_files"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .crossJoin(broadcast(bounds))
+      .select(col("fid"), col("n_rows"), col("n_files"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        (col("max_y") >= expr("mny + ((mxy - mny) * 2) div 5") &&
+          col("min_y") <= expr("mny + ((mxy - mny) * 9) div 20"))
+          .cast("long").as("touched"))
+  }
+
   // -------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_layout" -> (qZorderLayout _),
+    "q_zorder_prune" -> (qZorderPrune _),
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
     "q3_topk" -> (q3Topk _),
@@ -1268,7 +1329,41 @@ object AnalyticQueries {
     // (decimal constants shared with ZOrder.spreadBits); grid scaling is
     // exact integer floor-division on both engines
     "q_zorder_layout" ->
-      """WITH d AS (SELECT o_custkey::BIGINT AS x,
+      s"""WITH $zMortonCtes,
+         z AS (SELECT x, y, (sx | (sy << 1)) >> 26 AS bucket FROM p5)
+         SELECT bucket, count(*)::BIGINT AS n_rows,
+                min(x) AS min_cust, max(x) AS max_cust,
+                min(y) AS min_day, max(y) AS max_day
+         FROM z GROUP BY 1""",
+    // the physical layout replayed logically: same z-curve, exact ntile rank
+    // buckets; n_files is the 1-file-per-tile contract the Spark side
+    // measures from _metadata.file_path — the one number DuckDB cannot
+    // recompute, pinned to the literal the write path must deliver
+    "q_zorder_prune" ->
+      s"""WITH $zMortonCtes,
+         z AS (SELECT x, y, (sx | (sy << 1)) AS z FROM p5),
+         f AS (SELECT x, y,
+                 ntile($ZPruneFiles) OVER (ORDER BY z, x, y) - 1 AS fid
+               FROM z),
+         st AS (SELECT fid::BIGINT AS fid, count(*)::BIGINT AS n_rows,
+                  min(x) AS min_x, max(x) AS max_x,
+                  min(y) AS min_y, max(y) AS max_y
+                FROM f GROUP BY 1),
+         bb AS (SELECT min(y) AS mny, max(y) AS mxy FROM d)
+         SELECT fid, n_rows, 1::BIGINT AS n_files,
+                min_x, max_x, min_y, max_y,
+                CASE WHEN max_y >= mny + ((mxy - mny) * 2) // 5
+                      AND min_y <= mny + ((mxy - mny) * 9) // 20
+                     THEN 1 ELSE 0 END::BIGINT AS touched
+         FROM st, bb""")
+
+  /** The (x, y) frame + magic-mask Morton spread CTE chain shared by the
+    * `q_zorder_layout` and `q_zorder_prune` oracles (constants =
+    * `ZOrder.spreadBits`'s, in decimal). Emits `d` (raw coords) and `p5`
+    * (sx/sy spread words); callers interleave.
+    */
+  private lazy val zMortonCtes =
+    """d AS (SELECT o_custkey::BIGINT AS x,
                   (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS y FROM orders),
          b AS (SELECT min(x) AS mnx, max(x) AS mxx,
                       min(y) AS mny, max(y) AS mxy FROM d),
@@ -1290,10 +1385,5 @@ object AnalyticQueries {
                   (ay3 | (ay3 << 2)) & 3689348814741910323 AS ay4 FROM p3),
          p5 AS (SELECT x, y,
                   (ax4 | (ax4 << 1)) & 6148914691236517205 AS sx,
-                  (ay4 | (ay4 << 1)) & 6148914691236517205 AS sy FROM p4),
-         z AS (SELECT x, y, (sx | (sy << 1)) >> 26 AS bucket FROM p5)
-         SELECT bucket, count(*)::BIGINT AS n_rows,
-                min(x) AS min_cust, max(x) AS max_cust,
-                min(y) AS min_day, max(y) AS max_day
-         FROM z GROUP BY 1""")
+                  (ay4 | (ay4 << 1)) & 6148914691236517205 AS sy FROM p4)"""
 }

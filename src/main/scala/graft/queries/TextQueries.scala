@@ -666,6 +666,20 @@ object TextQueries {
     graft.operators.PhraseTag.tagPhrases(docs(spark, dir), "doc_id", "text",
       TagPhrases)
 
+  /** The Aho-Corasick realization of [[phraseTags]] under the IDENTICAL
+    * oracle — the production-recommended path whenever phrase tagging
+    * dominates a job or the dictionary leads with stopwords (measured 2-3×
+    * faster than the join form at both SFs; switch guidance in
+    * [[graft.operators.PhraseTag]]'s scaladoc). Registering it driver-gates
+    * what was previously only spec-proven: the automaton's zero-shuffle
+    * `mapPartitions` pass must emit the byte-identical (doc_id, phrase,
+    * hits) table the pure-Catalyst join form and the DuckDB slice-join
+    * oracle produce.
+    */
+  def phraseTagsAc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PhraseTag.tagPhrasesAutomaton(docs(spark, dir), "doc_id",
+      "text", TagPhrases)
+
   /** Probe suffixes for `q_nfc_canon`: canonically equivalent, byte-distinct.
     * NOTE: \uXXXX escapes are inert in Scala 2.13 triple-quoted strings, so
     * the oracle SQL interpolates these constants rather than spelling them.
@@ -994,6 +1008,7 @@ object TextQueries {
     "q_moji_repair" -> (mojiRepair _),
     "q_nfc_canon" -> (nfcCanon _),
     "q_phrase_tags" -> (phraseTags _),
+    "q_phrase_tags_ac" -> (phraseTagsAc _),
     "q_gopher_rules" -> (gopherRules _),
     "q_span_scrub" -> (spanScrub _),
     "q_line_dedup" -> (lineDedup _),
@@ -1019,6 +1034,22 @@ object TextQueries {
     "q_fingerprint_dedup" -> (fingerprintDedup _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_corpus_clean" -> (corpusClean _))
+
+  /** The slice-join replay of dictionary phrase tagging, shared verbatim by
+    * the `q_phrase_tags` (Catalyst join form) and `q_phrase_tags_ac`
+    * (Aho-Corasick automaton) gates.
+    */
+  private lazy val phraseTagsOracle =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         p(phrase, n_toks) AS (VALUES
+           ${TagPhrases.map(ph => s"('$ph', ${ph.split(" ").length})").mkString(", ")}),
+         pos AS (SELECT doc_id, t, i
+                 FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+         m AS (SELECT doc_id, p.phrase
+               FROM pos JOIN p
+                 ON array_to_string(t[i : i + n_toks - 1], ' ') = p.phrase)
+         SELECT doc_id, phrase, count(*)::BIGINT AS hits
+         FROM m GROUP BY 1, 2"""
 
   /** The BPE encode recursion shared by the `q_bpe_encode` and
     * `q_bpe_budget` oracles — and, since r13, by the BPE-denominated
@@ -1243,18 +1274,11 @@ object TextQueries {
          FROM p""",
     // every start position whose slice joins back to the phrase counts once;
     // overlapping starts each count, end-truncated slices cannot equal the
-    // full phrase string
-    "q_phrase_tags" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         p(phrase, n_toks) AS (VALUES
-           ${TagPhrases.map(ph => s"('$ph', ${ph.split(" ").length})").mkString(", ")}),
-         pos AS (SELECT doc_id, t, i
-                 FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
-         m AS (SELECT doc_id, p.phrase
-               FROM pos JOIN p
-                 ON array_to_string(t[i : i + n_toks - 1], ' ') = p.phrase)
-         SELECT doc_id, phrase, count(*)::BIGINT AS hits
-         FROM m GROUP BY 1, 2""",
+    // full phrase string. ONE definition gates both realizations — the
+    // Catalyst join form and the Aho-Corasick automaton must hash-match
+    // the same replay.
+    "q_phrase_tags" -> phraseTagsOracle,
+    "q_phrase_tags_ac" -> phraseTagsOracle,
     // the Gopher rule battery replayed: same (doc_id, term) two-hop rollup,
     // same Java∩RE2 predicates, same integer thresholds
     "q_gopher_rules" ->

@@ -195,6 +195,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_passage_overlap" -> Set("doc_id", "text"),
       "q_winnow" -> Set("doc_id", "text"),
       "q_phrase_tags" -> Set("doc_id", "text"),
+      "q_phrase_tags_ac" -> Set("doc_id", "text"),
       "q_doc_rank" -> Set("doc_id", "text"),
       "q_bm25_topk" -> Set("doc_id", "text"),
       "q_lm_score" -> Set("doc_id", "text"),

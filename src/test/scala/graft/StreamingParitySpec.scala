@@ -118,6 +118,76 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  /** The exactly-once journal under a REAL engine redelivery: the sink
+    * applies its side effects and then crashes before the checkpoint commit
+    * (the precise at-least-once hazard window), the query is restarted from
+    * the same checkpoint, and Structured Streaming re-runs the batch with
+    * the SAME batchId — the journaled store's claim fails and it skips the
+    * replay, while a plain at-least-once store visibly double-applies the
+    * same deltas. End-to-end over the full pipeline (dedup → interval joins
+    * → fan-out → per-batch balance fold), not a unit call of the protocol.
+    */
+  test("checkpoint-restart redelivery: journaled store exactly-once, plain store double-applies") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rIn = MemoryStream[String]
+    val oIn = MemoryStream[String]
+    val aIn = MemoryStream[String]
+    def tx = StreamingPipeline.transfers(
+      StreamingPipeline.parseJson(rIn.toDF(), NearSchemas.receipts),
+      StreamingPipeline.parseJson(oIn.toDF(), NearSchemas.executionOutcomes),
+      StreamingPipeline.parseJson(aIn.toDF(), NearSchemas.actionReceiptActions),
+      cfg)
+    val ck = Files.createTempDirectory("eo-restart-ck").toString
+    val journaled = new BalanceUpsert.JournaledStore
+    val plain = new BalanceUpsert.MemoryStore
+    @volatile var crashed = false
+    def start() = tx.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = TokenPipeline.balances(batch).collect().toSeq
+          .map(BalanceUpsert.BalanceRow.fromRow)
+        plain.upsertAll(rows)                      // at-least-once baseline
+        journaled.applyBatch("bal", id, rows)      // claim-then-apply
+        if (!crashed && rows.nonEmpty) {
+          crashed = true
+          throw new RuntimeException("injected crash after sink side effects")
+        }
+        ()
+      }
+      .start()
+
+    rIn.addData(TokenFixture.receipts(spark).toJSON.collect().toSeq)
+    oIn.addData(TokenFixture.outcomes(spark).toJSON.collect().toSeq)
+    aIn.addData(TokenFixture.actions(spark).toJSON.collect().toSeq)
+
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(crashed, "the injected crash must have fired")
+
+    val q2 = start() // same checkpoint: the engine re-runs the uncommitted batch
+    q2.processAllAvailable()
+    q2.stop()
+
+    val expected = TokenPipeline.balances(batchTransfers).collect()
+      .map(BalanceUpsert.BalanceRow.fromRow).map(b => b.account -> b).toMap
+    val eo = journaled.inner.snapshot
+    assert(eo.keySet === expected.keySet)
+    expected.foreach { case (acct, want) =>
+      assert(eo(acct).balance.compareTo(want.balance) == 0,
+        s"journaled store drifted on $acct")
+    }
+    // the hazard is real: the plain store double-applied the replayed batch
+    // (every nonzero-delta account in that batch is off by the extra delta)
+    val doubled = plain.snapshot.exists { case (acct, got) =>
+      expected.get(acct).exists(w => got.balance.compareTo(w.balance) != 0)
+    }
+    assert(doubled, "plain at-least-once store should have double-applied the redelivered batch")
+  }
+
   /** Parity at harness data scale, not just the 10-receipt fixture: the full
     * sf0.001 synthetic CDC feed (1000 events → ~1100 rows per topic with
     * verbatim redelivery, 30-day event-time span) streamed in 4 micro-batches

@@ -8,8 +8,9 @@ import org.apache.spark.sql.graft.GraftFunctions
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`), so every
   * session on the cluster — including pure-SQL clients — sees
-  * `fingerprint`, `dot_product_f`, `shingles`, `nfc_normalize`, and
-  * `mojibake_repair` without driver-side registration calls.
+  * `fingerprint`, `dot_product_f`, `shingles`, `minhash_sig`,
+  * `hilbert_index`, `nfc_normalize`, and `mojibake_repair` without
+  * driver-side registration calls.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

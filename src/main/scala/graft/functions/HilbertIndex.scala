@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -31,8 +31,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `ZOrder.gridCoord`); bits ≤ 31 keeps d = gx·gy digits < 2^62 — raw Java
   * long arithmetic in the generated code, no ANSI overflow surface.
   */
+// ImplicitCastInputTypes (vs plain ExpectsInputTypes) so SQL integer
+// literals coerce to the long inputs — hilbert_index(0, 3, 2) just works
 case class HilbertIndexExpression(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
 

@@ -9,14 +9,22 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpression, FingerprintExpression, MojibakeRepairExpression, NfcNormalizeExpression, ShinglesExpression}
+import graft.functions.{DotProductExpression, FingerprintExpression, HilbertIndexExpression, MinHashSigExpression, MojibakeRepairExpression, NfcNormalizeExpression, ShinglesExpression}
 
 /** SQL registration of graft's native expressions, so `spark.sql` users get
   * them too: `fingerprint(text)`, `dot_product_f(a, b)`,
-  * `shingles(text, n)` (n must be a literal), `nfc_normalize(text)` (the
-  * DuckDB-compatible name), `mojibake_repair(text)`.
+  * `shingles(text, n)`, `minhash_sig(shingles, k)`,
+  * `hilbert_index(gx, gy, bits)` (integer parameters must be literals),
+  * `nfc_normalize(text)` (the DuckDB-compatible name),
+  * `mojibake_repair(text)`.
   */
 object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, param: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$fn: $param must be an integer literal, got $other")
+  }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fingerprint" -> { args =>
@@ -37,11 +45,16 @@ object GraftFunctions {
     },
     "shingles" -> { args =>
       require(args.length == 2, "shingles(text, n) takes 2 arguments")
-      args(1) match {
-        case Literal(n: Int, IntegerType) => ShinglesExpression(args(0), n)
-        case other => throw new IllegalArgumentException(
-          s"shingles(text, n): n must be an integer literal, got $other")
-      }
+      ShinglesExpression(args(0), intLit(args(1), "shingles(text, n)", "n"))
+    },
+    "minhash_sig" -> { args =>
+      require(args.length == 2, "minhash_sig(shingles, k) takes 2 arguments")
+      MinHashSigExpression(args(0), intLit(args(1), "minhash_sig(shingles, k)", "k"))
+    },
+    "hilbert_index" -> { args =>
+      require(args.length == 3, "hilbert_index(gx, gy, bits) takes 3 arguments")
+      HilbertIndexExpression(args(0), args(1),
+        intLit(args(2), "hilbert_index(gx, gy, bits)", "bits"))
     })
 
   /** Register on a live session (temp functions, session-scoped). */

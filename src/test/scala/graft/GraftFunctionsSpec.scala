@@ -36,6 +36,25 @@ class GraftFunctionsSpec extends SparkSpec {
     val nfc = spark.sql(
       "SELECT nfc_normalize('cafe\u0301') AS n").as[String].collect()(0)
     assert(nfc == "caf\u00e9")
+
+    val mhSql = spark.sql(
+      "SELECT minhash_sig(shingles('a b c d e', 3), 4).sig AS m")
+      .as[Seq[Long]].collect()(0)
+    val mhCol = spark.range(1)
+      .select(graft.functions.MinHashSigExpression.minhashSig(
+        graft.functions.ShinglesExpression.shingles(
+          org.apache.spark.sql.functions.lit("a b c d e"), 3), 4).getField("sig").as("m"))
+      .as[Seq[Long]].collect()(0)
+    assert(mhSql.length === 4 && mhSql === mhCol)
+
+    // hilbert_index: the four corners of a 2-bit grid follow the scaled
+    // order-1 U shape (0 \u2192 5 \u2192 10 \u2192 15 along the curve)
+    val h = spark.sql(
+      """SELECT hilbert_index(0, 0, 2) AS a, hilbert_index(0, 3, 2) AS b,
+                hilbert_index(3, 3, 2) AS c, hilbert_index(3, 0, 2) AS d""")
+      .selectExpr("CAST(a AS LONG)", "CAST(b AS LONG)", "CAST(c AS LONG)", "CAST(d AS LONG)")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(h === ((0L, 5L, 10L, 15L)))
   }
 
   /** The SQL-only user path end-to-end: harness tables as views + injected

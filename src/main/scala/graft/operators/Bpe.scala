@@ -14,6 +14,11 @@ case class BpeSymWord(syms: Seq[String], wfreq: Long)
   */
 case class BpeEncWord(word: String, wfreq: Long, toks: Seq[String])
 
+/** [[BpeEncWord]] keyed by language — the per-language tokenizer's unit.
+  * Top-level for the same encoder-codegen reason.
+  */
+case class BpeLangEncWord(lang_id: String, word: String, wfreq: Long, toks: Seq[String])
+
 /** Byte-pair-encoding tokenizer TRAINING at corpus scale — the merge-rule
   * learning loop (Sennrich et al., "Neural Machine Translation of Rare Words
   * with Subword Units", ACL'16) expressed as Spark aggregations.
@@ -814,4 +819,78 @@ object Bpe {
     */
   def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
     applyMerges(codePoints(word), merges)
+
+  // ------------------------------------------------------- per-language BPE
+
+  /** PER-LANGUAGE vocabulary: (lang_id, word, wfreq), with the language
+    * label riding the word stream from the same scan ([[wordVocab]] keyed by
+    * language) — the input of a multilingual tokenizer build, where each
+    * language trains its own merge table instead of competing for slots in
+    * one global ranking (the fertility-inequity fix `q_bpe_fertility`
+    * measures the need for). Still the only corpus-sized stage.
+    */
+  def langWordVocab(docs: DataFrame, textCol: String,
+                    lang: org.apache.spark.sql.Column): DataFrame =
+    docs.select(lang.as("lang_id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("lang_id", "word").agg(count(lit(1)).as("wfreq"))
+
+  /** Ranked round-1 merge candidates PER LANGUAGE — [[topPairsOfVocab]]'s
+    * (freq DESC, pair ASC) order as a per-language `row_number` window
+    * (partitioned on the tiny language domain over vocabulary-pair counts,
+    * never corpus rows), keeping the top `k` of each language. Emits
+    * (lang_id, merge_rank, pair, freq).
+    */
+  def pairsByLang(langVocab: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("freq").desc, col("pair").asc)
+    langVocab.filter(length(col("word")) >= 2)
+      .select(col("lang_id"), col("wfreq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"), col("word"))
+      .select(col("lang_id"), col("wfreq"),
+        col("word").substr(col("i"), lit(2)).as("pair"))
+      .groupBy("lang_id", "pair").agg(sum(col("wfreq")).as("freq"))
+      .withColumn("merge_rank", row_number().over(w))
+      .filter(col("merge_rank") <= k)
+  }
+
+  /** The per-language merge tables collected to the driver (≤ languages·k
+    * rows, bounded by construction). Rank order is carried as DATA
+    * (`merge_rank` from the cluster-side window), so no driver-side string
+    * comparator can desync from the cluster/oracle collation ([[utf8Lt]]'s
+    * hazard never arises).
+    */
+  def rankedPairMergesByLang(langVocab: DataFrame,
+                             k: Int): Map[String, Seq[(String, String)]] =
+    pairsByLang(langVocab, k)
+      .select("lang_id", "merge_rank", "pair").collect()
+      .groupBy(_.getString(0))
+      .map { case (langId, rows) =>
+        langId -> rows.sortBy(_.getInt(1)).map { r =>
+          val cps = codePoints(r.getString(2)) // substr counts code points
+          (cps(0), cps(1))
+        }.toSeq
+      }
+
+  /** Encode each language's vocabulary under ITS OWN merge table — the
+    * multilingual twin of [[encodeVocab]]: one `mapPartitions` pass over
+    * the (lang_id, word, wfreq) vocabulary with per-language rank maps
+    * built lazily from the broadcast tables; vocabulary-sized, no shuffle.
+    */
+  def encodeVocabByLang(langVocab: DataFrame,
+      mergesByLang: Map[String, Seq[(String, String)]]): Dataset[BpeLangEncWord] = {
+    val spark = langVocab.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergesByLang)
+    langVocab.select(col("lang_id"), col("word"), col("wfreq"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        val ranks = scala.collection.mutable.HashMap.empty[String, Map[(String, String), Int]]
+        it.map { case (langId, w, f) =>
+          val rank = ranks.getOrElseUpdate(langId,
+            rankMap(bc.value.getOrElse(langId, Seq.empty)))
+          BpeLangEncWord(langId, w, f, encodeWord(w, rank))
+        }
+      }
+  }
 }

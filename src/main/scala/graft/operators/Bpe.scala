@@ -831,7 +831,14 @@ object Bpe {
     */
   def langWordVocab(docs: DataFrame, textCol: String,
                     lang: org.apache.spark.sql.Column): DataFrame =
-    docs.select(lang.as("lang_id"), explode(split(col(textCol), " ")).as("word"))
+    // two selects, NOT one: ExtractGenerator leaves non-generator select
+    // items in a Project ABOVE the Generate, so a single
+    // select(lang, explode(...)) re-evaluates the language expression (8
+    // full-text regex scans) once per WORD row — measured 10x on q_bpe_bylang
+    // at sf0.1. Projections do not collapse across a Generate, so computing
+    // lang below the explode pins it to once per document.
+    docs.select(lang.as("lang_id"), col(textCol).as("__text"))
+      .select(col("lang_id"), explode(split(col("__text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("lang_id", "word").agg(count(lit(1)).as("wfreq"))
 

@@ -490,7 +490,10 @@ object TextQueries {
   private def fertilityRollup(d: DataFrame, wordToks: DataFrame,
                               keys: Seq[String]): DataFrame = {
     val lang = graft.functions.TextFunctions.langId(col("text")).as("lang_id")
-    val perLang = d.select(lang, explode(split(col("text"), " ")).as("word"))
+    // lang below the explode in its own projection — see Bpe.langWordVocab:
+    // a single select would re-run the 8-regex language CASE per word row
+    val perLang = d.select(lang, col("text").as("__text"))
+      .select(col("lang_id"), explode(split(col("__text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(broadcast(wordToks), keys)
       .groupBy("lang_id")

@@ -802,6 +802,19 @@ object Bpe {
       encodeVocab(wordVocab(docs, textCol), merges).toDF()
         .select(col("word"), size(col("toks")).cast("long").as("n_toks")))
 
+  /** The deterministic top-`k` per-word BPE token-count table from ONE
+    * [[Lineage.cut]] vocabulary rollup — the SINGLE builder every
+    * token-denominator consumer shares (`q_bpe_budget`, `q_bpe_fertility`,
+    * and the `_bpe` curation twins all gate the same merge semantics, so
+    * the denominator must be constructed in exactly one place).
+    * Broadcast-sized: one row per distinct corpus word.
+    */
+  def wordTokenTable(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = Lineage.cut(wordVocab(docs, textCol))
+    encodeVocab(vocab, rankedPairMergesOfVocab(vocab, k)).toDF()
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+  }
+
   /** [[bpeTokenCounts]] against a prebuilt broadcastable (word, n_toks)
     * table — the seam callers with a shared vocabulary use.
     */

@@ -216,14 +216,27 @@ object Embeddings {
   def kmeansConverged(vectors: DataFrame, numCentroids: Int, maxIters: Int = 8,
                       epsPct: Double = 0.25, seed: Int = 17): (DataFrame, Seq[Double]) = {
     var c = Lineage.cut(sampledCentroids(vectors, numCentroids, seed))
-    val trace = scala.collection.mutable.ArrayBuffer(ivfObjective(vectors, c))
+    def objective(cents: DataFrame): Double = {
+      val o = ivfObjective(vectors, cents)
+      // a zero-norm vector makes its cosine 0/0 = NaN and the SUM NaN, which
+      // would disable the stop rule and return a NaN trace — fail loudly at
+      // the cause (q_embed_stats audits exactly this before an index build)
+      require(!o.isNaN,
+        "IVF objective is NaN — zero-norm embeddings poison spherical " +
+          "k-means; filter them first (see q_embed_stats)")
+      o
+    }
+    val trace = scala.collection.mutable.ArrayBuffer(objective(c))
     var it = 0
     var stop = false
     while (it < maxIters && !stop) {
       val next = Lineage.cut(kmeansRefine(vectors, c))
-      val obj = ivfObjective(vectors, next)
-      // relative improvement below epsPct → converged (obj can only increase)
-      stop = obj <= trace.last * (1d + epsPct / 100d)
+      val obj = objective(next)
+      // absolute-relative improvement below epsPct → converged; phrased as
+      // a difference (not a ratio threshold) so the direction stays correct
+      // even for a non-positive objective (cosines can sum negative —
+      // unlike PQ distortion, this objective is not sign-bounded)
+      stop = obj - trace.last <= (epsPct / 100d) * math.abs(trace.last)
       c = next
       trace += obj
       it += 1

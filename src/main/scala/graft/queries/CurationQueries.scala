@@ -637,12 +637,8 @@ object CurationQueries {
     */
   private def langBpeTokensFrame(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val vocab = graft.operators.Lineage.cut(
-      graft.operators.Bpe.wordVocab(d, "text"))
-    val merges = graft.operators.Bpe.rankedPairMergesOfVocab(
-      vocab, TextQueries.BpeTopK)
-    val wordToks = graft.operators.Bpe.encodeVocab(vocab, merges).toDF()
-      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    val wordToks = graft.operators.Bpe.wordTokenTable(d, "text",
+      TextQueries.BpeTopK)
     d.select(col("doc_id"),
         graft.functions.TextFunctions.langId(col("text")).as("lang_id"),
         TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
@@ -1466,11 +1462,8 @@ object CurationQueries {
     * [[graft.functions.TextFunctions]] implementation either way).
     */
   private val docStatsSql: String =
-    """SELECT doc_id,
-         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-              WHEN fr >= es AND fr > 0 THEN 'fr'
-              WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+    s"""SELECT doc_id,
+         ${TextQueries.langCaseSql} AS lang_id,
          greatest(least(least(n_tokens, 100) * 30
            + least((en * 40000) // greatest(n_tokens, 1), 4000)
            - least((n_punct * 20000) // greatest(n_tokens, 1), 2000), 10000), 0) AS quality_e4
@@ -1478,10 +1471,7 @@ object CurationQueries {
          SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
-           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
-           len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
-           len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
-           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+           ${TextQueries.langMarkerColsSql}
          FROM documents)"""
 
   /** One SQL truth for the direct sketch AND its two-hop merge realization —
@@ -1535,21 +1525,18 @@ object CurationQueries {
        groups AS (
          SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v)"""
 
-  /** Language + token-count stats CTE body (mirrors q_text_stats). */
+  /** Language + token-count stats CTE body (mirrors q_text_stats); the
+    * marker regexes and CASE are the shared single-sourced
+    * `TextQueries.langMarkerColsSql`/`langCaseSql`.
+    */
   private val langTokensCte =
-    """SELECT doc_id,
-         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-              WHEN fr >= es AND fr > 0 THEN 'fr'
-              WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id,
+    s"""SELECT doc_id,
+         ${TextQueries.langCaseSql} AS lang_id,
          n_tokens
        FROM (
          SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens,
-           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
-           len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
-           len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
-           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+           ${TextQueries.langMarkerColsSql}
          FROM documents)"""
 
   /** Text-pair CTEs under non-colliding names, for composition with the

@@ -441,13 +441,9 @@ object TextQueries {
     */
   def bpeBudget(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    // same shared-vocabulary shape as bpeEncode (pricing measured there —
-    // a wash for this query, kept for the single-sourced vocabulary): the
-    // corpus rolls up once, the per-word count table derives from the cut
-    val vocab = graft.operators.Lineage.cut(graft.operators.Bpe.wordVocab(d, "text"))
-    val merges = graft.operators.Bpe.rankedPairMergesOfVocab(vocab, BpeTopK)
-    val wordToks = graft.operators.Bpe.encodeVocab(vocab, merges).toDF()
-      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    // the single-sourced denominator table (pricing of the shared-vocabulary
+    // shape measured at bpeEncode — a wash for this query)
+    val wordToks = graft.operators.Bpe.wordTokenTable(d, "text", BpeTopK)
     d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(graft.operators.Bpe.bpeTokenCountsWith(d, "doc_id", "text", wordToks),
         Seq("doc_id"), "left")
@@ -474,11 +470,8 @@ object TextQueries {
     */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val vocab = graft.operators.Lineage.cut(graft.operators.Bpe.wordVocab(d, "text"))
-    val merges = graft.operators.Bpe.rankedPairMergesOfVocab(vocab, BpeTopK)
-    val wordToks = graft.operators.Bpe.encodeVocab(vocab, merges).toDF()
-      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
-    fertilityRollup(d, wordToks, Seq("word"))
+    fertilityRollup(d,
+      graft.operators.Bpe.wordTokenTable(d, "text", BpeTopK), Seq("word"))
   }
 
   /** The shared per-language fertility rollup tail: lang-labeled word
@@ -1150,23 +1143,33 @@ object TextQueries {
          SELECT doc_id, phrase, count(*)::BIGINT AS hits
          FROM m GROUP BY 1, 2"""
 
-  /** (doc_id, lang_id) CTE body — the language labeling shared by the
-    * fertility and per-language-BPE oracles (one SQL truth for the marker
-    * regexes and the priority CASE, mirroring `TextFunctions.langId`).
-    * Plain (non-interpolated) string: `\b` reaches DuckDB verbatim.
+  /** The ONE SQL truth for `TextFunctions.langId`'s marker regexes and
+    * priority CASE — consumed by [[langDocCte]] here and by
+    * `CurationQueries.langTokensCte`/`docStatsSql`, so an edit to the
+    * marker lists can no longer desynchronize the query families' language
+    * labels. Plain (non-interpolated) strings: `\b` reaches DuckDB
+    * verbatim.
     */
-  private lazy val langDocCte =
-    """SELECT doc_id,
-         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-              WHEN fr >= es AND fr > 0 THEN 'fr'
-              WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_id
-       FROM (
-         SELECT doc_id,
-           len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
+  private[queries] val langMarkerColsSql =
+    """len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS en,
            len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS de,
            len(regexp_extract_all(text, '\b(le|les|et|est|dans|une)\b'))::BIGINT AS fr,
-           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es
+           len(regexp_extract_all(text, '\b(el|los|las|y|es|en una)\b'))::BIGINT AS es"""
+
+  private[queries] val langCaseSql =
+    """CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+              WHEN fr >= es AND fr > 0 THEN 'fr'
+              WHEN es > 0 THEN 'es' ELSE 'und' END"""
+
+  /** (doc_id, lang_id) CTE body — the language labeling shared by the
+    * fertility and per-language-BPE oracles.
+    */
+  private lazy val langDocCte =
+    s"""SELECT doc_id, $langCaseSql AS lang_id
+       FROM (
+         SELECT doc_id,
+           $langMarkerColsSql
          FROM documents)"""
 
   /** The final fertility projection over `nd`/`pl` CTEs — shared verbatim by

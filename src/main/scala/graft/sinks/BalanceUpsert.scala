@@ -133,9 +133,14 @@ object BalanceUpsert {
     * fails the claim and is skipped whole. `batchId` is Structured
     * Streaming's `foreachBatch` batch id — stable across restarts for a
     * redelivered batch by the checkpoint contract, which is exactly what
-    * makes the claim key sound. (The reference's deployed path lives with
-    * at-least-once + idempotent provenance, README.md:273-297; balances are
-    * additive, so it needs this journal for true exactness too.)
+    * makes the claim key sound. Batch ids are only meaningful RELATIVE TO a
+    * checkpoint (a fresh checkpoint restarts them at 0), so `sink_id` must
+    * rotate with the checkpoint or stale claims silently skip every new
+    * batch — `StreamingPipeline.balancesToJdbcExactlyOnce` therefore keys
+    * claims on `"$sinkId@$checkpointDir"`. (The reference's deployed path
+    * lives with at-least-once + idempotent provenance, README.md:273-297;
+    * balances are additive, so it needs this journal for true exactness
+    * too.)
     */
   def journalDdl(journal: String): String =
     s"""CREATE TABLE IF NOT EXISTS $journal (
@@ -162,6 +167,7 @@ object BalanceUpsert {
   def upsertBatchExactlyOnce(rows: Iterable[BalanceRow], table: String,
                              journal: String, sinkId: String, batchId: Long,
                              conn: Connection): Boolean = {
+    val prevAutoCommit = conn.getAutoCommit
     conn.setAutoCommit(false)
     try {
       val claim = conn.prepareStatement(journalClaimSql(journal))
@@ -188,7 +194,18 @@ object BalanceUpsert {
         true
       }
     } catch {
-      case e: Throwable => conn.rollback(); throw e
+      case e: Throwable =>
+        // a broken connection throws again on rollback — suppress, never
+        // REPLACE, the root-cause exception (the realistic failure is the
+        // connection dying mid executeBatch; the caller must see that one)
+        try conn.rollback()
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    } finally {
+      // restore for pooled-connection callers (close-per-batch callers
+      // don't care, but this method is public surface)
+      try conn.setAutoCommit(prevAutoCommit)
+      catch { case _: Throwable => () }
     }
   }
 

@@ -129,19 +129,29 @@ object StreamingPipeline {
 
   /** [[balancesToJdbc]] upgraded to EXACTLY-ONCE: each micro-batch's deltas
     * are applied through [[BalanceUpsert.upsertBatchExactlyOnce]], which
-    * claims `(sinkId, batchId)` in a journal table inside the same
-    * transaction as the upserts — a checkpoint-replayed batch fails the
-    * claim and is skipped whole, so the additive balance merge can never
-    * double-apply. The driver-side `collect` is the documented bounded one
-    * (per-batch deltas are O(#accounts touched), already aggregated —
+    * claims the batch in a journal table inside the same transaction as
+    * the upserts — a checkpoint-replayed batch fails the claim and is
+    * skipped whole, so the additive balance merge can never double-apply.
+    * The driver-side `collect` is the documented bounded one (per-batch
+    * deltas are O(#accounts touched), already aggregated —
     * [[balancesToStore]]'s argument); `foreachBatch`'s `batchId` is stable
-    * across restarts for redelivered batches, which is what makes it the
+    * across restarts for redelivered batches, which is what makes it a
     * claim key.
+    *
+    * The claim key is `"$sinkId@$checkpointDir"` — batch ids are only
+    * meaningful RELATIVE TO a checkpoint (they restart at 0 with a fresh
+    * one), so the journal must be bound to the checkpoint too: an operator
+    * who wipes the checkpoint to reprocess gets fresh claim keys and the
+    * replayed batches APPLY (at-least-once semantics of an intentional
+    * replay into a non-reset table are the operator's own accounting
+    * problem), instead of the silent skip-everything a bare sinkId key
+    * would produce when old claims shadow the new run's ids.
     */
   def balancesToJdbcExactlyOnce(transferStream: DataFrame, table: String,
                                 journal: String, sinkId: String,
                                 connect: () => java.sql.Connection,
-                                checkpointDir: String): StreamingQuery =
+                                checkpointDir: String): StreamingQuery = {
+    val claimKey = s"$sinkId@$checkpointDir"
     transferStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -150,9 +160,10 @@ object StreamingPipeline {
           .map(BalanceUpsert.BalanceRow.fromRow)
         val conn = connect()
         try BalanceUpsert.upsertBatchExactlyOnce(
-          rows, table, journal, sinkId, batchId, conn)
+          rows, table, journal, claimKey, batchId, conn)
         finally conn.close()
         ()
       }
       .start()
+  }
 }

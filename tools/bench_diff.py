@@ -112,6 +112,11 @@ def main():
     if isinstance(old_med, dict) and isinstance(new_med, dict):
         print("stat: median-of-3 (both artifacts carry queries_median)")
         old_q, new_q = old_med, new_med
+        # keep the total line on the SAME statistic as the per-query diffs —
+        # mixing a min-based total over median-based sums reads as a phantom
+        # discrepancy (the artifacts' "value" field is the min-of-3 headline)
+        old_total = sum(old_q.values())
+        new_total = sum(new_q.values())
     else:
         print("stat: min-of-3 (median map absent on at least one side)")
 

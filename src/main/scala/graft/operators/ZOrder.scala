@@ -89,6 +89,47 @@ object ZOrder {
              y: Column, mny: Column, mxy: Column): Column =
     interleave(gridCoord(x, mnx, mxx), gridCoord(y, mny, mxy))
 
+  // 3-way spread masks (bit i → bit 3i, 21-bit capacity — GridBits=16 is
+  // well inside); decimal for the same DuckDB-literal reason as above
+  private val N32 = 8725724278095871L     // 0x001F00000000FFFF
+  private val N16 = 8725728556220671L     // 0x001F0000FF0000FF
+  private val N8 = 1157144660301377551L   // 0x100F00F00F00F00F
+  private val N4 = 1207822528635744451L   // 0x10C30C30C30C30C3
+  private val N2 = 1317624576693539401L   // 0x1249249249249249
+
+  /** Spread the low 21 bits of a nonnegative long into every THIRD bit
+    * position (bit i → bit 3i) — the 3-D interleave's per-dimension half,
+    * five shift-or-mask steps like [[spreadBits]].
+    */
+  def spreadBits3(c: Column): Column = {
+    val s32 = c.bitwiseOR(shiftleft(c, 32)).bitwiseAND(lit(N32))
+    val s16 = s32.bitwiseOR(shiftleft(s32, 16)).bitwiseAND(lit(N16))
+    val s8 = s16.bitwiseOR(shiftleft(s16, 8)).bitwiseAND(lit(N8))
+    val s4 = s8.bitwiseOR(shiftleft(s8, 4)).bitwiseAND(lit(N4))
+    s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(N2))
+  }
+
+  /** Morton-interleave THREE nonnegative grid coordinates (x → bits 3i,
+    * y → 3i+1, p → 3i+2): clustering layouts are rarely 2-D in practice —
+    * a fact table is typically clustered on 3–4 query dimensions — and the
+    * z-curve generalizes where the per-file min/max story is unchanged:
+    * every participating dimension's extent is bounded per file.
+    */
+  def interleave3(x: Column, y: Column, p: Column): Column =
+    spreadBits3(x)
+      .bitwiseOR(shiftleft(spreadBits3(y), 1))
+      .bitwiseOR(shiftleft(spreadBits3(p), 2))
+
+  /** The 3-D z-value of three raw long columns under min/max grid
+    * normalization — [[zValue]]'s arity-3 sibling (48-bit code at
+    * [[GridBits]]=16).
+    */
+  def zValue3(x: Column, mnx: Column, mxx: Column,
+              y: Column, mny: Column, mxy: Column,
+              p: Column, mnp: Column, mxp: Column): Column =
+    interleave3(gridCoord(x, mnx, mxx), gridCoord(y, mny, mxy),
+      gridCoord(p, mnp, mxp))
+
   /** The HILBERT-curve value of two raw long columns under the same min/max
     * grid normalization — the alternative clustering curve. The Hilbert
     * curve is contiguous (every step moves one grid cell, where the Morton

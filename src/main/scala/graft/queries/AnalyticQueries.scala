@@ -847,6 +847,43 @@ object AnalyticQueries {
         min(col("y")).as("min_day"), max(col("y")).as("max_day"))
   }
 
+  /** 3-D Z-ORDER LAYOUT audit over (customer, order-day, totalprice-cents):
+    * real fact tables cluster on 3–4 query dimensions, not 2 — this is
+    * [[qZorderLayout]]'s arity-3 sibling proving the layout machinery
+    * generalizes (`ZOrder.zValue3`: every-third-bit spreads, 48-bit code),
+    * with per-bucket min/max of ALL THREE dimensions oracle-checked. The
+    * price dimension is exact integer cents via a DECIMAL(18,2) hop (the
+    * column is a parquet double; decimal·100 is integral, so the final
+    * long cast is exact on both engines). Same scale shape as the 2-D
+    * audit: one scan, a broadcast 1-row min/max attach, one 64-group
+    * aggregation with map-side combine.
+    */
+  def qZorder3Layout(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("y"),
+      // through DECIMAL(18,2) first: the column is a parquet DOUBLE, and
+      // double*100 -> long TRUNCATES in Spark but ROUNDS in DuckDB's
+      // ::BIGINT (bit this query's min_cents by 1 before the cast)
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("p"))
+    val b = o.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"),
+      min(col("p")).as("mnp"), max(col("p")).as("mxp"))
+    o.crossJoin(broadcast(b)) // 1-row scalar attach (audit-exempt aggregate)
+      .select(col("x"), col("y"), col("p"),
+        graft.operators.ZOrder.zValue3(
+          col("x"), col("mnx"), col("mxx"),
+          col("y"), col("mny"), col("mxy"),
+          col("p"), col("mnp"), col("mxp")).as("z"))
+      .select(col("x"), col("y"), col("p"),
+        shiftright(col("z"), 3 * graft.operators.ZOrder.GridBits - 6).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+        min(col("y")).as("min_day"), max(col("y")).as("max_day"),
+        min(col("p")).as("min_cents"), max(col("p")).as("max_cents"))
+  }
+
   /** File count for the physical z-order pruning readback — small enough
     * that every file is non-trivially sized at sf0.001, large enough that a
     * y-band predicate skips most of them.
@@ -932,6 +969,7 @@ object AnalyticQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_layout" -> (qZorderLayout _),
+    "q_zorder3_layout" -> (qZorder3Layout _),
     "q_zorder_prune" -> (qZorderPrune _),
     "q_hilbert_prune" -> (qHilbertPrune _),
     "q1_agg" -> (q1Agg _),
@@ -1372,6 +1410,48 @@ object AnalyticQueries {
                 min(x) AS min_cust, max(x) AS max_cust,
                 min(y) AS min_day, max(y) AS max_day
          FROM z GROUP BY 1""",
+    // the 3-D interleave replayed: every-third-bit spread chain per
+    // coordinate (decimal constants shared with ZOrder.spreadBits3), same
+    // exact grid scaling, bucket = top 6 of the 48-bit code
+    "q_zorder3_layout" ->
+      """WITH d3 AS (SELECT o_custkey::BIGINT AS x,
+                  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS y,
+                  (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS p FROM orders),
+         b3 AS (SELECT min(x) AS mnx, max(x) AS mxx,
+                       min(y) AS mny, max(y) AS mxy,
+                       min(p) AS mnp, max(p) AS mxp FROM d3),
+         g3 AS (SELECT x, y, p,
+                  ((x - mnx) * 65536) // (mxx - mnx + 1) AS gx,
+                  ((y - mny) * 65536) // (mxy - mny + 1) AS gy,
+                  ((p - mnp) * 65536) // (mxp - mnp + 1) AS gp
+                FROM d3, b3),
+         t1 AS (SELECT x, y, p,
+                  (gx | (gx << 32)) & 8725724278095871 AS ax1,
+                  (gy | (gy << 32)) & 8725724278095871 AS ay1,
+                  (gp | (gp << 32)) & 8725724278095871 AS ap1 FROM g3),
+         t2 AS (SELECT x, y, p,
+                  (ax1 | (ax1 << 16)) & 8725728556220671 AS ax2,
+                  (ay1 | (ay1 << 16)) & 8725728556220671 AS ay2,
+                  (ap1 | (ap1 << 16)) & 8725728556220671 AS ap2 FROM t1),
+         t3 AS (SELECT x, y, p,
+                  (ax2 | (ax2 << 8)) & 1157144660301377551 AS ax3,
+                  (ay2 | (ay2 << 8)) & 1157144660301377551 AS ay3,
+                  (ap2 | (ap2 << 8)) & 1157144660301377551 AS ap3 FROM t2),
+         t4 AS (SELECT x, y, p,
+                  (ax3 | (ax3 << 4)) & 1207822528635744451 AS ax4,
+                  (ay3 | (ay3 << 4)) & 1207822528635744451 AS ay4,
+                  (ap3 | (ap3 << 4)) & 1207822528635744451 AS ap4 FROM t3),
+         t5 AS (SELECT x, y, p,
+                  (ax4 | (ax4 << 2)) & 1317624576693539401 AS sx,
+                  (ay4 | (ay4 << 2)) & 1317624576693539401 AS sy,
+                  (ap4 | (ap4 << 2)) & 1317624576693539401 AS sp FROM t4),
+         z3 AS (SELECT x, y, p,
+                  (sx | (sy << 1) | (sp << 2)) >> 42 AS bucket FROM t5)
+         SELECT bucket, count(*)::BIGINT AS n_rows,
+                min(x) AS min_cust, max(x) AS max_cust,
+                min(y) AS min_day, max(y) AS max_day,
+                min(p) AS min_cents, max(p) AS max_cents
+         FROM z3 GROUP BY 1""",
     // the physical layout replayed logically: same z-curve, exact ntile rank
     // buckets; n_files is the 1-file-per-tile contract the Spark side
     // measures from _metadata.file_path — the one number DuckDB cannot

@@ -41,6 +41,38 @@ class ZOrderSpec extends SparkSpec {
     assert(n == (1L << 16))
   }
 
+  /** Reference 3-way Morton interleave: the obvious bit loop. */
+  private def morton3Ref(x: Long, y: Long, p: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((x >> i) & 1L) << (3 * i)
+      z |= ((y >> i) & 1L) << (3 * i + 1)
+      z |= ((p >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave3 equals the reference bit loop; bijective on the grid") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val coord = Gen.choose(0L, (1L << 16) - 1)
+    val prop = Prop.forAll(Gen.listOfN(48, Gen.zip(coord, coord, coord))) { pts =>
+      val got = pts.toDF("x", "y", "p")
+        .select(ZOrder.interleave3(col("x"), col("y"), col("p")).as("z"))
+        .as[Long].collect().toSeq
+      got == pts.map { case (x, y, p) => morton3Ref(x, y, p) }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"interleave3 diverged from bit loop: ${res.status}")
+    // bijection: 2^5 cells per dim -> 2^15 distinct codes
+    val n = spark.range(1L << 15)
+      .select(ZOrder.interleave3(col("id") % 32,
+        shiftright(col("id"), 5) % 32, shiftright(col("id"), 10)).as("z"))
+      .distinct().count()
+    assert(n == (1L << 15))
+  }
+
   test("gridCoord is exact integer floor division and spans the full grid") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     // spans up to the documented 2^37 ANSI/exactness bound

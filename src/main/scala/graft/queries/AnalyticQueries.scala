@@ -913,8 +913,19 @@ object AnalyticQueries {
     * touched, measured in `ZOrderSpec`).
     */
   def qZorderPrune(s: SparkSession, dir: String): DataFrame =
-    curvePruneReadback(s, zOrderedOrders(s, dir),
-      s"zprune_${math.abs(dir.hashCode)}")
+    curvePruneReadback(s, zOrderedOrders(s, dir), s"zprune_${dirTag(s, dir)}")
+
+  /** Collision-free tmp-path tag for the write→readback queries:
+    * `abs(hashCode)` is both collidable and negative at `Int.MinValue`, so
+    * use the md5 hex of the sf dir (distinct dirs can never share a path)
+    * plus the application id (two concurrent sessions on the SAME dir get
+    * isolated paths instead of racing one overwrite-mode directory).
+    */
+  private def dirTag(s: SparkSession, dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${s.sparkContext.applicationId}_${md5.take(12)}"
+  }
 
   /** [[qZorderPrune]] on the HILBERT curve — identical write/readback/probe
     * machinery ([[curvePruneReadback]]) over the identical coordinate grid,
@@ -932,7 +943,7 @@ object AnalyticQueries {
   def qHilbertPrune(s: SparkSession, dir: String): DataFrame =
     curvePruneReadback(s,
       curveOrders(s, dir, graft.operators.ZOrder.hilbertValue),
-      s"hprune_${math.abs(dir.hashCode)}")
+      s"hprune_${dirTag(s, dir)}")
 
   /** The shared write→readback→band-probe tail of the curve-pruning gates:
     * exact curve-rank ntiles into [[ZPruneFiles]] physical files (one file

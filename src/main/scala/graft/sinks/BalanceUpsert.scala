@@ -87,6 +87,20 @@ object BalanceUpsert {
           ${provSet.mkString(",\n          ")}"""
   }
 
+  /** Bind one [[BalanceRow]] into the [[upsertSql]] positional slots
+    * ([[columns]] order) — the ONE binding used by every JDBC executor here.
+    */
+  private def bindRow(st: java.sql.PreparedStatement, b: BalanceRow): Unit = {
+    st.setString(1, b.account)
+    st.setBigDecimal(2, b.balance)
+    st.setBigDecimal(3, b.blockTimestamp)
+    st.setString(4, b.blockHash)
+    st.setString(5, b.chunkHash)
+    st.setInt(6, b.indexInChunk)
+    st.setString(7, b.transactionHash)
+    st.setString(8, b.receiptId)
+  }
+
   /** JDBC executor for one micro-batch of deltas: per-partition connections,
     * statement batching. Used from `foreachBatch`; `connect` must be a
     * serializable factory (driver-class + URL captured by value).
@@ -100,22 +114,16 @@ object BalanceUpsert {
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            val b = BalanceRow.fromRow(r)
-            st.setString(1, b.account)
-            st.setBigDecimal(2, b.balance)
-            st.setBigDecimal(3, b.blockTimestamp)
-            st.setString(4, b.blockHash)
-            st.setString(5, b.chunkHash)
-            st.setInt(6, b.indexInChunk)
-            st.setString(7, b.transactionHash)
-            st.setString(8, b.receiptId)
-            st.addBatch()
-            n += 1
-            if (n % batchSize == 0) st.executeBatch()
-          }
-          st.executeBatch()
+          try {
+            var n = 0
+            rows.foreach { r =>
+              bindRow(st, BalanceRow.fromRow(r))
+              st.addBatch()
+              n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+          } finally st.close()
           conn.commit()
         } finally conn.close()
       }
@@ -154,42 +162,32 @@ object BalanceUpsert {
     s"""INSERT INTO $journal (sink_id, batch_id, n_rows) VALUES (?, ?, ?)
         ON CONFLICT (sink_id, batch_id) DO NOTHING"""
 
-  /** Apply one micro-batch of deltas exactly once: claim the batch id and
-    * run every upsert in ONE transaction on `conn`; returns true if applied,
-    * false if the journal already contained the claim (redelivery — skipped
-    * whole, nothing written). Driver-side single-connection executor: the
-    * per-batch delta set is O(#accounts touched), already aggregated (the
-    * same boundedness argument as [[MemoryStore]]-based sinks); a
-    * partition-parallel variant would need per-(batch, partition) claims
-    * plus deterministic partitioning, which the additive merge does not
-    * require at these delta sizes.
+  /** The claim-then-apply transaction shared by the batch-level and
+    * slice-level exactly-once executors: bind + run the claim, and on a
+    * fresh claim run every upsert, all in ONE transaction on `conn`.
+    * Statements are closed per call (pooled-connection callers would
+    * otherwise leak a handle per micro-batch). Returns true if applied,
+    * false if the journal already contained the claim (redelivery —
+    * skipped whole, nothing written).
     */
-  def upsertBatchExactlyOnce(rows: Iterable[BalanceRow], table: String,
-                             journal: String, sinkId: String, batchId: Long,
-                             conn: Connection): Boolean = {
+  private def applyClaimed(rows: Iterable[BalanceRow], table: String,
+                           claimSql: String,
+                           bindClaim: java.sql.PreparedStatement => Unit,
+                           conn: Connection): Boolean = {
     val prevAutoCommit = conn.getAutoCommit
     conn.setAutoCommit(false)
     try {
-      val claim = conn.prepareStatement(journalClaimSql(journal))
-      claim.setString(1, sinkId)
-      claim.setLong(2, batchId)
-      claim.setLong(3, rows.size.toLong)
-      val claimed = claim.executeUpdate() == 1
+      val claim = conn.prepareStatement(claimSql)
+      val claimed =
+        try { bindClaim(claim); claim.executeUpdate() == 1 }
+        finally claim.close()
       if (!claimed) { conn.rollback(); false }
       else {
         val st = conn.prepareStatement(upsertSql(table))
-        rows.foreach { b =>
-          st.setString(1, b.account)
-          st.setBigDecimal(2, b.balance)
-          st.setBigDecimal(3, b.blockTimestamp)
-          st.setString(4, b.blockHash)
-          st.setString(5, b.chunkHash)
-          st.setInt(6, b.indexInChunk)
-          st.setString(7, b.transactionHash)
-          st.setString(8, b.receiptId)
-          st.addBatch()
-        }
-        st.executeBatch()
+        try {
+          rows.foreach { b => bindRow(st, b); st.addBatch() }
+          st.executeBatch()
+        } finally st.close()
         conn.commit()
         true
       }
@@ -209,19 +207,99 @@ object BalanceUpsert {
     }
   }
 
+  /** Apply one micro-batch of deltas exactly once: claim the batch id and
+    * run every upsert in ONE transaction on `conn`; returns true if applied,
+    * false if the journal already contained the claim (redelivery — skipped
+    * whole, nothing written). Driver-side single-connection executor — the
+    * per-batch delta set is O(#accounts touched), already aggregated; the
+    * PARTITION-PARALLEL realization (no driver collect, the 100 TB path) is
+    * [[upsertSliceExactlyOnce]] under per-(sink, batch, slice) claims.
+    */
+  def upsertBatchExactlyOnce(rows: Iterable[BalanceRow], table: String,
+                             journal: String, sinkId: String, batchId: Long,
+                             conn: Connection): Boolean =
+    applyClaimed(rows, table, journalClaimSql(journal), { claim =>
+      claim.setString(1, sinkId)
+      claim.setLong(2, batchId)
+      claim.setLong(3, rows.size.toLong)
+    }, conn)
+
+  /** Journal DDL for the PARTITION-PARALLEL exactly-once protocol: the claim
+    * key grows a `slice_id` so each slice of a micro-batch commits (or skips
+    * on redelivery) independently in its own transaction. A slice is a
+    * DATA-derived shard — `pmod(hash(account), n)` — never a physical
+    * partition id: the same account lands in the same slice on every
+    * (re)delivery and every task retry, which is what makes the 3-part key
+    * sound (the TaskContext-pairing hazard recorded in CLAUDE.md never
+    * arises because no scheduling-dependent id enters the key).
+    */
+  def sliceJournalDdl(journal: String): String =
+    s"""CREATE TABLE IF NOT EXISTS $journal (
+        sink_id VARCHAR, batch_id BIGINT, slice_id INTEGER, n_rows BIGINT,
+        PRIMARY KEY (sink_id, batch_id, slice_id))"""
+
+  /** The slice claim: 1 row changed = this (batch, slice) is ours to apply,
+    * 0 = a previous (possibly crashed-after-commit) attempt already did.
+    */
+  def sliceClaimSql(journal: String): String =
+    s"""INSERT INTO $journal (sink_id, batch_id, slice_id, n_rows)
+        VALUES (?, ?, ?, ?)
+        ON CONFLICT (sink_id, batch_id, slice_id) DO NOTHING"""
+
+  /** Apply ONE SLICE of a micro-batch exactly once — the partition-parallel
+    * scale path of [[upsertBatchExactlyOnce]] (run from `foreachPartition`
+    * over a deterministic slice repartition; see
+    * `StreamingPipeline.balancesToJdbcExactlyOnce`). Per-slice transactions
+    * make partial batch failures safe: if the task for slice 3 dies after
+    * slices 1–2 committed, the engine redelivers the whole batch and only
+    * the unclaimed slices apply — the additive merge never sees a delta
+    * twice. Throughput scales with the number of slices (each partition
+    * holds its own connection), which is exactly what the driver-side
+    * single-connection form cannot do at 100× key cardinality.
+    */
+  def upsertSliceExactlyOnce(rows: Iterable[BalanceRow], table: String,
+                             journal: String, sinkId: String, batchId: Long,
+                             sliceId: Int, conn: Connection): Boolean =
+    applyClaimed(rows, table, sliceClaimSql(journal), { claim =>
+      claim.setString(1, sinkId)
+      claim.setLong(2, batchId)
+      claim.setInt(3, sliceId)
+      claim.setLong(4, rows.size.toLong)
+    }, conn)
+
   /** In-memory exactly-once twin of [[upsertBatchExactlyOnce]]: same
     * claim-then-apply protocol over a [[MemoryStore]], for streaming tests
     * and local runs. Returns whether the batch was applied.
     */
   final class JournaledStore(val inner: MemoryStore = new MemoryStore) {
     private val journal = scala.collection.mutable.HashSet.empty[(String, Long)]
+    private val sliceJournal =
+      scala.collection.mutable.HashSet.empty[(String, Long, Int)]
     def applyBatch(sinkId: String, batchId: Long,
                    rows: Iterable[BalanceRow]): Boolean = synchronized {
-      val claimed = journal.add((sinkId, batchId))
-      if (claimed) inner.upsertAll(rows)
-      claimed
+      // claim LAST: if the upsert throws, no claim persists and a retried
+      // batch re-applies instead of being silently lost (the JDBC twin gets
+      // the same guarantee from transaction rollback); the whole method is
+      // synchronized, so claim-after-apply is still atomic
+      if (journal.contains((sinkId, batchId))) false
+      else {
+        inner.upsertAll(rows)
+        journal.add((sinkId, batchId))
+        true
+      }
+    }
+    /** Slice-level twin of [[upsertSliceExactlyOnce]] — 3-part claim key. */
+    def applySlice(sinkId: String, batchId: Long, sliceId: Int,
+                   rows: Iterable[BalanceRow]): Boolean = synchronized {
+      if (sliceJournal.contains((sinkId, batchId, sliceId))) false
+      else {
+        inner.upsertAll(rows)
+        sliceJournal.add((sinkId, batchId, sliceId))
+        true
+      }
     }
     def appliedBatches: Set[(String, Long)] = synchronized(journal.toSet)
+    def appliedSlices: Set[(String, Long, Int)] = synchronized(sliceJournal.toSet)
   }
 
   /** In-memory reference implementation of the same merge — the unit-test

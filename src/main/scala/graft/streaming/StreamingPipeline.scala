@@ -127,16 +127,27 @@ object StreamingPipeline {
       }
       .start()
 
-  /** [[balancesToJdbc]] upgraded to EXACTLY-ONCE: each micro-batch's deltas
-    * are applied through [[BalanceUpsert.upsertBatchExactlyOnce]], which
-    * claims the batch in a journal table inside the same transaction as
-    * the upserts — a checkpoint-replayed batch fails the claim and is
-    * skipped whole, so the additive balance merge can never double-apply.
-    * The driver-side `collect` is the documented bounded one (per-batch
-    * deltas are O(#accounts touched), already aggregated —
-    * [[balancesToStore]]'s argument); `foreachBatch`'s `batchId` is stable
-    * across restarts for redelivered batches, which is what makes it a
-    * claim key.
+  /** [[balancesToJdbc]] upgraded to EXACTLY-ONCE, PARTITION-PARALLEL: each
+    * micro-batch's per-account deltas are hashed into `numSlices`
+    * DATA-derived slices (`pmod(hash(account), n)` — never a physical
+    * partition id, so the same account lands in the same slice on every
+    * redelivery and task retry), repartitioned so each slice lands in one
+    * task, and every task claims and applies its slice(s) through
+    * [[BalanceUpsert.upsertSliceExactlyOnce]] in its own transaction over
+    * its own connection — no driver-side collect anywhere on the path, and
+    * sink throughput scales with `numSlices` (the driver-side
+    * single-connection form was the one remaining production-path
+    * bottleneck at 100× key cardinality; the protocol itself is unchanged).
+    *
+    * Redelivery safety is PER SLICE: a checkpoint-replayed batch re-runs
+    * every slice, committed slices fail their claim and are skipped whole,
+    * and only the slices whose transaction never committed apply — so a
+    * crash AFTER some slices committed (the new partial-failure window
+    * per-batch claims never had) still converges to exactly-once.
+    * `foreachBatch`'s `batchId` is stable across restarts for redelivered
+    * batches, and the replayed batch recomputes the same delta multiset
+    * (same source offsets, deterministic aggregation), which together make
+    * the (sink, batch, slice) key sound.
     *
     * The claim key is `"$sinkId@$checkpointDir"` — batch ids are only
     * meaningful RELATIVE TO a checkpoint (they restart at 0 with a fresh
@@ -150,7 +161,48 @@ object StreamingPipeline {
   def balancesToJdbcExactlyOnce(transferStream: DataFrame, table: String,
                                 journal: String, sinkId: String,
                                 connect: () => java.sql.Connection,
-                                checkpointDir: String): StreamingQuery = {
+                                checkpointDir: String,
+                                numSlices: Int = 32): StreamingQuery = {
+    val claimKey = s"$sinkId@$checkpointDir"
+    transferStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        TokenPipeline.balances(batch)
+          .withColumn("slice",
+            pmod(hash(col("account")), lit(numSlices)).cast("int"))
+          .repartition(numSlices, col("slice"))
+          .foreachPartition { rows: Iterator[Row] =>
+            if (rows.hasNext) {
+              // hash partitioning sends equal slice values to one partition;
+              // a partition may still hold several slices (mod-vs-partition
+              // collisions) — each claims and commits independently
+              val bySlice = rows
+                .map(r => r.getAs[Int]("slice") -> BalanceUpsert.BalanceRow.fromRow(r))
+                .toSeq.groupBy(_._1)
+              val conn = connect()
+              try bySlice.toSeq.sortBy(_._1).foreach { case (slice, rs) =>
+                BalanceUpsert.upsertSliceExactlyOnce(
+                  rs.map(_._2), table, journal, claimKey, batchId, slice, conn)
+              } finally conn.close()
+            }
+          }
+        ()
+      }
+      .start()
+  }
+
+  /** The driver-side single-connection exactly-once form — per-BATCH claims
+    * through [[BalanceUpsert.upsertBatchExactlyOnce]], deltas collected to
+    * the driver (bounded: O(#accounts touched), already aggregated —
+    * [[balancesToStore]]'s argument). Kept for single-writer targets (e.g.
+    * an embedded store that admits one connection); the scale path is
+    * [[balancesToJdbcExactlyOnce]].
+    */
+  def balancesToJdbcExactlyOnceDriver(transferStream: DataFrame, table: String,
+                                      journal: String, sinkId: String,
+                                      connect: () => java.sql.Connection,
+                                      checkpointDir: String): StreamingQuery = {
     val claimKey = s"$sinkId@$checkpointDir"
     transferStream.writeStream
       .outputMode("append")

@@ -120,8 +120,9 @@ class BalanceUpsertDuckDbSpec extends AnyFunSuite {
       }
     } finally {
       import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
     }
   }
 
@@ -223,8 +224,119 @@ class BalanceUpsertDuckDbSpec extends AnyFunSuite {
           s"$acct balance: duckdb=${got(acct)} store=${want.balance}")
     } finally {
       import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** The PARTITION-PARALLEL protocol's SQL surface (slice journal DDL +
+    * 3-part-key claim + upserts per slice transaction) executed in DuckDB
+    * against the two redelivery schedules the partition path must survive:
+    * a redelivered WHOLE batch (both slices replayed — both claims fail)
+    * and a redelivered SINGLE slice (the crash-after-slice-0-committed
+    * window: slice 0's claim fails on replay while slice 1, whose
+    * transaction never committed, applies). Compared against the
+    * slice-journaled in-memory twin under the same schedule and a plain
+    * store applying each distinct (batch, slice) exactly once.
+    */
+  test("sliced journal protocol in DuckDB skips redelivered batches AND single slices") {
+    assume(haveDuckDb, "python3+duckdb not available — SQL execution test skipped")
+
+    // (batchId, sliceId, rows); deliveries in order, with batch 1 slice 0
+    // redelivered alone (partial-failure replay) and batch 2 redelivered
+    // whole (post-checkpoint-crash replay)
+    val deliveries: Seq[(Long, Int, Seq[BalanceRow])] = Seq(
+      (0L, 0, Seq(row("alice", "100", 1000, 0, "r-a1"))),
+      (0L, 1, Seq(row("bob", "7", 1000, 0, "r-b1"))),
+      (1L, 0, Seq(row("alice", "-30", 2000, 0, "r-a2"))),
+      (1L, 0, Seq(row("alice", "-30", 2000, 0, "r-a2"))), // single-slice replay
+      (1L, 1, Seq(row("dave", "11", 2500, 0, "r-d1"))),   // the crashed slice, late
+      (2L, 0, Seq(row("alice", "5", 3000, 0, "r-a3"))),
+      (2L, 1, Seq(row("carol", "1", 500, 0, "r-c1"))),
+      (2L, 0, Seq(row("alice", "5", 3000, 0, "r-a3"))),   // whole-batch replay
+      (2L, 1, Seq(row("carol", "1", 500, 0, "r-c1"))))
+
+    val js = new BalanceUpsert.JournaledStore
+    val applied = deliveries.map { case (b, sl, rs) => js.applySlice("bal", b, sl, rs) }
+    assert(applied === Seq(true, true, true, false, true, true, true, false, false))
+    val once = new BalanceUpsert.MemoryStore
+    deliveries.distinct.foreach { case (_, _, rs) => once.upsertAll(rs) }
+    assert(js.inner.snapshot === once.snapshot)
+    val expected = once.snapshot
+
+    val dir = Files.createTempDirectory("upsert-slice-duckdb")
+    try {
+      Files.write(dir.resolve("upsert.sql"),
+        BalanceUpsert.upsertSql("balances").getBytes("UTF-8"))
+      Files.write(dir.resolve("ddl.sql"),
+        BalanceUpsert.sliceJournalDdl("slice_journal").getBytes("UTF-8"))
+      Files.write(dir.resolve("claim.sql"),
+        BalanceUpsert.sliceClaimSql("slice_journal").getBytes("UTF-8"))
+      val tsv = deliveries.zipWithIndex.flatMap { case ((bid, slice, rows), delivery) =>
+        rows.map { d =>
+          Seq(delivery.toString, bid.toString, slice.toString, d.account,
+            d.balance.toPlainString, d.blockTimestamp.toPlainString, d.blockHash,
+            d.chunkHash, d.indexInChunk.toString, d.transactionHash, d.receiptId)
+            .mkString("\t")
+        }
+      }.mkString("\n")
+      Files.write(dir.resolve("deltas.tsv"), tsv.getBytes("UTF-8"))
+      // one transaction per DELIVERED SLICE: claim the 3-part key, apply the
+      // slice's rows, commit; a failed claim rolls the slice back whole
+      Files.write(dir.resolve("run_slice.py"),
+        """import sys, duckdb
+          |from decimal import Decimal
+          |from itertools import groupby
+          |upsert = open(sys.argv[1]).read()
+          |ddl = open(sys.argv[2]).read()
+          |claim = open(sys.argv[3]).read()
+          |con = duckdb.connect()
+          |con.execute('''CREATE TABLE balances (
+          |  account VARCHAR PRIMARY KEY, balance DECIMAL(38,0),
+          |  block_timestamp DECIMAL(38,0), block_hash VARCHAR, chunk_hash VARCHAR,
+          |  index_in_chunk INTEGER, transaction_hash VARCHAR, receipt_id VARCHAR)''')
+          |con.execute(ddl)
+          |lines = [l.rstrip("\n").split("\t") for l in open(sys.argv[4]) if l.strip()]
+          |for (_, bid, slc), grp in groupby(lines, key=lambda f: (f[0], f[1], f[2])):
+          |    rows = list(grp)
+          |    con.execute("BEGIN")
+          |    claimed = con.execute(claim, ["balances", int(bid), int(slc), len(rows)]).fetchone()[0]
+          |    if claimed != 1:
+          |        con.execute("ROLLBACK")
+          |        continue
+          |    for _, _, _, a, bal, ts, bh, ch, idx, tx, rid in rows:
+          |        con.execute(upsert, [a, Decimal(bal), Decimal(ts), bh, ch, int(idx), tx, rid])
+          |    con.execute("COMMIT")
+          |for r in con.execute("SELECT account, balance FROM balances ORDER BY account").fetchall():
+          |    print("\t".join(str(c) for c in r))
+          |print("JOURNAL\t" + str(con.execute("SELECT count(*) FROM slice_journal").fetchone()[0]))
+          |""".stripMargin.getBytes("UTF-8"))
+
+      val proc = new ProcessBuilder("python3", dir.resolve("run_slice.py").toString,
+        dir.resolve("upsert.sql").toString, dir.resolve("ddl.sql").toString,
+        dir.resolve("claim.sql").toString, dir.resolve("deltas.tsv").toString)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      val exit = proc.waitFor()
+      assert(exit == 0, s"DuckDB rejected the sliced protocol (exit $exit):\n$out")
+
+      val lines = out.linesIterator.filter(_.nonEmpty).toSeq
+      // 6 distinct (batch, slice) claims survive the 9 deliveries
+      assert(lines.filter(_.startsWith("JOURNAL\t")) === Seq("JOURNAL\t6"))
+      val got = lines.filterNot(_.startsWith("JOURNAL\t")).map { l =>
+        val f = l.split("\t", -1)
+        f(0) -> new JBigDecimal(f(1))
+      }.toMap
+      assert(got.keySet === expected.keySet)
+      for ((acct, want) <- expected)
+        assert(got(acct).compareTo(want.balance) == 0,
+          s"$acct balance: duckdb=${got(acct)} store=${want.balance}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
     }
   }
 }

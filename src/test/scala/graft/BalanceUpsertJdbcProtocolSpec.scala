@@ -36,6 +36,7 @@ class BalanceUpsertJdbcProtocolSpec extends AnyFunSuite {
   private final class FakeDb(failExecuteBatch: Boolean = false,
                              failRollbackToo: Boolean = false) {
     val journal = scala.collection.mutable.Set.empty[(String, Long)]
+    val sliceJournal = scala.collection.mutable.Set.empty[(String, Long, Int)]
     val applied = scala.collection.mutable.Buffer.empty[Vector[Any]]
     val calls = scala.collection.mutable.Buffer.empty[String]
     var autoCommit = true
@@ -54,12 +55,25 @@ class BalanceUpsertJdbcProtocolSpec extends AnyFunSuite {
             applied ++= batch
             calls += s"executeBatch(${batch.size})"
             batch.indices.map(_ => 1).toArray
-          case "executeUpdate" => // only the journal claim uses this path
-            val key = (params(1).asInstanceOf[String],
-              params(2).asInstanceOf[java.lang.Long].longValue)
-            val fresh = journal.add(key)
-            calls += s"claim($key, fresh=$fresh)"
+          case "executeUpdate" => // only the journal claims use this path:
+            // 3 bound slots = batch claim, 4 = slice claim (3-part key)
+            val fresh =
+              if (params.keys.max == 3) {
+                val key = (params(1).asInstanceOf[String],
+                  params(2).asInstanceOf[java.lang.Long].longValue)
+                val f = journal.add(key)
+                calls += s"claim($key, fresh=$f)"
+                f
+              } else {
+                val key = (params(1).asInstanceOf[String],
+                  params(2).asInstanceOf[java.lang.Long].longValue,
+                  params(3).asInstanceOf[java.lang.Integer].intValue)
+                val f = sliceJournal.add(key)
+                calls += s"claimSlice($key, fresh=$f)"
+                f
+              }
             Int.box(if (fresh) 1 else 0)
+          case "close" => calls += "st.close"; null
           case other =>
             throw new UnsupportedOperationException(s"statement.$other")
         }
@@ -140,5 +154,40 @@ class BalanceUpsertJdbcProtocolSpec extends AnyFunSuite {
     // which mirrors a real DB only until rollback — the assertion that
     // matters is that nothing was committed
     assert(!db.calls.contains("commit"))
+  }
+
+  test("statements are closed on both the claim and the upsert paths") {
+    val db = new FakeDb
+    BalanceUpsert.upsertBatchExactlyOnce(
+      rows, "balances", "upsert_journal", "sink@ck", 5L, db.connection)
+    assert(db.calls.count(_ == "st.close") == 2,
+      "claim + upsert statements must both be closed per micro-batch " +
+        "(pooled-connection callers leak handles otherwise)")
+  }
+
+  test("fresh slice: 4-slot claim (sink, batch, slice, n_rows), commit, applied") {
+    val db = new FakeDb
+    val applied = BalanceUpsert.upsertSliceExactlyOnce(
+      rows, "balances", "upsert_journal", "sink@ck", 5L, 7, db.connection)
+    assert(applied)
+    assert(db.sliceJournal === Set(("sink@ck", 5L, 7)))
+    assert(db.journal.isEmpty, "a slice claim must never touch the batch key")
+    assert(db.calls.exists(_.startsWith("claimSlice")) && db.calls.contains("commit"))
+    assert(db.applied.map(_(0)) === Seq("alice", "bob"))
+    assert(db.autoCommit)
+  }
+
+  test("redelivered slice: claim fails, rolled back, nothing applied — other slices unaffected") {
+    val db = new FakeDb
+    db.sliceJournal += (("sink@ck", 5L, 7)) // slice 7 committed before the crash
+    val replay7 = BalanceUpsert.upsertSliceExactlyOnce(
+      rows, "balances", "upsert_journal", "sink@ck", 5L, 7, db.connection)
+    assert(!replay7)
+    assert(db.applied.isEmpty && db.calls.contains("rollback"))
+    // the UNCLAIMED slice of the same redelivered batch still applies
+    val fresh8 = BalanceUpsert.upsertSliceExactlyOnce(
+      rows, "balances", "upsert_journal", "sink@ck", 5L, 8, db.connection)
+    assert(fresh8)
+    assert(db.applied.nonEmpty && db.calls.contains("commit"))
   }
 }

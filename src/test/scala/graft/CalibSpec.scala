@@ -29,9 +29,12 @@ class CalibSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     fixtureDirs.foreach { d =>
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(d)
+      // Files.walk is documented must-close — leak-free via Using
       if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
     }
     super.afterAll()
   }

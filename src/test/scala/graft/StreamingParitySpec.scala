@@ -188,6 +188,75 @@ class StreamingParitySpec extends SparkSpec {
     assert(doubled, "plain at-least-once store should have double-applied the redelivered batch")
   }
 
+  /** The PARTITION-PARALLEL exactly-once path end-to-end: the production
+    * `balancesToJdbcExactlyOnce` (hash-slice repartition → per-partition
+    * connections → per-slice claim transactions, NO driver collect) runs
+    * the full pipeline against a transactional fake DB whose commit of a
+    * SECOND slice within the batch crashes — the partial-failure window
+    * unique to the partition path (some slices committed, one torn down
+    * mid-transaction). The restart redelivers the batch: committed slices
+    * must fail their claims and skip, the torn slice must apply, and the
+    * committed state must equal the batch fold exactly — proving per-slice
+    * claims give exactly-once under partial batch failure, not just under
+    * whole-batch replay.
+    */
+  test("partition-parallel exactly-once: torn slice recovers, committed slices skip") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rIn = MemoryStream[String]
+    val oIn = MemoryStream[String]
+    val aIn = MemoryStream[String]
+    def tx = StreamingPipeline.transfers(
+      StreamingPipeline.parseJson(rIn.toDF(), NearSchemas.receipts),
+      StreamingPipeline.parseJson(oIn.toDF(), NearSchemas.executionOutcomes),
+      StreamingPipeline.parseJson(aIn.toDF(), NearSchemas.actionReceiptActions),
+      cfg)
+    val ck = Files.createTempDirectory("eo-slice-ck").toString
+    val db = new TxSliceDb(crashOnSecondCommit = true)
+    val dbId = s"slice-db-${System.nanoTime()}"
+    SliceDbRegistry.register(dbId, db)
+    try {
+      // the closure captures only the registry key (serializable); each
+      // partition draws its own transactional connection from the fake
+      def start() = StreamingPipeline.balancesToJdbcExactlyOnce(
+        tx, "balances", "slice_journal", "bal",
+        () => SliceDbRegistry.get(dbId).connection(), ck, numSlices = 8)
+
+      rIn.addData(TokenFixture.receipts(spark).toJSON.collect().toSeq)
+      oIn.addData(TokenFixture.outcomes(spark).toJSON.collect().toSeq)
+      aIn.addData(TokenFixture.actions(spark).toJSON.collect().toSeq)
+
+      val q1 = start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      q1.stop()
+      assert(db.crashFired,
+        "the injected second-slice commit crash must have fired " +
+          "(fixture deltas span >= 2 of the 8 slices)")
+
+      val q2 = start() // same checkpoint: the engine redelivers the batch
+      q2.processAllAvailable()
+      q2.stop()
+
+      val expected = TokenPipeline.balances(batchTransfers).collect()
+        .map(BalanceUpsert.BalanceRow.fromRow).map(b => b.account -> b).toMap
+      val got = db.store.snapshot
+      assert(got.keySet === expected.keySet)
+      expected.foreach { case (acct, want) =>
+        assert(got(acct).balance.compareTo(want.balance) == 0,
+          s"partition-parallel exactly-once drifted on $acct")
+        assert(got(acct).receiptId === want.receiptId, s"provenance of $acct")
+      }
+      // redelivery actually exercised the claim guard: at least the slice(s)
+      // committed before the crash were skipped on replay
+      assert(db.skippedClaims >= 1, "replayed committed slices must skip")
+      // every committed claim is distinct per (sink@ck, batch, slice)
+      val slices = db.committedSlices
+      assert(slices.size === slices.map(s => (s._2, s._3)).size)
+      assert(slices.forall(_._1 == s"bal@$ck"), "claim key must bind the checkpoint")
+    } finally SliceDbRegistry.remove(dbId)
+  }
+
   /** Parity at harness data scale, not just the 10-receipt fixture: the full
     * sf0.001 synthetic CDC feed (1000 events → ~1100 rows per topic with
     * verbatim redelivery, 30-day event-time span) streamed in 4 micro-batches

@@ -809,10 +809,20 @@ object Bpe {
     * the denominator must be constructed in exactly one place).
     * Broadcast-sized: one row per distinct corpus word.
     */
-  def wordTokenTable(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def wordTokenTable(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    encodedVocabTable(docs, textCol, k)
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+
+  /** The deterministic top-`k` encoded vocabulary as (word, toks) — the
+    * segment-level sibling of [[wordTokenTable]] from the SAME single
+    * [[Lineage.cut]] rollup, for consumers that need the token STRINGS
+    * (BPE-token vocabulary stats, OOV against a subword vocabulary), not
+    * just their count. Broadcast-sized: one row per distinct corpus word.
+    */
+  def encodedVocabTable(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val vocab = Lineage.cut(wordVocab(docs, textCol))
     encodeVocab(vocab, rankedPairMergesOfVocab(vocab, k)).toDF()
-      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+      .select(col("word"), col("toks"))
   }
 
   /** [[bpeTokenCounts]] against a prebuilt broadcastable (word, n_toks)

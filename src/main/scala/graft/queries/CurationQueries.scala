@@ -822,6 +822,64 @@ object CurationQueries {
         expr("(n_terms * 1000000) div n_tokens").as("ttr_e6"))
   }
 
+  /** [[mixtureReport]] with the share denominator in BPE TOKENS — the
+    * denominator a mixture re-weighting decision is actually stated in (a
+    * training mixture is a split of the TOKEN budget; the whitespace proxy
+    * mis-weights sources whose tokenizer fertility differs, measured 3.57×
+    * on this corpus at the gate's 20-merge depth). Same report shape; the
+    * per-doc count rides the single-sourced
+    * [[graft.operators.Bpe.wordTokenTable]] broadcast join (one corpus word
+    * stream + a per-doc sum), so the corpus is scanned twice and shuffled
+    * only on `doc_id` — the `q_token_budget_bpe` scale anatomy.
+    */
+  def mixtureReportBpe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wordToks = graft.operators.Bpe.wordTokenTable(d, "text",
+      TextQueries.BpeTopK)
+    val cnt = graft.operators.Bpe.bpeTokenCountsWith(d, "doc_id", "text", wordToks)
+    val s = d.select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_id"),
+        col("source"))
+      .join(cnt, Seq("doc_id"), "left")
+      .select(col("lang_id"), col("source"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    val tot = s.agg(sum(col("n_bpe_tokens")).as("total"))
+    s.groupBy("lang_id", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach (audit-exempt aggregate)
+      .withColumn("share_e6", expr("(n_bpe_tokens * 1000000) div total"))
+      .select(col("lang_id"), col("source"), col("n_docs"),
+        col("n_bpe_tokens"), col("share_e6"))
+  }
+
+  /** [[vocabStats]] over the BPE TOKEN stream — type/token statistics of
+    * what the model actually consumes: each corpus word expands to its
+    * learned subword segments (the broadcast
+    * [[graft.operators.Bpe.encodedVocabTable]] (word → toks) join + one
+    * explode), and the per-source token count, distinct-term count, and TTR
+    * are computed over those. A subword vocabulary COMPRESSES the type
+    * space (distinct terms ≤ distinct words by construction at this merge
+    * depth), so TTR here reads as segmentation-diversity — collapsed values
+    * still flag templated sources, in the unit the tokenizer sees. Corpus
+    * scanned once; the explode fans out by measured ~3.6× (bounded by max
+    * word length); two aggregations on the tiny source domain.
+    */
+  def vocabStatsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val seg = graft.operators.Bpe.encodedVocabTable(d, "text",
+      TextQueries.BpeTopK)
+    val toks = d
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(seg), Seq("word"))
+      .select(col("source"), explode(col("toks")).as("term"))
+    val nTok = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val nTerm = toks.distinct().groupBy("source").agg(count(lit(1)).as("n_terms"))
+    nTok.join(nTerm, "source")
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        expr("(n_terms * 1000000) div n_tokens").as("ttr_e6"))
+  }
+
   /** Per-source document-length histogram in log₂ character buckets — the
     * size-distribution QA read (truncation, boilerplate stubs, and runaway
     * concatenations each bend a different end of the curve). Bucketing is
@@ -1395,6 +1453,8 @@ object CurationQueries {
     "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
     "q_token_budget_bpe" -> (tokenBudgetBpe _),
     "q_mixture_report" -> (mixtureReport _),
+    "q_mixture_report_bpe" -> (mixtureReportBpe _),
+    "q_vocab_stats_bpe" -> (vocabStatsBpe _),
     "q_quality_gate" -> (qualityQuantileGate _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_quantile_merge" -> (quantileMerge _),
@@ -2116,6 +2176,35 @@ object CurationQueries {
                  sum(n_tokens)::BIGINT AS n_tokens,
                  ((sum(n_tokens) * 1000000) // total)::BIGINT AS share_e6
           FROM d2 CROSS JOIN tot GROUP BY lang_id, source, total""",
+    // the BPE denominator chain (same encode recursion as every BPE gate)
+    // reduced to per-doc counts, source-labeled, shared-total shares
+    "q_mixture_report_bpe" ->
+      s"""WITH RECURSIVE
+          $bpeDenomCtes,
+          mx AS (SELECT bh.lang_id, d.source, bh.n_bpe_tokens
+                FROM bh JOIN documents d USING (doc_id)),
+          tot AS (SELECT sum(n_bpe_tokens)::BIGINT AS total FROM mx)
+          SELECT lang_id, source, count(*)::BIGINT AS n_docs,
+                 sum(n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+                 ((sum(n_bpe_tokens) * 1000000) // total)::BIGINT AS share_e6
+          FROM mx CROSS JOIN tot GROUP BY lang_id, source, total""",
+    // the corpus word stream expanded to BPE segments through the SAME
+    // terminal encode rows, then the q_vocab_stats rollup over segments
+    "q_vocab_stats_bpe" ->
+      s"""WITH RECURSIVE
+          ${TextQueries.bpeEncRecursion},
+          wt AS (SELECT word, string_split(trim(s), ' ') AS toks
+                 FROM enc WHERE done),
+          bt AS (SELECT dw.source, unnest(wt.toks) AS term
+                 FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                       FROM documents) dw
+                 JOIN wt USING (word)),
+          nt AS (SELECT source, count(*)::BIGINT AS n_tokens FROM bt GROUP BY 1),
+          nd AS (SELECT source, count(*)::BIGINT AS n_terms
+                 FROM (SELECT DISTINCT source, term FROM bt) GROUP BY 1)
+          SELECT source, n_tokens, n_terms,
+                 (n_terms * 1000000) // n_tokens AS ttr_e6
+          FROM nt JOIN nd USING (source)""",
     // the stats sub-CTE mirrors q_text_stats' lang/quality definitions
     "q_quality_gate" ->
       s"""WITH s AS ($docStatsSql

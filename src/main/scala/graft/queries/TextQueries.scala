@@ -570,6 +570,41 @@ object TextQueries {
         expr("(coalesce(n_oov, 0) * 10000) div greatest(n_tokens, 1)").as("oov_e4"))
   }
 
+  /** [[oovRate]] in the TOKENIZER's unit: per-document rate of BPE tokens
+    * falling outside the corpus top-[[OovVocab]] BPE-TOKEN vocabulary —
+    * the coverage statistic that actually prices a subword vocabulary
+    * against a corpus (word-level OOV over-counts: a word can be out of
+    * the word vocabulary while all its subword segments are covered).
+    * The token stream is the corpus word stream joined through the
+    * broadcast [[graft.operators.Bpe.encodedVocabTable]] segments + one
+    * explode; the vocabulary is the same deterministic (tf DESC, term ASC)
+    * top-K cut as the word twin, now over segments; the per-doc tally is
+    * one broadcast anti-join + rollup — corpus scanned twice, shuffled
+    * only on `doc_id`.
+    */
+  def oovRateBpe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val seg = graft.operators.Bpe.encodedVocabTable(d, "text", BpeTopK)
+    val toks = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(seg), Seq("word"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(OovVocab).select("term")
+    val cnt = toks.groupBy("doc_id").agg(count(lit(1)).as("n_bpe_tokens"))
+    val oov = toks.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    d.select(col("doc_id"))
+      .join(cnt, Seq("doc_id"), "left")
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        expr("(coalesce(n_oov, 0) * 10000) div greatest(coalesce(n_bpe_tokens, 0), 1)")
+          .as("oov_e4"))
+  }
+
   /** Feature-hash width for the DSIR importance model — 1024 buckets bound
     * the "model" at a broadcastable few KiB regardless of corpus size.
     */
@@ -1110,6 +1145,7 @@ object TextQueries {
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_train_dist" -> (bpeTrainDist _),
     "q_oov_rate" -> (oovRate _),
+    "q_oov_rate_bpe" -> (oovRateBpe _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
     "q_cms_freq" -> (cmsFreq _),
@@ -1706,6 +1742,31 @@ object TextQueries {
                  coalesce(c.n_oov, 0)::BIGINT AS n_oov,
                  (coalesce(c.n_oov, 0) * 10000 // greatest(n.n_tokens, 1))::BIGINT AS oov_e4
           FROM n LEFT JOIN cnt c USING (doc_id)""",
+    // the word stream expanded to BPE segments through the shared encode
+    // recursion's terminal rows, then the q_oov_rate rollup over segments
+    "q_oov_rate_bpe" ->
+      s"""WITH RECURSIVE
+          $bpeEncRecursion,
+          wt AS (SELECT word, string_split(trim(s), ' ') AS toks
+                 FROM enc WHERE done),
+          tk AS (SELECT dw.doc_id, unnest(wt.toks) AS term
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents) dw
+                 JOIN wt USING (word)),
+          voc AS (SELECT term FROM (
+                    SELECT term, count(*) AS tf FROM tk GROUP BY 1
+                    ORDER BY tf DESC, term ASC LIMIT $OovVocab)),
+          cnt AS (SELECT doc_id, count(*)::BIGINT AS n_bpe_tokens FROM tk GROUP BY 1),
+          o AS (SELECT doc_id, count(*)::BIGINT AS n_oov
+                FROM tk WHERE term NOT IN (SELECT term FROM voc) GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(cnt.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+                 coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+                 ((coalesce(o.n_oov, 0) * 10000)
+                   // greatest(coalesce(cnt.n_bpe_tokens, 0), 1))::BIGINT AS oov_e4
+          FROM documents d
+          LEFT JOIN cnt USING (doc_id)
+          LEFT JOIN o USING (doc_id)""",
     // the DSIR model replayed: hashed-bigram buckets from the same md5 slice,
     // exact integer ratio table, per-doc mean over bigram occurrences
     "q_dsir_weights" ->

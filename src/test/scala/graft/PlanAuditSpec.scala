@@ -190,6 +190,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_token_budget_bpe" -> Set("doc_id", "text"),
       "q_seq_pack_bpe" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
+      "q_mixture_report_bpe" -> Set("doc_id", "text", "source"),
+      "q_vocab_stats_bpe" -> Set("source", "text"),
+      "q_oov_rate_bpe" -> Set("doc_id", "text"),
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),
       "q_passage_overlap" -> Set("doc_id", "text"),

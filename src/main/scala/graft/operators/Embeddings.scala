@@ -244,6 +244,77 @@ object Embeddings {
     (c, trace.toSeq)
   }
 
+  /** The e6-floored UNIT DIRECTION of every vector as `array<float>` — the
+    * exact-arithmetic member representation of [[kmeansExactRounds]]. Every
+    * component is an integer bounded by 1e6 in magnitude, hence EXACTLY
+    * representable as a float (< 2²⁴) and exactly re-derivable by the DuckDB
+    * oracle (`floor(e[i]/nm * 1e6)` over the same doubles). Zero-norm rows
+    * are dropped (their direction is undefined; `q_embed_stats` audits them
+    * upstream). One posexplode shuffle of n·dim rows, re-assembled in
+    * position order.
+    */
+  private def quantizedUnitDirections(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), l2Norm(col("embedding")).as("nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") / col("nrm") * lit(1e6)).as("q"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("q")))).as("pq"))
+      .select(col("vec_id"),
+        expr("transform(pq, p -> CAST(p.q AS FLOAT))").as("embedding"))
+
+  /** EXACT-ARITHMETIC spherical-Lloyd training rounds — the HASH-GATEABLE
+    * twin of [[kmeansConverged]] (which this round count was ladder-measured
+    * by). The float-mean hazard that bans trained centroids from oracle
+    * queries is the partition-order-dependent `avg` of [[kmeansRefine]];
+    * here every member contributes its e6-floored unit direction
+    * ([[quantizedUnitDirections]] — 64 integers), and a centroid update is
+    * the per-component integer MEAN `sum div n`: the integer sum is exact
+    * and order-independent at any parallelism (components ≤ 1e6, corpus
+    * sums ≪ 2⁵³), the truncating division matches DuckDB's `//` on both
+    * signs, and the resulting components stay ≤ 1e6 — float-exact — so the
+    * whole trained centroid table is bit-equal across engines and rounds
+    * can be REPLAYED by unrolled SQL CTEs (`q_ivf_conv_quality` /
+    * `q_ivf_conv_recall` gate exactly that). Cosine is scale-invariant, so
+    * quantizing directions (not raw vectors) loses only ~1e-6 of angular
+    * resolution per component — the gated cohesion report confirms the
+    * trained centroids keep the float path's quality edge over first-C
+    * (mean own-centroid cosine 0.246 → 0.329 at sf0.01 vs the float
+    * ladder's 0.245 → 0.343).
+    *
+    * Scale shape per round (same as [[kmeansRefine]]): one broadcast-assign
+    * scan + one n·dim (cent_id, pos) posexplode shuffle; the member
+    * direction table is built once and checkpointed ([[Lineage.cut]], as is
+    * each round's C-row centroid table, keeping iteration lineage constant).
+    * Empty buckets keep their previous centroid.
+    */
+  def kmeansExactRounds(vectors: DataFrame, numCentroids: Int,
+                        rounds: Int): DataFrame = {
+    val qv = Lineage.cut(quantizedUnitDirections(vectors))
+    var cents = Lineage.cut(
+      quantizedUnitDirections(vectors.filter(col("vec_id") < numCentroids)))
+    var r = 0
+    while (r < rounds) {
+      val asg = ivfAssign(vectors, cents)
+      val means = qv
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "q")))
+        .join(asg, "vec_id")
+        .groupBy("cent_id", "pos")
+        .agg(sum(col("q").cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("cent_id"), col("pos"), expr("s div n").as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id").as("vec_id"),
+          expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("emb_new"))
+      cents = Lineage.cut(cents.join(means, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("emb_new"), col("embedding")).as("embedding")))
+      r += 1
+    }
+    cents
+  }
+
   /** IVF top-k: probe the `nProbe` nearest centroids per query, exact cosine
     * within the probed buckets only. First-C centroids (oracle form); the
     * centroid-parameterized form is [[ivfTopKWith]].
@@ -377,8 +448,15 @@ object Embeddings {
     * (O(n·C) scored rows, C tiny), two-phase aggregation onto the C-row
     * bucket domain.
     */
-  def ivfBucketQuality(vectors: DataFrame, numCentroids: Int): DataFrame = {
-    ivfAssignScored(vectors, firstCentroids(vectors, numCentroids))
+  def ivfBucketQuality(vectors: DataFrame, numCentroids: Int): DataFrame =
+    ivfBucketQualityWith(vectors, firstCentroids(vectors, numCentroids))
+
+  /** [[ivfBucketQuality]] over an explicit centroid set — the report the
+    * trained-centroid gates reuse, so first-C and trained quality land in
+    * the same driver-checked shape.
+    */
+  def ivfBucketQualityWith(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    ivfAssignScored(vectors, centroids)
       .select(col("cent_id"),
         floor(col("score") * lit(1e6)).cast("long").as("cos_e6"))
       .groupBy("cent_id")

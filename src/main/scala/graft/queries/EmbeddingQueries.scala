@@ -288,6 +288,46 @@ object EmbeddingQueries {
   def ivfQuality(spark: SparkSession, dir: String): DataFrame =
     Embeddings.ivfBucketQuality(vectors(spark, dir), NumCentroids)
 
+  /** Lloyd rounds for the gated exact-arithmetic centroid training — 3 is
+    * where the float ladder's marginal recall gain fell under its stop rule
+    * band ([[Embeddings.kmeansConverged]]'s measured trace); single-sourced
+    * into the unrolled oracle CTEs.
+    */
+  val IvfExactRounds = 3
+
+  /** TRAINED-centroid bucket quality, driver-gated: the per-bucket cohesion
+    * report of [[ivfQuality]] over centroids trained by [[IvfExactRounds]]
+    * exact-arithmetic spherical-Lloyd rounds
+    * ([[Embeddings.kmeansExactRounds]]) — the query that finally puts
+    * TRAINED centroids (not just deterministic first-C) under the hash
+    * oracle, closing the "converged centroids are trained but not consumed"
+    * gap: the oracle replays all three rounds as unrolled SQL CTEs over the
+    * same integer means.
+    */
+  def ivfConvQuality(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.ivfBucketQualityWith(v,
+      Embeddings.kmeansExactRounds(v, NumCentroids, IvfExactRounds))
+  }
+
+  /** IVF recall at the deployed probe depth under the SAME trained
+    * centroids — `q_ann_recall`'s shape, so the first-C vs trained recall
+    * comparison is driver-checked data. Measured: cohesion rises sharply
+    * (mean own-centroid cosine 0.246 → 0.329 at sf0.01, mirroring the float
+    * ladder's 0.245 → 0.343) while recall@4/16 on THIS query set is flat
+    * (0.805 → 0.795 at sf0.01, 0.83 → 0.815 at sf0.001): the harness
+    * queries are the first 20 vectors, most of which seed first-C centroids
+    * and so probe their own buckets dead-center — training helps the
+    * non-centroid queries and costs the seeded ones their privileged
+    * position. Both halves of that story are now gated data rather than a
+    * scaladoc claim.
+    */
+  def ivfConvRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.ivfRecallWith(v, queryVectors(spark, dir),
+      Embeddings.kmeansExactRounds(v, NumCentroids, IvfExactRounds), NProbe, K)
+  }
+
   /** Embedding-table health audit — the data-quality gate a pipeline runs
     * before spending compute on an ANN index build: per label, vector count,
     * the dimension range (a ragged `dim_min ≠ dim_max` means a broken
@@ -367,6 +407,8 @@ object EmbeddingQueries {
     "q_retrieval_mrr" -> (retrievalMrr _),
     "q_ivf_stats" -> (ivfStats _),
     "q_ivf_quality" -> (ivfQuality _),
+    "q_ivf_conv_quality" -> (ivfConvQuality _),
+    "q_ivf_conv_recall" -> (ivfConvRecall _),
     "q_embed_stats" -> (embedStats _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_embed_groups" -> (embedDedupGroups _),
@@ -511,6 +553,68 @@ object EmbeddingQueries {
             JOIN nrm nv ON nv.vec_id = a.vec_id)
           WHERE rank <= $K)
      """
+
+  /** The exact-arithmetic Lloyd rounds of
+    * [[Embeddings.kmeansExactRounds]] replayed as UNROLLED CTEs (generated
+    * from the same [[IvfExactRounds]] constant, one assign + integer-mean +
+    * carry-forward block per round — k-means needs a GROUP BY per round,
+    * which a recursive CTE cannot express): `qv` = e6-floored unit
+    * directions (zero-norm rows dropped, matching the Spark builder),
+    * `c0` = the quantized first-C init, round r = argmax-cosine assignment
+    * under `k(r-1)` (score DESC, cent_id ASC — the one shared tie-break) →
+    * per-component `sum // n` integer mean → empty buckets carried forward;
+    * `af` = the final scored assignment both gates read. Integer sums are
+    * order-independent, `//` truncates toward zero like Spark's `div` on
+    * both signs, and every double comparison is the same sequential
+    * list_sum both engines compute.
+    */
+  private lazy val ivfConvCtes: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS (SELECT vec_id,
+                  sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
+                FROM v),
+        qv AS (SELECT v.vec_id,
+                 list_transform(range(1, 65), i -> floor(v.e[i]/n.nm * 1e6)) AS qd
+               FROM v JOIN nrm n ON n.vec_id = v.vec_id WHERE n.nm > 0),
+        c0 AS (SELECT vec_id AS cent_id, qd AS ce FROM qv
+               WHERE vec_id < $NumCentroids),
+        k0 AS (SELECT cent_id, ce,
+                 sqrt(list_sum(list_transform(range(1, 65), i -> ce[i]*ce[i]))) AS cn
+               FROM c0)""")
+    for (r <- 1 to IvfExactRounds) {
+      sb.append(s""",
+        a$r AS (SELECT vec_id, cent_id FROM (
+             SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                   / (nv.nm * c.cn)) DESC, c.cent_id ASC) AS rn
+             FROM v CROSS JOIN k${r - 1} c
+             JOIN nrm nv ON nv.vec_id = v.vec_id) WHERE rn = 1),
+        s$r AS (SELECT a.cent_id, u.i AS pos,
+                  ((sum(q.qd[u.i])::BIGINT) // count(*))::DOUBLE AS m
+                FROM a$r a JOIN qv q USING (vec_id), range(1, 65) AS u(i)
+                GROUP BY 1, 2),
+        c$r AS (SELECT c.cent_id, coalesce(ns.ce, c.ce) AS ce
+                FROM c${r - 1} c LEFT JOIN (
+                  SELECT cent_id, list(m ORDER BY pos) AS ce
+                  FROM s$r GROUP BY 1) ns USING (cent_id)),
+        k$r AS (SELECT cent_id, ce,
+                  sqrt(list_sum(list_transform(range(1, 65), i -> ce[i]*ce[i]))) AS cn
+                FROM c$r)""")
+    }
+    sb.append(s""",
+        af AS (SELECT v.vec_id, c.cent_id,
+                 (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                   / (nv.nm * c.cn)) AS score,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                     / (nv.nm * c.cn)) DESC, c.cent_id ASC) AS rn
+               FROM v CROSS JOIN k$IvfExactRounds c
+               JOIN nrm nv ON nv.vec_id = v.vec_id)
+     """)
+    sb.toString
+  }
 
   /** SQ8 CTEs appended to [[base]] (distinct names): quantize, integer
     * norms, quantized-query set, and the sq8 ranking.
@@ -872,6 +976,51 @@ object EmbeddingQueries {
           SELECT cent_id, count(*)::BIGINT AS n_vecs,
                  sum(cos_e6)::BIGINT AS sum_cos_e6, min(cos_e6) AS min_cos_e6
           FROM best GROUP BY 1""",
+    // q_ivf_quality's report over TRAINED centroids: the unrolled Lloyd
+    // rounds, then the same e6-floored cohesion rollup on the final
+    // assignment
+    "q_ivf_conv_quality" -> (ivfConvCtes +
+      """SELECT cent_id, count(*)::BIGINT AS n_vecs,
+                sum(cos_e6)::BIGINT AS sum_cos_e6, min(cos_e6) AS min_cos_e6
+         FROM (SELECT cent_id, floor(score * 1e6)::BIGINT AS cos_e6
+               FROM af WHERE rn = 1)
+         GROUP BY 1"""),
+    // q_ann_recall's report under the trained centroids: exact top-K vs the
+    // nProbe-probed buckets of the FINAL assignment
+    "q_ivf_conv_recall" -> (ivfConvCtes +
+      s""", q2 AS (SELECT vec_id AS query_id, e AS qe FROM v
+                   WHERE vec_id < $NumQueries),
+          ex2 AS (SELECT query_id, neighbor_id FROM (
+              SELECT q2.query_id, v.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q2.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> q2.qe[i]*v.e[i]))
+                    / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+              FROM q2 JOIN v ON v.vec_id <> q2.query_id
+              JOIN nrm nq ON nq.vec_id = q2.query_id
+              JOIN nrm nv ON nv.vec_id = v.vec_id) WHERE rank <= $K),
+          pr2 AS (SELECT query_id, qe, cent_id FROM (
+              SELECT q2.query_id, q2.qe, c.cent_id,
+                row_number() OVER (PARTITION BY q2.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> q2.qe[i]*c.ce[i]))
+                    / (nq.nm * c.cn)) DESC, c.cent_id ASC) AS rn
+              FROM q2 CROSS JOIN k$IvfExactRounds c
+              JOIN nrm nq ON nq.vec_id = q2.query_id) WHERE rn <= $NProbe),
+          ap2 AS (SELECT query_id, neighbor_id FROM (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY p.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> p.qe[i]*v.e[i]))
+                    / (nq.nm * nv.nm)) DESC, a.vec_id ASC) AS rank
+              FROM pr2 p
+              JOIN (SELECT vec_id, cent_id FROM af WHERE rn = 1) a
+                ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+              JOIN v ON v.vec_id = a.vec_id
+              JOIN nrm nq ON nq.vec_id = p.query_id
+              JOIN nrm nv ON nv.vec_id = a.vec_id) WHERE rank <= $K)
+          SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k
+          FROM ex2 e
+          LEFT JOIN ap2 a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY e.query_id"""),
     // len()-driven index range (not the fixed 64) so the dim audit and the
     // norm agree even on a ragged table; list_sum(list_transform(...))
     // evaluates sequentially left-to-right, matching the Spark expression

@@ -69,7 +69,12 @@ class PlanAuditSpec extends SparkSpec {
     // blind spot this audit mode exists to close.
     // q_semdedup: same shape — the O(n·C) broadcast-centroid assignment
     // probe feeding ConnectedComponents, partially behind its lineage cuts.
-    "q_dedup_decision", "q_embed_groups", "q_unified_groups", "q_semdedup")
+    "q_dedup_decision", "q_embed_groups", "q_unified_groups", "q_semdedup",
+    // exact-arithmetic Lloyd training: each round is the SAME O(n·C)
+    // broadcast-centroid assignment probe (C = 16), behind per-round
+    // Lineage cuts the withoutCuts walk sees through; the recall twin adds
+    // the knnExact broadcast-query probe every recall gate carries
+    "q_ivf_conv_quality", "q_ivf_conv_recall")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

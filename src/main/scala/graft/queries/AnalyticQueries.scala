@@ -858,7 +858,12 @@ object AnalyticQueries {
     * audit: one scan, a broadcast 1-row min/max attach, one 64-group
     * aggregation with map-side combine.
     */
-  def qZorder3Layout(s: SparkSession, dir: String): DataFrame = {
+  /** The (x = customer, y = order-day, p = totalprice-cents) frame + 3-D
+    * z-value — the arity-3 sibling of [[curveOrders]], shared by the layout
+    * audit and the physical pruning readback so the two can never scale the
+    * grid differently.
+    */
+  private def curveOrders3(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_custkey").cast("long").as("x"),
       datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("y"),
@@ -875,6 +880,10 @@ object AnalyticQueries {
           col("x"), col("mnx"), col("mxx"),
           col("y"), col("mny"), col("mxy"),
           col("p"), col("mnp"), col("mxp")).as("z"))
+  }
+
+  def qZorder3Layout(s: SparkSession, dir: String): DataFrame = {
+    curveOrders3(s, dir)
       .select(col("x"), col("y"), col("p"),
         shiftright(col("z"), 3 * graft.operators.ZOrder.GridBits - 6).as("bucket"))
       .groupBy("bucket")
@@ -883,6 +892,23 @@ object AnalyticQueries {
         min(col("y")).as("min_day"), max(col("y")).as("max_day"),
         min(col("p")).as("min_cents"), max(col("p")).as("max_cents"))
   }
+
+  /** The 3-D pruning loop CLOSED like the 2-D gates: physically write the
+    * 3-D z-clustered layout, read the files back, report per-file min/max
+    * of ALL THREE dimensions plus the y-band touch flag — so the file-skip
+    * claim at arity 3 (every file bounds every dimension; the middle
+    * dimension's band probe skips most files) is driver-checked data, not
+    * just the bucket audit [[qZorder3Layout]] gates. Identical
+    * write/readback machinery ([[curvePruneReadback]], dims parameterized).
+    * Measured at sf0.001: the y-band touches 10 of 16 files — worse than
+    * the 2-D curves' 5/16 (interleaving a third dimension halves each
+    * dimension's effective bits per z-prefix, the classic arity dilution a
+    * clustering-key choice must price), still far from an x-sorted
+    * layout's 16/16; now gated data instead of folklore.
+    */
+  def qZorder3Prune(s: SparkSession, dir: String): DataFrame =
+    curvePruneReadback(s, curveOrders3(s, dir),
+      s"z3prune_${dirTag(s, dir)}", Seq("x", "y", "p"))
 
   /** File count for the physical z-order pruning readback — small enough
     * that every file is non-trivially sized at sf0.001, large enough that a
@@ -948,32 +974,36 @@ object AnalyticQueries {
   /** The shared write→readback→band-probe tail of the curve-pruning gates:
     * exact curve-rank ntiles into [[ZPruneFiles]] physical files (one file
     * per tile via repartition+partitionBy, pinned by `n_files`), per-file
-    * min/max from `_metadata.file_path`, and the [40%, 45%] y-band touch
-    * flag. `curved` must carry (x, y, z) with z the curve value.
+    * min/max of every dimension from `_metadata.file_path`, and the
+    * [40%, 45%] y-band touch flag (y = the probe dimension in 2-D, the
+    * MIDDLE dimension in 3-D). `curved` must carry `dims` plus `z`, the
+    * curve value; ties inside equal z are broken by the dims in order, so
+    * the layout is deterministic and exchange-invariant.
     */
   private def curvePruneReadback(s: SparkSession, curved: DataFrame,
-                                 tag: String): DataFrame = {
-    val w = Window.orderBy(col("z"), col("x"), col("y"))
+                                 tag: String,
+                                 dims: Seq[String] = Seq("x", "y")): DataFrame = {
+    val w = Window.orderBy(col("z") +: dims.map(col): _*)
     val laid = curved
-      .select(col("x"), col("y"), (ntile(ZPruneFiles).over(w) - 1).as("fid"))
+      .select(dims.map(col) :+ (ntile(ZPruneFiles).over(w) - 1).as("fid"): _*)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
     laid.repartition(ZPruneFiles, col("fid"))
       .write.mode("overwrite").partitionBy("fid").parquet(path)
     val back = s.read.parquet(path)
-      .select(col("fid").cast("long").as("fid"), col("x"), col("y"),
-        col("_metadata.file_path").as("fp"))
+      .select(col("fid").cast("long").as("fid") +: dims.map(col)
+        :+ col("_metadata.file_path").as("fp"): _*)
     val bounds = back.agg(min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    val stats = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
     back.groupBy("fid")
       .agg(count(lit(1)).as("n_rows"),
-        count_distinct(col("fp")).as("n_files"),
-        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
-        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        (count_distinct(col("fp")).as("n_files") +: stats): _*)
       .crossJoin(broadcast(bounds))
-      .select(col("fid"), col("n_rows"), col("n_files"),
-        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
-        (col("max_y") >= expr("mny + ((mxy - mny) * 2) div 5") &&
+      .select(Seq(col("fid"), col("n_rows"), col("n_files"))
+        ++ dims.flatMap(d => Seq(col(s"min_$d"), col(s"max_$d")))
+        :+ (col("max_y") >= expr("mny + ((mxy - mny) * 2) div 5") &&
           col("min_y") <= expr("mny + ((mxy - mny) * 9) div 20"))
-          .cast("long").as("touched"))
+          .cast("long").as("touched"): _*)
   }
 
   // -------------------------------------------------------------------- maps
@@ -982,6 +1012,7 @@ object AnalyticQueries {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zorder3_layout" -> (qZorder3Layout _),
     "q_zorder_prune" -> (qZorderPrune _),
+    "q_zorder3_prune" -> (qZorder3Prune _),
     "q_hilbert_prune" -> (qHilbertPrune _),
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
@@ -1425,37 +1456,7 @@ object AnalyticQueries {
     // coordinate (decimal constants shared with ZOrder.spreadBits3), same
     // exact grid scaling, bucket = top 6 of the 48-bit code
     "q_zorder3_layout" ->
-      """WITH d3 AS (SELECT o_custkey::BIGINT AS x,
-                  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS y,
-                  (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS p FROM orders),
-         b3 AS (SELECT min(x) AS mnx, max(x) AS mxx,
-                       min(y) AS mny, max(y) AS mxy,
-                       min(p) AS mnp, max(p) AS mxp FROM d3),
-         g3 AS (SELECT x, y, p,
-                  ((x - mnx) * 65536) // (mxx - mnx + 1) AS gx,
-                  ((y - mny) * 65536) // (mxy - mny + 1) AS gy,
-                  ((p - mnp) * 65536) // (mxp - mnp + 1) AS gp
-                FROM d3, b3),
-         t1 AS (SELECT x, y, p,
-                  (gx | (gx << 32)) & 8725724278095871 AS ax1,
-                  (gy | (gy << 32)) & 8725724278095871 AS ay1,
-                  (gp | (gp << 32)) & 8725724278095871 AS ap1 FROM g3),
-         t2 AS (SELECT x, y, p,
-                  (ax1 | (ax1 << 16)) & 8725728556220671 AS ax2,
-                  (ay1 | (ay1 << 16)) & 8725728556220671 AS ay2,
-                  (ap1 | (ap1 << 16)) & 8725728556220671 AS ap2 FROM t1),
-         t3 AS (SELECT x, y, p,
-                  (ax2 | (ax2 << 8)) & 1157144660301377551 AS ax3,
-                  (ay2 | (ay2 << 8)) & 1157144660301377551 AS ay3,
-                  (ap2 | (ap2 << 8)) & 1157144660301377551 AS ap3 FROM t2),
-         t4 AS (SELECT x, y, p,
-                  (ax3 | (ax3 << 4)) & 1207822528635744451 AS ax4,
-                  (ay3 | (ay3 << 4)) & 1207822528635744451 AS ay4,
-                  (ap3 | (ap3 << 4)) & 1207822528635744451 AS ap4 FROM t3),
-         t5 AS (SELECT x, y, p,
-                  (ax4 | (ax4 << 2)) & 1317624576693539401 AS sx,
-                  (ay4 | (ay4 << 2)) & 1317624576693539401 AS sy,
-                  (ap4 | (ap4 << 2)) & 1317624576693539401 AS sp FROM t4),
+      s"""WITH $z3MortonCtes,
          z3 AS (SELECT x, y, p,
                   (sx | (sy << 1) | (sp << 2)) >> 42 AS bucket FROM t5)
          SELECT bucket, count(*)::BIGINT AS n_rows,
@@ -1463,6 +1464,28 @@ object AnalyticQueries {
                 min(y) AS min_day, max(y) AS max_day,
                 min(p) AS min_cents, max(p) AS max_cents
          FROM z3 GROUP BY 1""",
+    // the 3-D physical layout replayed logically: same 48-bit code, exact
+    // ntile rank files, per-file min/max of all three dimensions, the same
+    // y-band probe as the 2-D gates (y = the middle dimension here), and
+    // the literal-1 n_files write contract
+    "q_zorder3_prune" ->
+      s"""WITH $z3MortonCtes,
+         z AS (SELECT x, y, p, (sx | (sy << 1) | (sp << 2)) AS z FROM t5),
+         f AS (SELECT x, y, p,
+                 ntile($ZPruneFiles) OVER (ORDER BY z, x, y, p) - 1 AS fid
+               FROM z),
+         st AS (SELECT fid::BIGINT AS fid, count(*)::BIGINT AS n_rows,
+                  min(x) AS min_x, max(x) AS max_x,
+                  min(y) AS min_y, max(y) AS max_y,
+                  min(p) AS min_p, max(p) AS max_p
+                FROM f GROUP BY 1),
+         bb AS (SELECT min(y) AS mny, max(y) AS mxy FROM d3)
+         SELECT fid, n_rows, 1::BIGINT AS n_files,
+                min_x, max_x, min_y, max_y, min_p, max_p,
+                CASE WHEN max_y >= mny + ((mxy - mny) * 2) // 5
+                      AND min_y <= mny + ((mxy - mny) * 9) // 20
+                     THEN 1 ELSE 0 END::BIGINT AS touched
+         FROM st, bb""",
     // the physical layout replayed logically: same z-curve, exact ntile rank
     // buckets; n_files is the 1-file-per-tile contract the Spark side
     // measures from _metadata.file_path — the one number DuckDB cannot
@@ -1540,6 +1563,44 @@ object AnalyticQueries {
                  ((x - mnx) * 65536) // (mxx - mnx + 1) AS gx,
                  ((y - mny) * 65536) // (mxy - mny + 1) AS gy
                FROM d, b)"""
+
+  /** The 3-D (x, y, p) frame + every-third-bit spread CTE chain shared by
+    * the `q_zorder3_layout` and `q_zorder3_prune` oracles (decimal constants
+    * shared with `ZOrder.spreadBits3`). Emits `d3` (raw coords) and `t5`
+    * (sx/sy/sp spread words); callers interleave.
+    */
+  private lazy val z3MortonCtes =
+    """d3 AS (SELECT o_custkey::BIGINT AS x,
+                  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS y,
+                  (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS p FROM orders),
+         b3 AS (SELECT min(x) AS mnx, max(x) AS mxx,
+                       min(y) AS mny, max(y) AS mxy,
+                       min(p) AS mnp, max(p) AS mxp FROM d3),
+         g3 AS (SELECT x, y, p,
+                  ((x - mnx) * 65536) // (mxx - mnx + 1) AS gx,
+                  ((y - mny) * 65536) // (mxy - mny + 1) AS gy,
+                  ((p - mnp) * 65536) // (mxp - mnp + 1) AS gp
+                FROM d3, b3),
+         t1 AS (SELECT x, y, p,
+                  (gx | (gx << 32)) & 8725724278095871 AS ax1,
+                  (gy | (gy << 32)) & 8725724278095871 AS ay1,
+                  (gp | (gp << 32)) & 8725724278095871 AS ap1 FROM g3),
+         t2 AS (SELECT x, y, p,
+                  (ax1 | (ax1 << 16)) & 8725728556220671 AS ax2,
+                  (ay1 | (ay1 << 16)) & 8725728556220671 AS ay2,
+                  (ap1 | (ap1 << 16)) & 8725728556220671 AS ap2 FROM t1),
+         t3 AS (SELECT x, y, p,
+                  (ax2 | (ax2 << 8)) & 1157144660301377551 AS ax3,
+                  (ay2 | (ay2 << 8)) & 1157144660301377551 AS ay3,
+                  (ap2 | (ap2 << 8)) & 1157144660301377551 AS ap3 FROM t2),
+         t4 AS (SELECT x, y, p,
+                  (ax3 | (ax3 << 4)) & 1207822528635744451 AS ax4,
+                  (ay3 | (ay3 << 4)) & 1207822528635744451 AS ay4,
+                  (ap3 | (ap3 << 4)) & 1207822528635744451 AS ap4 FROM t3),
+         t5 AS (SELECT x, y, p,
+                  (ax4 | (ax4 << 2)) & 1317624576693539401 AS sx,
+                  (ay4 | (ay4 << 2)) & 1317624576693539401 AS sy,
+                  (ap4 | (ap4 << 2)) & 1317624576693539401 AS sp FROM t4)"""
 
   private lazy val zMortonCtes =
     s"""$zGridCtes,

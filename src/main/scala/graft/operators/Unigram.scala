@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One Viterbi segmentation of a vocabulary word — TOP-LEVEL case class
+  * (Dataset encoder codegen cannot reach nested private classes; the
+  * BpeSymWord precedent).
+  */
+final case class UnigramSegPiece(piece: String, wfreq: Long)
+
+/** Unigram-LM (SentencePiece-style) tokenizer skeleton — the OTHER
+  * production tokenizer family beside BPE, and a genuinely different shape:
+  * where BPE greedily grows a merge list, unigram LM starts from an
+  * over-complete CANDIDATE vocabulary and re-estimates piece probabilities
+  * by segmenting the corpus under the current model (EM; Kudo 2018,
+  * arXiv:1804.10959). This module implements the exact-arithmetic hard-EM
+  * (Viterbi) round the `q_unigram_round` gate replays in SQL:
+  *
+  *   - SEED vocabulary: every ≤[[MaxPieceLen]]-code-point substring of the
+  *     corpus vocabulary weighted by word frequency; all single characters
+  *     are kept (coverage guarantee — any word segments into characters)
+  *     plus the top-`k` longer pieces by the deterministic
+  *     (freq DESC, piece ASC) order.
+  *   - PIECE COST: `64 − bit_length(freq)` — an integer quantization of
+  *     −log₂ p(piece) (up to the constant corpus-total shift, which the
+  *     piece-count tie-break absorbs). Floating log-probs are the standard
+  *     formulation but are banned from hash oracles (cross-engine `ln`
+  *     ulp drift); the bit-length cost keeps the full pipeline in integers
+  *     — the same floor-log₂-via-`bin()` idiom as `q_length_hist`.
+  *   - E-STEP (hard): per word, the minimum-total-cost segmentation over
+  *     seed pieces, ties broken by fewer pieces then lexicographically
+  *     smallest space-joined path in UTF-8 byte order. The path tie-break
+  *     is optimal-substructure-safe: two distinct partial paths covering
+  *     the same prefix of a word first differ at an index inside the
+  *     shorter of them (same characters, different separator placement),
+  *     so appending a common best suffix never flips the comparison —
+  *     which is what lets [[viterbi]] run the linear DP while the DuckDB
+  *     oracle ENUMERATES all paths (words ≤ 8 code points, pieces ≤ 4:
+  *     bounded tetranacci fan-out) and row_numbers the same ordering.
+  *   - M-STEP: piece counts re-estimated from the chosen segmentations,
+  *     weighted by word frequency — the round's gated output
+  *     (piece, cost, seed_freq, em_freq).
+  *
+  * Scale shape (the BPE corpus-rollup-once pattern): the corpus is touched
+  * exactly once to build the (word, wfreq) vocabulary; seeding is a
+  * vocabulary-sized substring fan-out (≤ L·|word| rows per word);
+  * segmentation is one `mapPartitions` over the vocabulary with the
+  * broadcast piece→cost map (bounded: alphabet + k rows, collected like the
+  * BPE merge list); the EM recount shuffles only piece keys. Nothing
+  * corpus-sized is ever sorted or joined wholesale.
+  */
+object Unigram {
+
+  /** Longest candidate piece, in code points. */
+  val MaxPieceLen = 4
+
+  /** Cost of a piece with the given corpus frequency: 64 − bit_length(freq),
+    * the integer-quantized −log₂ p. Lower = more probable.
+    */
+  def cost(freq: Long): Long = 64L - (64 - java.lang.Long.numberOfLeadingZeros(freq))
+
+  /** The seeded candidate vocabulary with integer costs:
+    * (piece, freq, cost). All single characters + the top-`k` longer
+    * substrings by (freq DESC, piece ASC). One vocabulary-sized double
+    * explode; `substr` counts code points on both engines.
+    */
+  def seedPieces(vocab: DataFrame, k: Int): DataFrame = {
+    val sub = vocab
+      .select(col("word"), col("wfreq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("wfreq"),
+        explode(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("word")) - col("i") + 1))).as("j"),
+        col("word"), col("i"))
+      .select(col("word").substr(col("i"), col("j")).as("piece"), col("wfreq"))
+      .groupBy("piece").agg(sum(col("wfreq")).as("freq"))
+    val chars = sub.filter(length(col("piece")) === 1)
+    val multi = sub.filter(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece").asc).limit(k)
+    chars.unionByName(multi)
+      .select(col("piece"), col("freq"),
+        (lit(64L) - length(bin(col("freq")))).cast("long").as("cost"))
+  }
+
+  /** Minimum-cost segmentation of one word under the piece→cost map, ties
+    * (cost, n_pieces, path UTF-8) — linear DP over code-point positions.
+    * Code-point slicing via [[Bpe.codePoints]] (JVM `substring` tears
+    * astral characters); path comparison via [[Bpe.utf8Lt]] (JVM String
+    * order disagrees with Spark/DuckDB binary collation on
+    * astral-vs-high-BMP). Every word is segmentable: its characters are in
+    * the seed by construction.
+    */
+  def viterbi(word: String, pieceCost: collection.Map[String, Long]): Seq[String] = {
+    val cps = Bpe.codePoints(word)
+    val n = cps.length
+    // per position: (cost, nPieces, reversed piece list); null = unreachable
+    final case class St(c: Long, np: Long, rev: List[String]) {
+      lazy val pathStr: String = rev.reverse.mkString(" ")
+    }
+    def better(a: St, b: St): Boolean =
+      a.c < b.c || (a.c == b.c && (a.np < b.np ||
+        (a.np == b.np && Bpe.utf8Lt(a.pathStr, b.pathStr))))
+    val best = new Array[St](n + 1)
+    best(0) = St(0L, 0L, Nil)
+    var i = 1
+    while (i <= n) {
+      var b: St = null
+      var l = 1
+      val lMax = math.min(MaxPieceLen, i)
+      while (l <= lMax) {
+        val prev = best(i - l)
+        if (prev != null) {
+          val piece = cps.slice(i - l, i).mkString
+          pieceCost.get(piece) match {
+            case Some(pc) =>
+              val cand = St(prev.c + pc, prev.np + 1, piece :: prev.rev)
+              if (b == null || better(cand, b)) b = cand
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      best(i) = b
+      i += 1
+    }
+    require(best(n) != null, s"unsegmentable word '$word' — seed must cover its alphabet")
+    best(n).rev.reverse
+  }
+
+  /** Sequential reference for the spec: enumerate EVERY segmentation over
+    * the seed pieces and pick the (cost, n_pieces, path) minimum — the same
+    * search the DuckDB oracle runs as a recursive CTE. Exponential; only
+    * for cross-checking [[viterbi]] on short words.
+    */
+  def bruteForceBest(word: String,
+                     pieceCost: collection.Map[String, Long]): Seq[String] = {
+    val cps = Bpe.codePoints(word)
+    def all(from: Int): Seq[List[String]] =
+      if (from == cps.length) Seq(Nil)
+      else (1 to math.min(MaxPieceLen, cps.length - from)).flatMap { l =>
+        val piece = cps.slice(from, from + l).mkString
+        if (pieceCost.contains(piece)) all(from + l).map(piece :: _) else Seq.empty
+      }
+    all(0).map { p =>
+      (p.map(pieceCost).sum, p.length.toLong, p.mkString(" "), p)
+    }.reduceLeft { (a, b) =>
+      val lt = a._1 < b._1 || (a._1 == b._1 && (a._2 < b._2 ||
+        (a._2 == b._2 && Bpe.utf8Lt(a._3, b._3))))
+      if (lt) a else b
+    }._4
+  }
+
+  /** ONE hard-EM round over a (word, wfreq) vocabulary: seed, Viterbi-
+    * segment every vocabulary word under the broadcast piece costs, recount
+    * — emits (piece, cost, seed_freq, em_freq), em_freq = 0 for seeded
+    * pieces no best segmentation uses (the pieces the next round's vocab
+    * prune would drop — Kudo's iterative shrinking, one step of it gated).
+    * The piece table collect is bounded (alphabet + k rows; the BPE
+    * merge-list precedent).
+    */
+  def emRound(vocab: DataFrame, k: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val seed = Lineage.cut(seedPieces(vocab, k))
+    val pieceCost: Map[String, Long] = seed.select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(pieceCost)
+    val em: Dataset[UnigramSegPiece] = vocab
+      .select(col("word"), col("wfreq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val cm = bc.value
+        it.flatMap { case (w, f) => viterbi(w, cm).map(UnigramSegPiece(_, f)) }
+      }
+    seed.join(
+        em.toDF().groupBy("piece").agg(sum(col("wfreq")).as("em_freq")),
+        Seq("piece"), "left")
+      .select(col("piece"), col("cost"), col("freq").as("seed_freq"),
+        coalesce(col("em_freq"), lit(0L)).as("em_freq"))
+  }
+}

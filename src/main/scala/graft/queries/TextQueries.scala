@@ -544,6 +544,28 @@ object TextQueries {
     fertilityRollup(d, wordToks, Seq("lang_id", "word"))
   }
 
+  /** Multi-character candidate pieces the unigram-LM seed keeps beside the
+    * full alphabet — small enough that the EM recount visibly drops unused
+    * candidates on this corpus, large enough that multi-character pieces
+    * win segmentations.
+    */
+  val UnigramSeedK = 12
+
+  /** `q_unigram_round`: ONE hard-EM round of the unigram-LM
+    * (SentencePiece-style) tokenizer over the corpus vocabulary — seed an
+    * over-complete substring vocabulary, Viterbi-segment every word under
+    * integer bit-length costs, re-count piece usage (see
+    * [[graft.operators.Unigram]] for the algorithm and the
+    * exact-arithmetic / tie-break design that makes a TRAINED segmentation
+    * hash-gateable). The oracle enumerates every segmentation as a
+    * recursive CTE and replays the same (cost, n_pieces, path) ordering.
+    */
+  def unigramRound(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.emRound(
+      graft.operators.Lineage.cut(
+        graft.operators.Bpe.wordVocab(docs(spark, dir), "text")),
+      UnigramSeedK)
+
   /** Vocabulary size for the OOV-rate report: the corpus vocabulary is tiny
     * (~31 distinct words), so 20 leaves a real out-of-vocabulary tail.
     */
@@ -1146,6 +1168,7 @@ object TextQueries {
     "q_bpe_train_dist" -> (bpeTrainDist _),
     "q_oov_rate" -> (oovRate _),
     "q_oov_rate_bpe" -> (oovRateBpe _),
+    "q_unigram_round" -> (unigramRound _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
     "q_cms_freq" -> (cmsFreq _),
@@ -1742,6 +1765,55 @@ object TextQueries {
                  coalesce(c.n_oov, 0)::BIGINT AS n_oov,
                  (coalesce(c.n_oov, 0) * 10000 // greatest(n.n_tokens, 1))::BIGINT AS oov_e4
           FROM n LEFT JOIN cnt c USING (doc_id)""",
+    // the unigram-LM hard-EM round replayed: same substring seed (substr
+    // counts code points on both engines), same bit-length costs, and the
+    // E-step as an EXHAUSTIVE path enumeration (recursive CTE; words <= 8
+    // code points, pieces <= 4 bound the fan-out) row_numbered by the same
+    // (cost, n_pieces, path) order the Spark DP's tie-break realizes
+    "q_unigram_round" ->
+      s"""WITH RECURSIVE
+          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1),
+          sub AS (SELECT substring(word, u.i, t.j) AS piece,
+                    sum(wfreq)::BIGINT AS freq
+                  FROM v,
+                       unnest(generate_series(1, len(word))) AS u(i),
+                       unnest(generate_series(1,
+                         least(${graft.operators.Unigram.MaxPieceLen},
+                               len(word) - u.i + 1))) AS t(j)
+                  GROUP BY 1),
+          seed AS (SELECT piece, freq FROM sub WHERE len(piece) = 1
+                   UNION ALL
+                   SELECT piece, freq FROM (
+                     SELECT piece, freq FROM sub WHERE len(piece) >= 2
+                     ORDER BY freq DESC, piece ASC LIMIT $UnigramSeedK)),
+          pcost AS (SELECT piece, freq,
+                      (64 - length(bin(freq)))::BIGINT AS cost FROM seed),
+          paths AS (
+            SELECT word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
+                   0::BIGINT AS np, '' AS path
+            FROM v
+            UNION ALL
+            SELECT p.word, p.wfreq, p.pos + len(c.piece), p.cost + c.cost,
+                   p.np + 1,
+                   CASE WHEN p.path = '' THEN c.piece
+                        ELSE p.path || ' ' || c.piece END
+            FROM paths p JOIN pcost c
+              ON substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
+            WHERE p.pos < len(p.word)),
+          best AS (
+            SELECT word, wfreq, path FROM (
+              SELECT word, wfreq, path,
+                row_number() OVER (PARTITION BY word
+                  ORDER BY cost ASC, np ASC, path ASC) AS rn
+              FROM paths WHERE pos = len(word)) WHERE rn = 1),
+          em AS (SELECT s2.piece, sum(b.wfreq)::BIGINT AS em_freq
+                 FROM best b, unnest(string_split(b.path, ' ')) AS s2(piece)
+                 GROUP BY 1)
+          SELECT pcost.piece, pcost.cost, pcost.freq AS seed_freq,
+                 coalesce(em.em_freq, 0)::BIGINT AS em_freq
+          FROM pcost LEFT JOIN em USING (piece)""",
     // the word stream expanded to BPE segments through the shared encode
     // recursion's terminal rows, then the q_oov_rate rollup over segments
     "q_oov_rate_bpe" ->

@@ -1387,7 +1387,7 @@ object CurationQueries {
     * pinning — and the draw is replayable (no RNG state, the `q_hash_sample`
     * argument again).
     */
-  private def shardRows(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shardRows(spark: SparkSession, dir: String): DataFrame =
     epochPlan(spark, dir)
       .withColumn("hk", TextDedup.tokenHash60(
         concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))))

@@ -151,20 +151,14 @@ object Unigram {
     }._4
   }
 
-  /** ONE hard-EM round over a (word, wfreq) vocabulary: seed, Viterbi-
-    * segment every vocabulary word under the broadcast piece costs, recount
-    * — emits (piece, cost, seed_freq, em_freq), em_freq = 0 for seeded
-    * pieces no best segmentation uses (the pieces the next round's vocab
-    * prune would drop — Kudo's iterative shrinking, one step of it gated).
-    * The piece table collect is bounded (alphabet + k rows; the BPE
-    * merge-list precedent).
+  /** Viterbi-segment every vocabulary word under the broadcast piece→cost
+    * map and recount piece usage weighted by word frequency — the E+M body
+    * shared by every round. Emits (piece, em_freq) for USED pieces only.
     */
-  def emRound(vocab: DataFrame, k: Int): DataFrame = {
+  def segmentCounts(vocab: DataFrame,
+                    pieceCost: Map[String, Long]): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    val seed = Lineage.cut(seedPieces(vocab, k))
-    val pieceCost: Map[String, Long] = seed.select("piece", "cost").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bc = spark.sparkContext.broadcast(pieceCost)
     val em: Dataset[UnigramSegPiece] = vocab
       .select(col("word"), col("wfreq")).as[(String, Long)]
@@ -172,10 +166,46 @@ object Unigram {
         val cm = bc.value
         it.flatMap { case (w, f) => viterbi(w, cm).map(UnigramSegPiece(_, f)) }
       }
-    seed.join(
-        em.toDF().groupBy("piece").agg(sum(col("wfreq")).as("em_freq")),
-        Seq("piece"), "left")
-      .select(col("piece"), col("cost"), col("freq").as("seed_freq"),
+    em.toDF().groupBy("piece").agg(sum(col("wfreq")).as("em_freq"))
+  }
+
+  /** One EM step over an explicit (piece, freq) candidate table: derive
+    * bit-length costs, segment, recount. Emits
+    * (piece, cost, in_freq, em_freq) — em_freq = 0 for candidates no best
+    * segmentation uses. The piece collect is bounded (alphabet + k rows;
+    * the BPE merge-list precedent).
+    */
+  def emStep(vocab: DataFrame, pieces: DataFrame): DataFrame = {
+    val costed = Lineage.cut(pieces.select(col("piece"), col("freq"),
+      (lit(64L) - length(bin(col("freq")))).cast("long").as("cost")))
+    val pieceCost: Map[String, Long] = costed.select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    costed.join(segmentCounts(vocab, pieceCost), Seq("piece"), "left")
+      .select(col("piece"), col("cost"), col("freq").as("in_freq"),
         coalesce(col("em_freq"), lit(0L)).as("em_freq"))
   }
+
+  /** ONE hard-EM round over a (word, wfreq) vocabulary: seed, Viterbi-
+    * segment every vocabulary word under the broadcast piece costs, recount
+    * — emits (piece, cost, seed_freq, em_freq), em_freq = 0 for seeded
+    * pieces no best segmentation uses (the pieces the next round's vocab
+    * prune would drop — Kudo's iterative shrinking, one step of it gated).
+    */
+  def emRound(vocab: DataFrame, k: Int): DataFrame =
+    emStep(vocab, seedPieces(vocab, k).select("piece", "freq"))
+      .withColumnRenamed("in_freq", "seed_freq")
+
+  /** The SECOND hard-EM round — the iteration actually iterating: prune to
+    * the pieces round 1 USED (`em_freq > 0`; safe — every word's round-1
+    * best segmentation survives the prune, so coverage holds), re-derive
+    * costs from the re-estimated counts, re-segment, recount. This is one
+    * step of Kudo's iterative vocabulary shrinking with the probability
+    * re-estimation in between — emits (piece, cost, prev_freq, em_freq)
+    * over the pruned vocabulary.
+    */
+  def emRound2(vocab: DataFrame, k: Int): DataFrame =
+    emStep(vocab,
+      emRound(vocab, k).filter(col("em_freq") > 0)
+        .select(col("piece"), col("em_freq").as("freq")))
+      .withColumnRenamed("in_freq", "prev_freq")
 }

@@ -566,6 +566,56 @@ object TextQueries {
         graft.operators.Bpe.wordVocab(docs(spark, dir), "text")),
       UnigramSeedK)
 
+  /** `q_unigram_round2`: the EM iteration actually ITERATING — prune to the
+    * pieces round 1 used, re-estimate costs from the recounted frequencies,
+    * re-segment (one step of Kudo's iterative shrinking with probability
+    * re-estimation in between; see [[graft.operators.Unigram.emRound2]]).
+    */
+  def unigramRound2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.emRound2(
+      graft.operators.Lineage.cut(
+        graft.operators.Bpe.wordVocab(docs(spark, dir), "text")),
+      UnigramSeedK)
+
+  /** `q_tokenizer_fertility`: the two trained tokenizer families priced
+    * side by side on the SAME corpus vocabulary — BPE (top-[[BpeTopK]]
+    * merges) vs unigram-LM (round-1 model) tokens-per-word in e6 fixed
+    * point, the table a tokenizer bake-off actually reads. One shared
+    * vocabulary rollup; each family's per-word token counts are
+    * vocabulary-sized (encode/DP over broadcast models), so the comparison
+    * costs two tiny passes beyond the corpus scan.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = graft.operators.Lineage.cut(
+      graft.operators.Bpe.wordVocab(docs(spark, dir), "text"))
+    val bpeToks = graft.operators.Bpe.encodeVocab(vocab,
+        graft.operators.Bpe.rankedPairMergesOfVocab(vocab, BpeTopK)).toDF()
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    val b = vocab.join(bpeToks, "word")
+      .agg(sum(col("wfreq")).as("n_words"),
+        sum(col("wfreq") * col("n_toks")).as("n_tokens"))
+      .select(lit("bpe").as("tokenizer"), col("n_words"), col("n_tokens"))
+    val pieceCost = graft.operators.Unigram
+      .seedPieces(vocab, UnigramSeedK).select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(pieceCost)
+    val u = vocab.select(col("word"), col("wfreq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val cm = bc.value
+        it.map { case (w, f) =>
+          (f, graft.operators.Unigram.viterbi(w, cm).size.toLong)
+        }
+      }
+      .toDF("wfreq", "np")
+      .agg(sum(col("wfreq")).as("n_words"),
+        sum(col("wfreq") * col("np")).as("n_tokens"))
+      .select(lit("unigram").as("tokenizer"), col("n_words"), col("n_tokens"))
+    b.unionByName(u)
+      .select(col("tokenizer"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div n_words").as("toks_per_word_e6"))
+  }
+
   /** Vocabulary size for the OOV-rate report: the corpus vocabulary is tiny
     * (~31 distinct words), so 20 leaves a real out-of-vocabulary tail.
     */
@@ -1169,6 +1219,8 @@ object TextQueries {
     "q_oov_rate" -> (oovRate _),
     "q_oov_rate_bpe" -> (oovRateBpe _),
     "q_unigram_round" -> (unigramRound _),
+    "q_unigram_round2" -> (unigramRound2 _),
+    "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
     "q_cms_freq" -> (cmsFreq _),
@@ -1287,6 +1339,63 @@ object TextQueries {
             LEFT JOIN m mm
               ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
             WHERE NOT e.done)"""
+
+  /** The (word stream, vocabulary) CTE pair the standalone unigram oracles
+    * prepend — textually identical to [[bpeEncRecursion]]'s first two CTEs,
+    * so `q_tokenizer_fertility` composes the two families over ONE shared
+    * `v`.
+    */
+  private lazy val unigramVocabCtes: String =
+    """w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          v AS (SELECT word, count(*)::BIGINT AS wfreq
+                FROM w WHERE len(word) >= 1 GROUP BY 1)"""
+
+  /** Round 1 of the unigram-LM hard-EM replay (expects `v` in scope): seed
+    * substrings, bit-length costs, exhaustive path enumeration, the
+    * (cost, n_pieces, path) argmin, and the recount — terminal CTE `r1` =
+    * (piece, cost, seed_freq, em_freq); `best` carries (word, wfreq, np,
+    * path) for consumers that need segmentation sizes.
+    */
+  private lazy val unigramRound1Ctes: String =
+    s"""sub AS (SELECT substring(word, u.i, t.j) AS piece,
+                    sum(wfreq)::BIGINT AS freq
+                  FROM v,
+                       unnest(generate_series(1, len(word))) AS u(i),
+                       unnest(generate_series(1,
+                         least(${graft.operators.Unigram.MaxPieceLen},
+                               len(word) - u.i + 1))) AS t(j)
+                  GROUP BY 1),
+          seed AS (SELECT piece, freq FROM sub WHERE len(piece) = 1
+                   UNION ALL
+                   SELECT piece, freq FROM (
+                     SELECT piece, freq FROM sub WHERE len(piece) >= 2
+                     ORDER BY freq DESC, piece ASC LIMIT $UnigramSeedK)),
+          pcost AS (SELECT piece, freq,
+                      (64 - length(bin(freq)))::BIGINT AS cost FROM seed),
+          paths AS (
+            SELECT word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
+                   0::BIGINT AS np, '' AS path
+            FROM v
+            UNION ALL
+            SELECT p.word, p.wfreq, p.pos + len(c.piece), p.cost + c.cost,
+                   p.np + 1,
+                   CASE WHEN p.path = '' THEN c.piece
+                        ELSE p.path || ' ' || c.piece END
+            FROM paths p JOIN pcost c
+              ON substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
+            WHERE p.pos < len(p.word)),
+          best AS (
+            SELECT word, wfreq, np, path FROM (
+              SELECT word, wfreq, np, path,
+                row_number() OVER (PARTITION BY word
+                  ORDER BY cost ASC, np ASC, path ASC) AS rn
+              FROM paths WHERE pos = len(word)) WHERE rn = 1),
+          em1 AS (SELECT s2.piece, sum(b.wfreq)::BIGINT AS em_freq
+                  FROM best b, unnest(string_split(b.path, ' ')) AS s2(piece)
+                  GROUP BY 1),
+          r1 AS (SELECT pcost.piece, pcost.cost, pcost.freq AS seed_freq,
+                   coalesce(em1.em_freq, 0)::BIGINT AS em_freq
+                 FROM pcost LEFT JOIN em1 USING (piece))"""
 
   private val jaccardOracle =
     """WITH sh AS (
@@ -1772,25 +1881,19 @@ object TextQueries {
     // (cost, n_pieces, path) order the Spark DP's tie-break realizes
     "q_unigram_round" ->
       s"""WITH RECURSIVE
-          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-          v AS (SELECT word, count(*)::BIGINT AS wfreq
-                FROM w WHERE len(word) >= 1 GROUP BY 1),
-          sub AS (SELECT substring(word, u.i, t.j) AS piece,
-                    sum(wfreq)::BIGINT AS freq
-                  FROM v,
-                       unnest(generate_series(1, len(word))) AS u(i),
-                       unnest(generate_series(1,
-                         least(${graft.operators.Unigram.MaxPieceLen},
-                               len(word) - u.i + 1))) AS t(j)
-                  GROUP BY 1),
-          seed AS (SELECT piece, freq FROM sub WHERE len(piece) = 1
-                   UNION ALL
-                   SELECT piece, freq FROM (
-                     SELECT piece, freq FROM sub WHERE len(piece) >= 2
-                     ORDER BY freq DESC, piece ASC LIMIT $UnigramSeedK)),
-          pcost AS (SELECT piece, freq,
-                      (64 - length(bin(freq)))::BIGINT AS cost FROM seed),
-          paths AS (
+          $unigramVocabCtes,
+          $unigramRound1Ctes
+          SELECT piece, cost, seed_freq, em_freq FROM r1""",
+    // round 2 chained: prune to round-1-used pieces, re-derive costs from
+    // the re-estimated counts, enumerate again under the new model
+    "q_unigram_round2" ->
+      s"""WITH RECURSIVE
+          $unigramVocabCtes,
+          $unigramRound1Ctes,
+          p2 AS (SELECT piece, em_freq AS freq,
+                   (64 - length(bin(em_freq)))::BIGINT AS cost
+                 FROM r1 WHERE em_freq > 0),
+          paths2 AS (
             SELECT word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
                    0::BIGINT AS np, '' AS path
             FROM v
@@ -1799,21 +1902,39 @@ object TextQueries {
                    p.np + 1,
                    CASE WHEN p.path = '' THEN c.piece
                         ELSE p.path || ' ' || c.piece END
-            FROM paths p JOIN pcost c
+            FROM paths2 p JOIN p2 c
               ON substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
             WHERE p.pos < len(p.word)),
-          best AS (
+          best2 AS (
             SELECT word, wfreq, path FROM (
               SELECT word, wfreq, path,
                 row_number() OVER (PARTITION BY word
                   ORDER BY cost ASC, np ASC, path ASC) AS rn
-              FROM paths WHERE pos = len(word)) WHERE rn = 1),
-          em AS (SELECT s2.piece, sum(b.wfreq)::BIGINT AS em_freq
-                 FROM best b, unnest(string_split(b.path, ' ')) AS s2(piece)
-                 GROUP BY 1)
-          SELECT pcost.piece, pcost.cost, pcost.freq AS seed_freq,
-                 coalesce(em.em_freq, 0)::BIGINT AS em_freq
-          FROM pcost LEFT JOIN em USING (piece)""",
+              FROM paths2 WHERE pos = len(word)) WHERE rn = 1),
+          em2 AS (SELECT s3.piece, sum(b.wfreq)::BIGINT AS em_freq
+                  FROM best2 b, unnest(string_split(b.path, ' ')) AS s3(piece)
+                  GROUP BY 1)
+          SELECT p2.piece, p2.cost, p2.freq AS prev_freq,
+                 coalesce(em2.em_freq, 0)::BIGINT AS em_freq
+          FROM p2 LEFT JOIN em2 USING (piece)""",
+    // BPE and unigram fertility side by side over the SAME vocabulary
+    // rollup (bpeEncRecursion's v ≡ the unigram CTEs' v, shared verbatim)
+    "q_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+          $bpeEncRecursion,
+          wn AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
+                 FROM enc WHERE done),
+          $unigramRound1Ctes,
+          bstat AS (SELECT 'bpe' AS tokenizer, sum(wfreq)::BIGINT AS n_words,
+                      sum(wfreq * n_toks)::BIGINT AS n_tokens
+                    FROM v JOIN wn USING (word)),
+          ustat AS (SELECT 'unigram' AS tokenizer, sum(wfreq)::BIGINT AS n_words,
+                      sum(wfreq * np)::BIGINT AS n_tokens
+                    FROM best),
+          u AS (SELECT * FROM bstat UNION ALL SELECT * FROM ustat)
+          SELECT tokenizer, n_words, n_tokens,
+                 (n_tokens * 1000000) // n_words AS toks_per_word_e6
+          FROM u""",
     // the word stream expanded to BPE segments through the shared encode
     // recursion's terminal rows, then the q_oov_rate rollup over segments
     "q_oov_rate_bpe" ->

@@ -199,6 +199,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_vocab_stats_bpe" -> Set("source", "text"),
       "q_oov_rate_bpe" -> Set("doc_id", "text"),
       "q_unigram_round" -> Set("text"),
+      "q_unigram_round2" -> Set("text"),
+      "q_tokenizer_fertility" -> Set("text"),
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),
       "q_passage_overlap" -> Set("doc_id", "text"),

@@ -58,6 +58,26 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("round 2 prunes to exactly round 1's used pieces and re-segments under them") {
+    val r1 = Unigram.emRound(vocab, 12).cache()
+    val used = r1.filter(col("em_freq") > 0).select("piece").collect()
+      .map(_.getString(0)).toSet
+    val r2 = Unigram.emRound2(vocab, 12).cache()
+    val r2Pieces = r2.select("piece").collect().map(_.getString(0)).toSet
+    assert(r2Pieces === used, "round 2's candidate set must be round 1's used set")
+    // coverage survives the prune: every round-2 segmentation mass equals a
+    // full re-segmentation of the corpus vocabulary
+    val mass = r2.agg(org.apache.spark.sql.functions.sum("em_freq")).head.getLong(0)
+    val cost2 = r2.select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = vocab.as[(String, Long)].collect().map { case (w, f) =>
+      Unigram.viterbi(w, cost2).size.toLong * f
+    }.sum
+    assert(mass === expected)
+    r1.unpersist(); r2.unpersist()
+    ()
+  }
+
   test("EM recount conserves segmentation mass") {
     val out = Unigram.emRound(vocab, 12).cache()
     val emTotal = out.agg(org.apache.spark.sql.functions.sum("em_freq"))

@@ -267,6 +267,33 @@ object BalanceUpsert {
       claim.setLong(4, rows.size.toLong)
     }, conn)
 
+  /** Journal retention — the journal otherwise grows one row per batch (or
+    * per slice) FOREVER. Deleting old claims is safe because Structured
+    * Streaming can only redeliver the batch whose checkpoint commit is
+    * still pending: once the sink is applying batch B, every batch ≤ B−1
+    * has its offsets durably committed and can never be delivered again
+    * under this checkpoint (and a WIPED checkpoint rotates the sink_id —
+    * the `$sinkId@$checkpointDir` key — so its fresh claims never meet the
+    * old rows either way). Works against both journal shapes (the
+    * predicate touches only the shared key prefix).
+    */
+  def journalGcSql(journal: String): String =
+    s"DELETE FROM $journal WHERE sink_id = ? AND batch_id <= ?"
+
+  /** Delete this sink's claims for batches ≤ `upToBatchId`; returns the
+    * number of claims removed. Call with `currentBatchId − 2` (one batch of
+    * margin beyond the contract) once the current batch's work committed.
+    */
+  def gcJournal(conn: Connection, journal: String, sinkId: String,
+                upToBatchId: Long): Int = {
+    val st = conn.prepareStatement(journalGcSql(journal))
+    try {
+      st.setString(1, sinkId)
+      st.setLong(2, upToBatchId)
+      st.executeUpdate()
+    } finally st.close()
+  }
+
   /** In-memory exactly-once twin of [[upsertBatchExactlyOnce]]: same
     * claim-then-apply protocol over a [[MemoryStore]], for streaming tests
     * and local runs. Returns whether the batch was applied.

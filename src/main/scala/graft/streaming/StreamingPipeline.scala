@@ -187,6 +187,16 @@ object StreamingPipeline {
               } finally conn.close()
             }
           }
+        // retention: with this batch's work done, claims for batches
+        // <= batchId - 2 can never be redelivered under this checkpoint
+        // (one batch of margin beyond the contract) — without this the
+        // journal grows one row per (batch, slice) forever
+        if (batchId >= 2) {
+          val conn = connect()
+          try BalanceUpsert.gcJournal(conn, journal, claimKey, batchId - 2)
+          finally conn.close()
+          ()
+        }
         ()
       }
       .start()

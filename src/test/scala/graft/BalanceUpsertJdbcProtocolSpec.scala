@@ -55,24 +55,35 @@ class BalanceUpsertJdbcProtocolSpec extends AnyFunSuite {
             applied ++= batch
             calls += s"executeBatch(${batch.size})"
             batch.indices.map(_ => 1).toArray
-          case "executeUpdate" => // only the journal claims use this path:
-            // 3 bound slots = batch claim, 4 = slice claim (3-part key)
-            val fresh =
-              if (params.keys.max == 3) {
-                val key = (params(1).asInstanceOf[String],
-                  params(2).asInstanceOf[java.lang.Long].longValue)
-                val f = journal.add(key)
-                calls += s"claim($key, fresh=$f)"
-                f
-              } else {
-                val key = (params(1).asInstanceOf[String],
-                  params(2).asInstanceOf[java.lang.Long].longValue,
-                  params(3).asInstanceOf[java.lang.Integer].intValue)
-                val f = sliceJournal.add(key)
-                calls += s"claimSlice($key, fresh=$f)"
-                f
-              }
-            Int.box(if (fresh) 1 else 0)
+          case "executeUpdate" => // journal claims + GC use this path:
+            // 2 bound slots = retention delete, 3 = batch claim, 4 = slice
+            // claim (3-part key)
+            if (params.keys.max == 2) {
+              val sinkId = params(1).asInstanceOf[String]
+              val upTo = params(2).asInstanceOf[java.lang.Long].longValue
+              val b = journal.filter(k => k._1 == sinkId && k._2 <= upTo)
+              val sl = sliceJournal.filter(k => k._1 == sinkId && k._2 <= upTo)
+              journal --= b; sliceJournal --= sl
+              calls += s"gc($sinkId, <=$upTo, removed=${b.size + sl.size})"
+              Int.box(b.size + sl.size)
+            } else {
+              val fresh =
+                if (params.keys.max == 3) {
+                  val key = (params(1).asInstanceOf[String],
+                    params(2).asInstanceOf[java.lang.Long].longValue)
+                  val f = journal.add(key)
+                  calls += s"claim($key, fresh=$f)"
+                  f
+                } else {
+                  val key = (params(1).asInstanceOf[String],
+                    params(2).asInstanceOf[java.lang.Long].longValue,
+                    params(3).asInstanceOf[java.lang.Integer].intValue)
+                  val f = sliceJournal.add(key)
+                  calls += s"claimSlice($key, fresh=$f)"
+                  f
+                }
+              Int.box(if (fresh) 1 else 0)
+            }
           case "close" => calls += "st.close"; null
           case other =>
             throw new UnsupportedOperationException(s"statement.$other")
@@ -189,5 +200,22 @@ class BalanceUpsertJdbcProtocolSpec extends AnyFunSuite {
       rows, "balances", "upsert_journal", "sink@ck", 5L, 8, db.connection)
     assert(fresh8)
     assert(db.applied.nonEmpty && db.calls.contains("commit"))
+  }
+
+  test("journal GC removes only this sink's claims at or below the horizon") {
+    val db = new FakeDb
+    db.journal ++= Seq(("sink@ck", 1L), ("sink@ck", 2L), ("sink@ck", 3L),
+      ("other@ck", 1L))
+    db.sliceJournal ++= Seq(("sink@ck", 1L, 0), ("sink@ck", 3L, 1))
+    val removed = BalanceUpsert.gcJournal(db.connection, "upsert_journal",
+      "sink@ck", upToBatchId = 2L)
+    assert(removed === 3) // batch claims 1,2 + slice claim (1,0)
+    assert(db.journal === Set(("sink@ck", 3L), ("other@ck", 1L)),
+      "claims above the horizon and other sinks' claims must survive")
+    assert(db.sliceJournal === Set(("sink@ck", 3L, 1)))
+    assert(db.calls.count(_ == "st.close") == 1, "GC statement must be closed")
+    // the surviving recent claim still guards redelivery
+    assert(!BalanceUpsert.upsertBatchExactlyOnce(
+      rows, "balances", "upsert_journal", "sink@ck", 3L, db.connection))
   }
 }

@@ -66,13 +66,23 @@ final class TxSliceDb(crashOnSecondCommit: Boolean = false) {
             pending ++= batch
             val n = batch.size; batch.clear()
             Array.fill(n)(1)
-          case "executeUpdate" => // the 4-slot slice claim
-            val key = (params(1).asInstanceOf[String],
-              params(2).asInstanceOf[java.lang.Long].longValue,
-              params(3).asInstanceOf[java.lang.Integer].intValue)
-            TxSliceDb.this.synchronized {
-              if (journal.contains(key)) { skipped += 1; Int.box(0) }
-              else { tentative += key; Int.box(1) }
+          case "executeUpdate" =>
+            if (params.keys.max == 2) { // 2-slot retention delete (gcJournal)
+              val sinkId = params(1).asInstanceOf[String]
+              val upTo = params(2).asInstanceOf[java.lang.Long].longValue
+              TxSliceDb.this.synchronized {
+                val dead = journal.filter(k => k._1 == sinkId && k._2 <= upTo)
+                journal --= dead
+                Int.box(dead.size)
+              }
+            } else { // the 4-slot slice claim
+              val key = (params(1).asInstanceOf[String],
+                params(2).asInstanceOf[java.lang.Long].longValue,
+                params(3).asInstanceOf[java.lang.Integer].intValue)
+              TxSliceDb.this.synchronized {
+                if (journal.contains(key)) { skipped += 1; Int.box(0) }
+                else { tentative += key; Int.box(1) }
+              }
             }
           case "close" => null
           case other =>

@@ -133,6 +133,34 @@ class EmbeddingsSpec extends SparkSpec {
     assert(after >= before - 1e-9, f"refinement regressed: $after%.4f < $before%.4f")
   }
 
+  /** The exact-arithmetic (gateable) training twin must keep the float
+    * path's quality property: each integer-mean Lloyd round improves the
+    * assignment objective on harness data, and the round-3 centroids beat
+    * the quantized first-C init — the algorithmic claim behind
+    * `q_ivf_conv_quality`'s gated cohesion numbers, asserted here so a
+    * refactor that silently stops iterating (rounds=0 still hash-matches
+    * SOME oracle) cannot pass unnoticed.
+    */
+  test("kmeansExactRounds: integer-mean rounds improve the objective over init") {
+    import org.apache.spark.sql.functions.col
+    val vecs001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    try {
+      val init = Embeddings.kmeansExactRounds(vecs001, 16, rounds = 0)
+      val trained = Embeddings.kmeansExactRounds(vecs001, 16, rounds = 3)
+      assert(trained.count() === 16)
+      val o0 = Embeddings.ivfObjective(vecs001, init)
+      val o3 = Embeddings.ivfObjective(vecs001, trained)
+      info(f"exact-rounds objective: init=$o0%.2f round3=$o3%.2f")
+      assert(o3 > o0, f"3 integer-mean rounds must beat init: $o3%.2f <= $o0%.2f")
+      // the quantization must not cost more than a whisker vs one FLOAT pass
+      // from the same init family (sanity, not a tight bound)
+      val oneFloat = Embeddings.ivfObjective(vecs001,
+        Embeddings.kmeansRefine(vecs001, vecs001.filter(col("vec_id") < 16)))
+      assert(o3 >= oneFloat * 0.9,
+        f"exact rounds collapsed vs float refinement: $o3%.2f vs $oneFloat%.2f")
+    } finally { vecs001.unpersist(); () }
+  }
+
   /** Multi-pass IVF centroid training: the convergence loop's objective
     * trace (Σᵢ maxᶜ cos — MAXIMIZED, the spherical-Lloyd twin of PQ's
     * minimized distortion) must be monotone non-decreasing with the stop

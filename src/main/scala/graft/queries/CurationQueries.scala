@@ -648,6 +648,49 @@ object CurationQueries {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"), col("hk"))
   }
 
+  /** Per-language budget in UNIGRAM-LM tokens — same scale as the BPE twin
+    * (the corpus measures 3.66 unigram vs 3.50 BPE tokens/word at the
+    * gates' model sizes), so the same cap binds at comparable depth.
+    */
+  val UnigramTokenBudget = 7000L
+
+  /** [[tokenBudgetBpe]]'s denominator seam proven TOKENIZER-AGNOSTIC: the
+    * identical budget plumbing (md5-hash order, per-language cumsum) with
+    * the per-word token counts coming from the unigram-LM round-1
+    * segmentation ([[graft.operators.Unigram.viterbi]] sizes over the one
+    * vocabulary rollup) instead of the BPE encode — swapping tokenizers
+    * touches ONLY the broadcast (word → n_toks) table, which is the whole
+    * point of routing every denominator through
+    * [[graft.operators.Bpe.bpeTokenCountsWith]]'s word-join shape.
+    */
+  def tokenBudgetUnigram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val vocab = graft.operators.Lineage.cut(
+      graft.operators.Bpe.wordVocab(d, "text"))
+    val pieceCost = graft.operators.Unigram
+      .seedPieces(vocab, TextQueries.UnigramSeedK)
+      .select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(pieceCost)
+    val wordToks = vocab.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val cm = bc.value
+        it.map(w => (w, graft.operators.Unigram.viterbi(w, cm).size.toLong))
+      }.toDF("word", "n_toks")
+    d.select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_id"),
+        TextDedup.tokenHash60(col("doc_id").cast("string")).as("hk"))
+      .join(graft.operators.Bpe.bpeTokenCountsWith(d, "doc_id", "text", wordToks),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"), col("hk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(langCumsumWindow))
+      .filter(col("cum_tokens") <= UnigramTokenBudget)
+      .select(col("doc_id"), col("lang_id"),
+        col("n_tokens").as("n_uni_tokens"), col("cum_tokens"))
+  }
+
   /** [[tokenBudgetSample]] with the budget denominated in BPE tokens — the
     * denominator a production pipeline actually budgets in (a training-token
     * budget is stated in tokenizer tokens, and the whitespace proxy is off
@@ -1452,6 +1495,7 @@ object CurationQueries {
     "q_token_budget" -> (tokenBudgetSample _),
     "q_token_budget_scan" -> (tokenBudgetSampleScalable _),
     "q_token_budget_bpe" -> (tokenBudgetBpe _),
+    "q_token_budget_unigram" -> (tokenBudgetUnigram _),
     "q_mixture_report" -> (mixtureReport _),
     "q_mixture_report_bpe" -> (mixtureReportBpe _),
     "q_vocab_stats_bpe" -> (vocabStatsBpe _),
@@ -2078,6 +2122,28 @@ object CurationQueries {
           $bpeDenomCtes
           SELECT doc_id, lang_id, n_bpe_tokens, cum_tokens
           FROM bcum WHERE cum_tokens <= $BpeTokenBudget""",
+    // the same denominator chain with the per-word counts from the unigram
+    // round-1 segmentation sizes (best carries np) instead of the BPE encode
+    "q_token_budget_unigram" ->
+      s"""WITH RECURSIVE
+          ${TextQueries.unigramVocabCtes},
+          ${TextQueries.unigramRound1Ctes},
+          uwn AS (SELECT word, np AS n_toks FROM best),
+          ubtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+          ubcnt AS (SELECT t.doc_id, sum(w2.n_toks)::BIGINT AS n_uni
+                    FROM ubtok t JOIN uwn w2 USING (word) GROUP BY 1),
+          ubl AS (SELECT doc_id, lang_id FROM ($langTokensCte)),
+          ubh AS (SELECT ubl.doc_id, ubl.lang_id,
+                    coalesce(ubcnt.n_uni, 0)::BIGINT AS n_uni_tokens,
+                    CAST('0x' || substring(md5(CAST(ubl.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+                  FROM ubl LEFT JOIN ubcnt USING (doc_id)),
+          ubcum AS (SELECT doc_id, lang_id, n_uni_tokens,
+                     (sum(n_uni_tokens) OVER (PARTITION BY lang_id ORDER BY hk, doc_id))::BIGINT
+                       AS cum_tokens
+                    FROM ubh)
+          SELECT doc_id, lang_id, n_uni_tokens, cum_tokens
+          FROM ubcum WHERE cum_tokens <= $UnigramTokenBudget""",
     "q_seq_pack_bpe" ->
       s"""WITH RECURSIVE
           $bpeDenomCtes

@@ -1345,7 +1345,7 @@ object TextQueries {
     * so `q_tokenizer_fertility` composes the two families over ONE shared
     * `v`.
     */
-  private lazy val unigramVocabCtes: String =
+  private[queries] lazy val unigramVocabCtes: String =
     """w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
           v AS (SELECT word, count(*)::BIGINT AS wfreq
                 FROM w WHERE len(word) >= 1 GROUP BY 1)"""
@@ -1356,7 +1356,7 @@ object TextQueries {
     * (piece, cost, seed_freq, em_freq); `best` carries (word, wfreq, np,
     * path) for consumers that need segmentation sizes.
     */
-  private lazy val unigramRound1Ctes: String =
+  private[queries] lazy val unigramRound1Ctes: String =
     s"""sub AS (SELECT substring(word, u.i, t.j) AS piece,
                     sum(wfreq)::BIGINT AS freq
                   FROM v,

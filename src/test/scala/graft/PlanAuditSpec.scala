@@ -193,6 +193,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_token_budget" -> Set("doc_id", "text"),
       "q_token_budget_scan" -> Set("doc_id", "text"),
       "q_token_budget_bpe" -> Set("doc_id", "text"),
+      "q_token_budget_unigram" -> Set("doc_id", "text"),
       "q_seq_pack_bpe" -> Set("doc_id", "text"),
       "q_mixture_report" -> Set("doc_id", "text", "source"),
       "q_mixture_report_bpe" -> Set("doc_id", "text", "source"),

@@ -956,8 +956,48 @@ object CurationQueries {
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val bg = d.select(col("doc_id"),
-      explode(graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("bigram"))
+    lmScoreOfBigrams(d, d.select(col("doc_id"),
+      explode(graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("bigram")))
+  }
+
+  /** [[lmScore]] with the LM trained and evaluated over the BPE TOKEN
+    * sequence — the unit a CCNet/KenLM-style quality filter actually runs
+    * on (perplexity models are trained on tokenized text; the whitespace
+    * form is the oracle-checkable proxy). The ordered token stream is
+    * rebuilt exactly: word positions from one `posexplode`, each word
+    * expanded through the broadcast (word → segments) table with
+    * sub-positions, and adjacency from `lead` over (wpos, spos) — the
+    * window partitions by `doc_id`, so every sort is bounded by one
+    * document's token count, never a corpus sort. Same exact-rational
+    * scoring tail as the whitespace twin.
+    */
+  def lmScoreBpe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    lmScoreOfBigrams(d, bpeTokenBigrams(d))
+  }
+
+  /** Ordered BPE-token bigrams per document (see [[lmScoreBpe]]). */
+  private def bpeTokenBigrams(d: DataFrame): DataFrame = {
+    val seg = graft.operators.Bpe.encodedVocabTable(d, "text",
+      TextQueries.BpeTopK)
+    val toks = d
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
+      .join(broadcast(seg), Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("toks")).as(Seq("spos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("wpos").asc, col("spos").asc)
+    toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+  }
+
+  /** The bigram-LM scoring tail shared by the whitespace and BPE-token
+    * realizations: per-doc bigram counts, the corpus conditional model in
+    * exact rationals, per-doc mean probability in e6 fixed point. `bg`
+    * must carry (doc_id, bigram) with space-separated bigram halves.
+    */
+  private def lmScoreOfBigrams(d: DataFrame, bg: DataFrame): DataFrame = {
     val docBg = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
     val m12 = docBg.groupBy("bigram").agg(sum(col("n")).as("c12"))
     val m1 = m12.select(split(col("bigram"), " ").getItem(0).as("w1"), col("c12"))
@@ -1397,10 +1437,24 @@ object CurationQueries {
     * on one task; value-threshold quartiles also stay deterministic under
     * ties (tied scores share a phase — sizes flex, assignment never does).
     */
-  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOf(spark, dir, lmScore(spark, dir))
+
+  /** [[curriculum]] phased on the BPE-token LM score ([[lmScoreBpe]]) —
+    * difficulty in the unit the model trains on; same exact quartile
+    * machinery.
+    */
+  def curriculumBpe(spark: SparkSession, dir: String): DataFrame =
+    curriculumOf(spark, dir, lmScoreBpe(spark, dir))
+
+  /** The per-language difficulty-quartile tail shared by the whitespace and
+    * BPE curricula; `scores` must carry (doc_id, lm_score_e6).
+    */
+  private def curriculumOf(spark: SparkSession, dir: String,
+                           scores: DataFrame): DataFrame = {
     val lang = docs(spark, dir).select(col("doc_id"),
       graft.functions.TextFunctions.langId(col("text")).as("lang_id"))
-    val s = lmScore(spark, dir).select(col("doc_id"), col("lm_score_e6"))
+    val s = scores.select(col("doc_id"), col("lm_score_e6"))
       .join(lang, "doc_id")
     val n = s.groupBy("lang_id").agg(count(lit(1)).as("n"))
     val h = s.groupBy("lang_id", "lm_score_e6").agg(count(lit(1)).as("c"))
@@ -1478,6 +1532,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curriculum" -> (curriculum _),
+    "q_curriculum_bpe" -> (curriculumBpe _),
     "q_shard_plan" -> (shardPlan _),
     "q_shard_plan_scan" -> (shardPlanScalable _),
     "q_epoch_plan" -> (epochPlan _),
@@ -1486,6 +1541,7 @@ object CurationQueries {
     "q_corpus_diff" -> (corpusDiff _),
     "q_mixture_weights" -> (mixtureWeights _),
     "q_lm_score" -> (lmScore _),
+    "q_lm_score_bpe" -> (lmScoreBpe _),
     "q_data_split" -> (dataSplit _),
     "q_seq_pack" -> (seqPack _),
     "q_seq_pack_scan" -> (seqPackScalable _),
@@ -1756,6 +1812,81 @@ object CurationQueries {
         SELECT doc_id, lang_id, n_tokens, cum_tokens
         FROM c WHERE cum_tokens <= $TokenBudget"""
 
+  /** Whitespace bigrams (tok, bg) — the q_lm_score / q_curriculum head. */
+  private lazy val lmWsBigramCtes =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+           FROM tok,
+                unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i))"""
+
+  /** ORDERED BPE-token bigrams (terminal CTE `bg`) — mirrors
+    * [[bpeTokenBigrams]]: word positions, the word→segments expansion with
+    * sub-positions, adjacency via lead over (wpos, spos).
+    */
+  private lazy val bpeBigramCtes =
+    s"""${TextQueries.bpeEncRecursion},
+         lwt AS (SELECT word, string_split(trim(s), ' ') AS toks
+                 FROM enc WHERE done),
+         luw AS (SELECT dw.doc_id, u.wpos, dw.ws[u.wpos] AS word
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents) dw,
+                      unnest(generate_series(1, len(dw.ws))) AS u(wpos)),
+         lseq AS (SELECT luw.doc_id, luw.wpos, sp.spos,
+                    lwt.toks[sp.spos] AS tok
+                  FROM luw JOIN lwt USING (word),
+                       unnest(generate_series(1, len(lwt.toks))) AS sp(spos)),
+         bg AS (SELECT doc_id, tok || ' ' || nxt AS bigram FROM (
+                  SELECT doc_id, tok,
+                         lead(tok) OVER (PARTITION BY doc_id
+                                         ORDER BY wpos, spos) AS nxt
+                  FROM lseq)
+                WHERE nxt IS NOT NULL)"""
+
+  /** The bigram-LM scoring chain (expects `bg`; terminal CTE `sc`) shared
+    * by the whitespace and BPE realizations — ONE definition so the model
+    * arithmetic can never drift between q_lm_score, q_curriculum, and
+    * their _bpe twins.
+    */
+  private lazy val lmChainCtes =
+    """docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
+         m1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
+                FROM m12 GROUP BY 1),
+         model AS (
+           SELECT bigram, (c12 * 1000000) // c1 AS p_e6
+           FROM m12 JOIN m1 ON string_split(m12.bigram, ' ')[1] = m1.w1),
+         sc AS (
+           SELECT doc_id, sum(n * p_e6)::BIGINT AS sp, sum(n)::BIGINT AS nb
+           FROM docbg JOIN model USING (bigram) GROUP BY 1)"""
+
+  /** The per-language quartile tail (expects `s` = lang stats and `sc`)
+    * shared by both curricula.
+    */
+  private lazy val lmQuartileTail =
+    """d AS (
+           SELECT s.doc_id, s.lang_id, coalesce(sp // nb, 0) AS lm_score_e6
+           FROM s LEFT JOIN sc USING (doc_id)),
+         nn AS (SELECT lang_id, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         h AS (SELECT lang_id, lm_score_e6 AS q, count(*)::BIGINT AS c
+               FROM d GROUP BY 1, 2),
+         cum AS (
+           SELECT lang_id, q,
+                  sum(c) OVER (PARTITION BY lang_id ORDER BY q DESC) AS cum
+           FROM h),
+         thr AS (
+           SELECT c.lang_id,
+             max(CASE WHEN c.cum >= (n.n + 3) // 4 THEN c.q END) AS t1,
+             max(CASE WHEN c.cum >= (2*n.n + 3) // 4 THEN c.q END) AS t2,
+             max(CASE WHEN c.cum >= (3*n.n + 3) // 4 THEN c.q END) AS t3
+           FROM cum c JOIN nn n USING (lang_id) GROUP BY 1)
+         SELECT d.doc_id, d.lang_id, d.lm_score_e6,
+           (CASE WHEN d.lm_score_e6 >= t.t1 THEN 1
+                 WHEN d.lm_score_e6 >= t.t2 THEN 2
+                 WHEN d.lm_score_e6 >= t.t3 THEN 3
+                 ELSE 4 END)::BIGINT AS phase
+         FROM d JOIN thr t USING (lang_id)"""
+
   /** The epoch materializer mirrored as reusable CTEs (`e` = the replicated
     * row multiset) — the `q_epoch_plan` oracle body, shared with the
     * shard-plan oracles that consume the same multiset.
@@ -1854,24 +1985,26 @@ object CurationQueries {
             FROM scored)
           WHERE rank <= $Bm25K""",
     "q_lm_score" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         bg AS (
-           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
-           FROM tok,
-                unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i)),
-         docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
-         m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
-         m1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
-                FROM m12 GROUP BY 1),
-         model AS (
-           SELECT bigram, (c12 * 1000000) // c1 AS p_e6
-           FROM m12 JOIN m1 ON string_split(m12.bigram, ' ')[1] = m1.w1),
-         sc AS (
-           SELECT doc_id, sum(n * p_e6)::BIGINT AS sp, sum(n)::BIGINT AS nb
-           FROM docbg JOIN model USING (bigram) GROUP BY 1)
+      s"""WITH $lmWsBigramCtes,
+         $lmChainCtes
          SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
                 coalesce(sp // nb, 0) AS lm_score_e6
          FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // the LM over the ORDERED BPE token sequence: word positions, the
+    // broadcast word->segments expansion with sub-positions, adjacency via
+    // lead over (wpos, spos) — then the identical exact-rational chain
+    "q_lm_score_bpe" ->
+      s"""WITH RECURSIVE
+         $bpeBigramCtes,
+         $lmChainCtes
+         SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
+                coalesce(sp // nb, 0) AS lm_score_e6
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "q_curriculum_bpe" ->
+      s"""WITH RECURSIVE s AS ($docStatsSql
+         ), $bpeBigramCtes,
+         $lmChainCtes,
+         $lmQuartileTail""",
     "q_passage_overlap" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          chunks AS (
@@ -2184,43 +2317,9 @@ object CurationQueries {
     // cumulative histogram — (k*n + 3) // 4 = ceil(k*n/4) from the top
     "q_curriculum" ->
       s"""WITH s AS ($docStatsSql
-         ), tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         bg AS (
-           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
-           FROM tok,
-                unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i)),
-         docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
-         m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
-         m1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
-                FROM m12 GROUP BY 1),
-         model AS (
-           SELECT bigram, (c12 * 1000000) // c1 AS p_e6
-           FROM m12 JOIN m1 ON string_split(m12.bigram, ' ')[1] = m1.w1),
-         sc AS (
-           SELECT doc_id, sum(n * p_e6)::BIGINT AS sp, sum(n)::BIGINT AS nb
-           FROM docbg JOIN model USING (bigram) GROUP BY 1),
-         d AS (
-           SELECT s.doc_id, s.lang_id, coalesce(sp // nb, 0) AS lm_score_e6
-           FROM s LEFT JOIN sc USING (doc_id)),
-         nn AS (SELECT lang_id, count(*)::BIGINT AS n FROM d GROUP BY 1),
-         h AS (SELECT lang_id, lm_score_e6 AS q, count(*)::BIGINT AS c
-               FROM d GROUP BY 1, 2),
-         cum AS (
-           SELECT lang_id, q,
-                  sum(c) OVER (PARTITION BY lang_id ORDER BY q DESC) AS cum
-           FROM h),
-         thr AS (
-           SELECT c.lang_id,
-             max(CASE WHEN c.cum >= (n.n + 3) // 4 THEN c.q END) AS t1,
-             max(CASE WHEN c.cum >= (2*n.n + 3) // 4 THEN c.q END) AS t2,
-             max(CASE WHEN c.cum >= (3*n.n + 3) // 4 THEN c.q END) AS t3
-           FROM cum c JOIN nn n USING (lang_id) GROUP BY 1)
-         SELECT d.doc_id, d.lang_id, d.lm_score_e6,
-           (CASE WHEN d.lm_score_e6 >= t.t1 THEN 1
-                 WHEN d.lm_score_e6 >= t.t2 THEN 2
-                 WHEN d.lm_score_e6 >= t.t3 THEN 3
-                 ELSE 4 END)::BIGINT AS phase
-         FROM d JOIN thr t USING (lang_id)""",
+         ), $lmWsBigramCtes,
+         $lmChainCtes,
+         $lmQuartileTail""",
     "q_mixture_weights" ->
       """WITH n AS (
            SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

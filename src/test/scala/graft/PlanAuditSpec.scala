@@ -211,6 +211,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_doc_rank" -> Set("doc_id", "text"),
       "q_bm25_topk" -> Set("doc_id", "text"),
       "q_lm_score" -> Set("doc_id", "text"),
+      "q_lm_score_bpe" -> Set("doc_id", "text"),
+      "q_curriculum_bpe" -> Set("doc_id", "text"),
       "q_data_split" -> Set("doc_id", "text"),
       "q_seq_pack" -> Set("doc_id", "text"),
       "q_seq_pack_scan" -> Set("doc_id", "text"),

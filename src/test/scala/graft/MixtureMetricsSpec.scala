@@ -55,4 +55,58 @@ class MixtureMetricsSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.keys.map(_._1).toSet.size >= 2,
       "feed must exercise several languages")
   }
+
+  /** The BPE-denominated monitor must converge to the batch
+    * `mixtureReportBpe` cells over the sf0.001 corpus when its static
+    * word→count table is the SAME one the batch query builds — and its
+    * documented OOV behavior (words outside the table count 0) must hold.
+    */
+  test("streaming BPE mixture totals equal the batch q_mixture_report_bpe cells") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val wordToks: Map[String, Long] = graft.operators.Bpe
+      .wordTokenTable(d, "text", graft.queries.TextQueries.BpeTopK)
+      .as[(String, Long)].collect().toMap
+
+    val in = MemoryStream[(Long, String, String)]
+    val metrics = MixtureMetrics.runBpe(
+      in.toDF().toDF("doc_id", "text", "source"), "text", "source", wordToks)
+    assert(metrics.isStreaming)
+
+    val latest = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    val q = metrics.writeStream.outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("mixb-ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        latest.synchronized {
+          rows.foreach(r => latest((r.getString(0), r.getString(1))) =
+            (r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .start()
+
+    val feed = d.select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq
+    feed.grouped(math.max(1, feed.size / 3)).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val expected = graft.queries.CurationQueries
+      .mixtureReportBpe(spark, sfDir)
+      .select("lang_id", "source", "n_docs", "n_bpe_tokens")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (l, s, nd, nt) => (l, s) -> (nd, nt) }.toMap
+    assert(latest.synchronized(latest.toMap) === expected)
+
+    // OOV behavior: an unknown word contributes 0 tokens, not a failure
+    val oov = MixtureMetrics.runBpe(
+      Seq((1L, "zzznotinvocab", "web")).toDF("doc_id", "text", "source"),
+      "text", "source", wordToks)
+      .as[(String, String, Long, Long)].collect()
+    assert(oov.map(_._4).sum === 0L)
+  }
 }

@@ -956,49 +956,77 @@ object CurationQueries {
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    lmScoreOfBigrams(d, d.select(col("doc_id"),
-      explode(graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("bigram")))
+    lmScoreOfBigramCounts(d, d.select(col("doc_id"),
+        explode(graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n")))
   }
 
   /** [[lmScore]] with the LM trained and evaluated over the BPE TOKEN
     * sequence — the unit a CCNet/KenLM-style quality filter actually runs
     * on (perplexity models are trained on tokenized text; the whitespace
-    * form is the oracle-checkable proxy). The ordered token stream is
-    * rebuilt exactly: word positions from one `posexplode`, each word
-    * expanded through the broadcast (word → segments) table with
-    * sub-positions, and adjacency from `lead` over (wpos, spos) — the
-    * window partitions by `doc_id`, so every sort is bounded by one
-    * document's token count, never a corpus sort. Same exact-rational
-    * scoring tail as the whitespace twin.
+    * form is the oracle-checkable proxy). The token-sequence bigrams are
+    * built WITHOUT materializing the sequence: every adjacent token pair
+    * is either INSIDE one word (derivable per DISTINCT word from the
+    * broadcast segment table — vocabulary-sized, weighted by the word's
+    * per-doc count) or ACROSS a word boundary (the word-bigram stream —
+    * the same codegen shingle fan-out as the whitespace twin — joined to
+    * the broadcast first/last-segment table). No per-document window sort,
+    * no n·segments fan-out: the corpus is touched by two narrow codegen
+    * passes and shuffled only on (doc, word)/(doc, bigram). Wall time at
+    * sf0.1 (~3.5 s) is a wash vs the posexplode+lead-window formulation it
+    * replaced — the per-(doc, bigram) scoring shuffle that any formulation
+    * pays dominates — but the plan sheds the window state and the
+    * n·segments intermediate, which is what matters at 100×. Same
+    * exact-rational scoring tail as the whitespace twin; an empty word
+    * (double space) BREAKS adjacency rather than being skipped — both
+    * engines implement that same rule.
     */
   def lmScoreBpe(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    lmScoreOfBigrams(d, bpeTokenBigrams(d))
+    lmScoreOfBigramCounts(d, bpeTokenBigramCounts(d))
   }
 
-  /** Ordered BPE-token bigrams per document (see [[lmScoreBpe]]). */
-  private def bpeTokenBigrams(d: DataFrame): DataFrame = {
+  /** Per-document BPE-token bigram counts (doc_id, bigram, n) via the
+    * intra-word + boundary decomposition (see [[lmScoreBpe]]).
+    */
+  private def bpeTokenBigramCounts(d: DataFrame): DataFrame = {
     val seg = graft.operators.Bpe.encodedVocabTable(d, "text",
       TextQueries.BpeTopK)
-    val toks = d
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
-      .join(broadcast(seg), Seq("word"))
-      .select(col("doc_id"), col("wpos"),
-        posexplode(col("toks")).as(Seq("spos", "tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("wpos").asc, col("spos").asc)
-    toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+    // each distinct word's internal adjacent segment pairs, one row per
+    // occurrence (duplicates preserved — they weight the count)
+    val intraTab = seg.filter(size(col("toks")) >= 2)
+      .select(col("word"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .as("bigram"))
+    val bounds = seg.select(col("word"),
+      col("toks").getItem(0).as("first_tok"),
+      element_at(col("toks"), -1).as("last_tok"))
+    val wordCounts = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("wn"))
+    val intra = wordCounts.join(broadcast(intraTab), Seq("word"))
+      .select(col("doc_id"), col("bigram"), col("wn"))
+    val cross = d.select(col("doc_id"),
+        explode(graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("wb"))
+      .groupBy("doc_id", "wb").agg(count(lit(1)).as("wn"))
+      .select(col("doc_id"), col("wn"),
+        split(col("wb"), " ").getItem(0).as("w1"),
+        split(col("wb"), " ").getItem(1).as("w2"))
+      .join(broadcast(bounds.select(col("word").as("w1"), col("last_tok"))), Seq("w1"))
+      .join(broadcast(bounds.select(col("word").as("w2"), col("first_tok"))), Seq("w2"))
+      .select(col("doc_id"),
+        concat(col("last_tok"), lit(" "), col("first_tok")).as("bigram"), col("wn"))
+    intra.unionByName(cross)
+      .groupBy("doc_id", "bigram").agg(sum(col("wn")).as("n"))
   }
 
   /** The bigram-LM scoring tail shared by the whitespace and BPE-token
-    * realizations: per-doc bigram counts, the corpus conditional model in
-    * exact rationals, per-doc mean probability in e6 fixed point. `bg`
-    * must carry (doc_id, bigram) with space-separated bigram halves.
+    * realizations: the corpus conditional model in exact rationals, per-doc
+    * mean probability in e6 fixed point. `docBg` must carry
+    * (doc_id, bigram, n) with space-separated bigram halves.
     */
-  private def lmScoreOfBigrams(d: DataFrame, bg: DataFrame): DataFrame = {
-    val docBg = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+  private def lmScoreOfBigramCounts(d: DataFrame, docBg: DataFrame): DataFrame = {
     val m12 = docBg.groupBy("bigram").agg(sum(col("n")).as("c12"))
     val m1 = m12.select(split(col("bigram"), " ").getItem(0).as("w1"), col("c12"))
       .groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -1820,28 +1848,46 @@ object CurationQueries {
            FROM tok,
                 unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i))"""
 
-  /** ORDERED BPE-token bigrams (terminal CTE `bg`) — mirrors
-    * [[bpeTokenBigrams]]: word positions, the word→segments expansion with
-    * sub-positions, adjacency via lead over (wpos, spos).
+  /** BPE-token bigram counts (terminal CTE `docbg`) — mirrors
+    * [[bpeTokenBigramCounts]]' intra-word + boundary decomposition: each
+    * distinct word's internal adjacent segment pairs weighted by its
+    * per-doc count, plus boundary pairs from the word-bigram stream joined
+    * to the first/last-segment table.
     */
   private lazy val bpeBigramCtes =
     s"""${TextQueries.bpeEncRecursion},
          lwt AS (SELECT word, string_split(trim(s), ' ') AS toks
                  FROM enc WHERE done),
-         luw AS (SELECT dw.doc_id, u.wpos, dw.ws[u.wpos] AS word
-                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                       FROM documents) dw,
-                      unnest(generate_series(1, len(dw.ws))) AS u(wpos)),
-         lseq AS (SELECT luw.doc_id, luw.wpos, sp.spos,
-                    lwt.toks[sp.spos] AS tok
-                  FROM luw JOIN lwt USING (word),
-                       unnest(generate_series(1, len(lwt.toks))) AS sp(spos)),
-         bg AS (SELECT doc_id, tok || ' ' || nxt AS bigram FROM (
-                  SELECT doc_id, tok,
-                         lead(tok) OVER (PARTITION BY doc_id
-                                         ORDER BY wpos, spos) AS nxt
-                  FROM lseq)
-                WHERE nxt IS NOT NULL)"""
+         lintra AS (SELECT word, toks[u.i] || ' ' || toks[u.i + 1] AS bigram
+                    FROM lwt,
+                         unnest(CASE WHEN len(toks) >= 2
+                                     THEN generate_series(1, len(toks) - 1)
+                                     ELSE [] END) AS u(i)),
+         lbnd AS (SELECT word, toks[1] AS first_tok,
+                    toks[len(toks)] AS last_tok FROM lwt),
+         lwc AS (SELECT doc_id, word, count(*)::BIGINT AS wn
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents)
+                 WHERE len(word) >= 1 GROUP BY 1, 2),
+         lwbg AS (SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2,
+                    count(*)::BIGINT AS wn
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+                       unnest(CASE WHEN len(t) >= 2
+                                   THEN generate_series(1, len(t) - 1)
+                                   ELSE [] END) AS u(i)
+                  GROUP BY 1, 2, 3),
+         docbg AS (SELECT doc_id, bigram, sum(wn)::BIGINT AS n FROM (
+                     SELECT lwc.doc_id, lintra.bigram, lwc.wn
+                     FROM lwc JOIN lintra USING (word)
+                     UNION ALL
+                     SELECT lwbg.doc_id,
+                            b1.last_tok || ' ' || b2.first_tok AS bigram,
+                            lwbg.wn
+                     FROM lwbg
+                     JOIN lbnd b1 ON b1.word = lwbg.w1
+                     JOIN lbnd b2 ON b2.word = lwbg.w2)
+                   GROUP BY 1, 2)"""
 
   /** The bigram-LM scoring chain (expects `bg`; terminal CTE `sc`) shared
     * by the whitespace and BPE realizations — ONE definition so the model
@@ -1849,8 +1895,12 @@ object CurationQueries {
     * their _bpe twins.
     */
   private lazy val lmChainCtes =
-    """docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
-         m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
+    s"""docbg AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         $lmModelTail"""
+
+  /** The model + scoring CTEs (m12..sc; expects `docbg`). */
+  private lazy val lmModelTail =
+    """m12 AS (SELECT bigram, sum(n)::BIGINT AS c12 FROM docbg GROUP BY 1),
          m1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
                 FROM m12 GROUP BY 1),
          model AS (
@@ -1996,14 +2046,14 @@ object CurationQueries {
     "q_lm_score_bpe" ->
       s"""WITH RECURSIVE
          $bpeBigramCtes,
-         $lmChainCtes
+         $lmModelTail
          SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
                 coalesce(sp // nb, 0) AS lm_score_e6
          FROM documents d LEFT JOIN sc USING (doc_id)""",
     "q_curriculum_bpe" ->
       s"""WITH RECURSIVE s AS ($docStatsSql
          ), $bpeBigramCtes,
-         $lmChainCtes,
+         $lmModelTail,
          $lmQuartileTail""",
     "q_passage_overlap" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -150,4 +150,37 @@ object ConnectedComponents {
       case None => labels
     }
   }
+
+  /** Incremental min-label union-find — the driver-side state of the
+    * STREAMING dedup-group maintainer ([[graft.streaming.GroupStream]]) and
+    * the sequential twin of [[run]]'s labeling: union attaches the larger
+    * root under the smaller, so `find` yields the component's MINIMUM id —
+    * exactly the distributed algorithm's label convention, which is what
+    * lets the streaming snapshot be compared against [[run]] row-for-row.
+    * Path-compressed; unions are IDEMPOTENT, so at-least-once redelivery of
+    * a pair batch is harmless by construction. State is O(#vertices ever
+    * seen in a pair) — the near-dup evidence, orders below the corpus.
+    */
+  final class IncrementalUnionFind {
+    private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def add(x: Long): Unit = { parent.getOrElseUpdate(x, x); () }
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else {
+        val r = find(p)
+        parent(x) = r
+        r
+      }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def size: Int = parent.size
+    /** (vertex → min-label component) for every vertex seen so far. */
+    def snapshot: Map[Long, Long] = synchronized {
+      parent.keys.toSeq.map(v => v -> find(v)).toMap
+    }
+  }
 }

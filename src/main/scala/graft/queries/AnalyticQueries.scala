@@ -403,6 +403,44 @@ object AnalyticQueries {
     * computes. Users overlap across event types, so the merged row is a true
     * union cardinality, not a sum of the per-type rows.
     */
+  /** Estimator count for the AMS F₂ sketch — enough that the estimator
+    * spread is itself visible data (the gated table carries all 16 rows,
+    * not a pre-digested median).
+    */
+  val AmsEstimators = 16
+
+  /** AMS F₂ / SELF-JOIN-SIZE sketch (Alon–Matias–Szegedy, STOC'96): estimate
+    * Σₖ nₖ² — the size of the equi-self-join on `o_custkey`, THE statistic a
+    * planner needs to price key skew BEFORE running a join — from one pass
+    * that keeps [[AmsEstimators]] signed counters instead of a per-key
+    * count table. Estimator j is Zⱼ = Σ_rows s_j(key) with s_j ∈ {−1, +1}
+    * a per-estimator sign hash; E[Zⱼ²] = F₂ exactly. All integers, so the
+    * gate checks the estimator VALUES (and each one's e4 relative error
+    * against the exact F₂ computed beside it), not just the shape. Sign
+    * hashes derive from md5 — the repo's standing replayable hash family;
+    * textbook AMS wants 4-wise independence, which md5 exceeds in practice
+    * (documented, not assumed: the per-estimator errors are in the gated
+    * table). Scale shape: a 16× narrow codegen fan-out, ONE aggregation
+    * onto 16 groups with map-side combine — the whole point of AMS is that
+    * this works in one pass at any cardinality; the exact F₂ beside it
+    * pays the per-key count shuffle the sketch avoids.
+    */
+  def qAmsSelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").cast("string").as("k"))
+    val z = o
+      .select(explode(lit((1 to AmsEstimators).toArray)).as("j"), col("k"))
+      .select(col("j"),
+        when(conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("k"))),
+          1, 1), 16, 10).cast("long") >= 8, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+      .groupBy("j").agg(sum(col("sgn")).as("z"))
+    val exact = o.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_f2"))
+    z.crossJoin(broadcast(exact)) // 1-row scalar attach (audit-exempt aggregate)
+      .select(col("j").cast("long").as("j"), (col("z") * col("z")).as("est_f2"),
+        col("exact_f2"),
+        expr("(abs(z * z - exact_f2) * 10000) div exact_f2").as("err_e4"))
+  }
+
   def qHllMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hll = new graft.functions.HllSketch(hashBits = 60)
@@ -1045,6 +1083,7 @@ object AnalyticQueries {
     "q_hll_estimate" -> (qHllEstimate _),
     "q_hll_custkeys" -> (qHllCustkeys _),
     "q_hll_merge" -> (qHllMerge _),
+    "q_ams_selfjoin" -> (qAmsSelfJoin _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "q_skew_join" -> (qSkewJoin _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
@@ -1354,6 +1393,20 @@ object AnalyticQueries {
     "q_hll_custkeys" -> hllOracleSql("orders", "o_custkey", "o_orderstatus", "est_custkeys"),
     // the 'ALL' row replays the GLOBAL register state — merge-of-mins ≡
     // min-over-union, so the engine's fold-of-5-states must hash-match it
+    // the AMS sketch replayed: same md5-nibble sign hashes, same 16
+    // estimators, exact F2 computed beside it
+    "q_ams_selfjoin" ->
+      s"""WITH o AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+          sgn AS (SELECT u.j,
+                    CASE WHEN CAST('0x' || substring(md5(u.j || ':' || k), 1, 1) AS BIGINT) >= 8
+                         THEN -1 ELSE 1 END AS s
+                  FROM o, unnest(generate_series(1, $AmsEstimators)) AS u(j)),
+          z AS (SELECT j, sum(s)::BIGINT AS z FROM sgn GROUP BY 1),
+          ex AS (SELECT sum(n * n)::BIGINT AS exact_f2
+                 FROM (SELECT count(*)::BIGINT AS n FROM o GROUP BY k))
+          SELECT j::BIGINT AS j, (z * z)::BIGINT AS est_f2, exact_f2,
+                 ((abs(z * z - exact_f2) * 10000) // exact_f2)::BIGINT AS err_e4
+          FROM z CROSS JOIN ex""",
     "q_hll_merge" ->
       s"""SELECT * FROM (${hllOracleSql("events", "user_id", "event_type", "est_users")})
           UNION ALL

@@ -441,6 +441,36 @@ object AnalyticQueries {
         expr("(abs(z * z - exact_f2) * 10000) div exact_f2").as("err_e4"))
   }
 
+  /** AMS INNER-PRODUCT join-size estimate (the binary companion of
+    * [[qAmsSelfJoin]]): |orders ⋈ lineitem on orderkey| ≈ Zᵒⱼ · Zˡⱼ with
+    * each side's signed counter built under the SAME sign hashes —
+    * E[Zᵒⱼ·Zˡⱼ] = Σₖ nᵒₖ·nˡₖ, the join cardinality a planner wants before
+    * committing to a join strategy, from one pass over EACH side and 16
+    * counters per side (neither side ever shuffles on the key; the exact
+    * count beside it pays the real per-key join). Same md5 sign family,
+    * all integers, every estimator row gated with its e4 error.
+    */
+  def qAmsJoin(s: SparkSession, dir: String): DataFrame = {
+    def z(keys: DataFrame): DataFrame = keys
+      .select(explode(lit((1 to AmsEstimators).toArray)).as("j"), col("k"))
+      .select(col("j"),
+        when(conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("k"))),
+          1, 1), 16, 10).cast("long") >= 8, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+      .groupBy("j").agg(sum(col("sgn")).as("z"))
+    val o = t(s, dir, "orders").select(col("o_orderkey").cast("string").as("k"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+    val zo = z(o).withColumnRenamed("z", "zo")
+    val zl = z(l).withColumnRenamed("z", "zl")
+    val exact = o.groupBy("k").agg(count(lit(1)).as("no"))
+      .join(l.groupBy("k").agg(count(lit(1)).as("nl")), "k")
+      .agg(sum(col("no") * col("nl")).as("exact_join"))
+    zo.join(zl, "j")
+      .crossJoin(broadcast(exact)) // 1-row scalar attach (audit-exempt)
+      .select(col("j").cast("long").as("j"), (col("zo") * col("zl")).as("est_join"),
+        col("exact_join"),
+        expr("(abs(zo * zl - exact_join) * 10000) div exact_join").as("err_e4"))
+  }
+
   def qHllMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hll = new graft.functions.HllSketch(hashBits = 60)
@@ -1084,6 +1114,7 @@ object AnalyticQueries {
     "q_hll_custkeys" -> (qHllCustkeys _),
     "q_hll_merge" -> (qHllMerge _),
     "q_ams_selfjoin" -> (qAmsSelfJoin _),
+    "q_ams_join" -> (qAmsJoin _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "q_skew_join" -> (qSkewJoin _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
@@ -1407,6 +1438,23 @@ object AnalyticQueries {
           SELECT j::BIGINT AS j, (z * z)::BIGINT AS est_f2, exact_f2,
                  ((abs(z * z - exact_f2) * 10000) // exact_f2)::BIGINT AS err_e4
           FROM z CROSS JOIN ex""",
+    // the inner-product estimator: per-side signed counters under the same
+    // hashes, exact join cardinality computed beside it
+    "q_ams_join" ->
+      s"""WITH ok AS (SELECT o_orderkey::VARCHAR AS k FROM orders),
+          lk AS (SELECT l_orderkey::VARCHAR AS k FROM lineitem),
+          zo AS (SELECT u.j, sum(CASE WHEN CAST('0x' || substring(md5(u.j || ':' || k), 1, 1) AS BIGINT) >= 8
+                                      THEN -1 ELSE 1 END)::BIGINT AS zo
+                 FROM ok, unnest(generate_series(1, $AmsEstimators)) AS u(j) GROUP BY 1),
+          zl AS (SELECT u.j, sum(CASE WHEN CAST('0x' || substring(md5(u.j || ':' || k), 1, 1) AS BIGINT) >= 8
+                                      THEN -1 ELSE 1 END)::BIGINT AS zl
+                 FROM lk, unnest(generate_series(1, $AmsEstimators)) AS u(j) GROUP BY 1),
+          ex AS (SELECT sum(no * nl)::BIGINT AS exact_join FROM
+                   (SELECT k, count(*)::BIGINT AS no FROM ok GROUP BY 1) a
+                 JOIN (SELECT k, count(*)::BIGINT AS nl FROM lk GROUP BY 1) b USING (k))
+          SELECT zo.j::BIGINT AS j, (zo.zo * zl.zl)::BIGINT AS est_join, exact_join,
+                 ((abs(zo.zo * zl.zl - exact_join) * 10000) // exact_join)::BIGINT AS err_e4
+          FROM zo JOIN zl USING (j) CROSS JOIN ex""",
     "q_hll_merge" ->
       s"""SELECT * FROM (${hllOracleSql("events", "user_id", "event_type", "est_users")})
           UNION ALL

@@ -16,6 +16,8 @@ import duckdb, hashlib, json, sys
 import pandas as pd
 
 sfdir, out = sys.argv[1], sys.argv[2]
+# optional 3rd arg: comma-separated query-name filter (fast local iteration)
+only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 
 def driver_hash(df):
     """The external driver's view: sort columns by name, lexsort rows, hash
@@ -37,6 +39,8 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
 oracle = json.load(open(f'{out}/oracle_sql.json', encoding='utf-8'))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         con.sql(f"CREATE OR REPLACE VIEW _spark AS SELECT * FROM '{out}/{name}/*.parquet'")
         # temp TABLE, not view: the oracle SQL (expensive for the all-pairs

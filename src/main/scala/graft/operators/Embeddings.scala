@@ -583,6 +583,107 @@ object Embeddings {
       ivfNearDupPairs(vectors, numCentroids, nAssign, threshold))
   }
 
+  /** Seed kNN GRAPH from multi-probe IVF buckets — stage one of graph-based
+    * ANN index construction (the HNSW/NN-Descent family next to the
+    * IVF/PQ/SRP probe families): every vector's provisional top-`k`
+    * neighbors are found inside its `nAssign` nearest centroid buckets
+    * ([[ivfMultiAssign]]), so the seed costs Σ_bucket |bucket|² scored pairs
+    * (sub-quadratic under balanced buckets — the same blocking story as
+    * [[ivfNearDupPairsWith]], same hot-bucket cap/salt caveat).
+    *
+    * `nAssign` ≥ 2 is LOAD-BEARING for the descent round, not a recall
+    * tweak: a SINGLE-assignment cell blocking is transitively closed (u~v
+    * and v~w force u, v, w into one shared cell, whose pairs the seed
+    * already scored exhaustively), so NN-Descent over it can never surface
+    * a new candidate — measured: round-1 recall is bit-identical to the
+    * seed's. Overlapping buckets break the closure: a two-hop path can
+    * cross buckets through a pivot assigned to both, which is exactly the
+    * candidate class the descent round exists to harvest.
+    *
+    * Candidate pairs are deduped BEFORE the expensive scoring join (a pair
+    * can share several buckets, and a duplicate surviving into the top-k
+    * heap would seat the same neighbor twice). Output: (query_id,
+    * neighbor_id, rank), rank by (cosine DESC, id ASC) via the bounded
+    * [[graft.functions.TopK]] heap — never a full per-node sort.
+    */
+  def knnGraphSeed(vectors: DataFrame, centroids: DataFrame, nAssign: Int,
+                   k: Int): DataFrame = {
+    val asg = ivfMultiAssign(vectors, centroids, nAssign)
+    val cands = asg.alias("x")
+      .join(asg.alias("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val a = vectors.select(col("vec_id").as("query_id"),
+      col("embedding").as("a_emb"), l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"), l2Norm(col("embedding")).as("b_norm"))
+    val scored = cands.join(a, "query_id").join(b, "neighbor_id")
+      .withColumn("score",
+        dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+    topKPerQuery(scored, k)
+  }
+
+  /** One NN-DESCENT refinement round (Dong, Moses & Li, WWW'11) over a kNN
+    * graph: the key empirical fact of similarity graphs is that "a neighbor
+    * of a neighbor is likely a neighbor", so each round considers, per node,
+    * its current neighbors plus every two-hop path through the UNDIRECTED
+    * edge set (forward ∪ reverse edges — reverse links are what let a node
+    * stranded in a bad seed cell be found by nodes that chose it), rescores
+    * the candidates with the exact cosine, and keeps the top `k`.
+    *
+    * Every step is an equi-join: the two-hop expansion joins the undirected
+    * edge list to itself on the pivot node (Σ_w deg(w)² candidate pairs,
+    * deg ≤ 2k after the union, so O(n·k²) per round — independent of corpus
+    * pair count), `distinct` dedupes candidate pairs before the expensive
+    * scoring join, and the rescore joins candidates to the vector table on
+    * each endpoint. No all-pairs stage anywhere: at 100 TB the round is three
+    * shuffles of O(n·k²) rows. Skew: a graph hub's degree is capped at 2k by
+    * construction, so the pivot join cannot hot-spot beyond 4k² rows/node.
+    * Convergence in practice is 3-5 rounds from an LSH/IVF seed; each round
+    * is this same plan, so rounds chain with a [[Lineage]] cut per round like
+    * ConnectedComponents.
+    */
+  def nnDescentRound(vectors: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    val edges = graph.select(col("query_id").as("u"), col("neighbor_id").as("v"))
+    val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val twoHop = und.alias("x").join(und.alias("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("query_id"), col("y.v").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val cands = edges.select(col("u").as("query_id"), col("v").as("neighbor_id"))
+      .union(twoHop).distinct()
+    val a = vectors.select(col("vec_id").as("query_id"),
+      col("embedding").as("a_emb"), l2Norm(col("embedding")).as("a_norm"))
+    val b = vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"), l2Norm(col("embedding")).as("b_norm"))
+    val scored = cands.join(a, "query_id").join(b, "neighbor_id")
+      .withColumn("score",
+        dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+    topKPerQuery(scored, k)
+  }
+
+  /** Per-stage graph recall vs the exact kNN of a deterministic 1/`mod` node
+    * sample (the [[ivfNearDupRecallSampled]] economics: the brute-force
+    * baseline runs only on sample×corpus while the graph under measurement
+    * covers the full corpus). Output: one (stage, hits, total) row per named
+    * graph — integers, so the measured payoff of each descent round is
+    * hash-checkable data.
+    */
+  def knnGraphRecall(vectors: DataFrame, stages: Seq[(String, DataFrame)],
+                     k: Int, mod: Int, rem: Int): DataFrame = {
+    val sample = vectors.filter(pmod(col("vec_id"), lit(mod)) === rem)
+    val exact = knnExact(vectors, sample, k)
+      .select(col("query_id"), col("neighbor_id"))
+    stages.map { case (label, g) =>
+      exact.alias("e")
+        .join(g.select(col("query_id"), col("neighbor_id")).alias("a"),
+          col("e.query_id") === col("a.query_id") &&
+            col("e.neighbor_id") === col("a.neighbor_id"), "left")
+        .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+        .select(lit(label).as("stage"), col("hits"), col("total"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sign-random-projection (hyperplane) LSH — the second blocking family
     * next to IVF, and the embedding-space analogue of SimHash: each vector is
     * reduced to `nBits` sign bits (bit j = sign of the dot with hyperplane j),

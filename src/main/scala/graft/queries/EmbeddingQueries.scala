@@ -396,7 +396,54 @@ object EmbeddingQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Node-sample modulus/remainder for the NN-Descent recall gate: the exact
+    * brute-force baseline runs only on the 1-in-[[NnSampleMod]] node sample
+    * (sample×corpus, linear) while the graph under measurement covers the
+    * full corpus — the [[RecallSampleMod]] economics applied to graph ANN.
+    */
+  val NnSampleMod = 25
+  val NnSampleRem = 3
+
+  /** Seed-graph probe width: ≥ 2 is load-bearing — a single-assignment cell
+    * seed is transitively closed, so the descent round could never add a
+    * candidate (see [[Embeddings.knnGraphSeed]]).
+    */
+  val NnSeedAssign = 2
+
+  private def nnSeed(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.knnGraphSeed(v, v.filter(col("vec_id") < NumCentroids),
+      NnSeedAssign, K)
+  }
+
+  /** `q_nndescent_graph`: the corpus kNN graph after ONE NN-Descent round
+    * over the IVF-cell seed — graph-based ANN index construction (the
+    * HNSW-family substrate) as a gated table: (node_id, neighbor_id, rank),
+    * every edge rescored with the exact cosine so the full 20k-edge graph is
+    * hash-checkable (see [[Embeddings.nnDescentRound]] for the per-round
+    * O(n·k²) equi-join plan).
+    */
+  def nnDescentGraph(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.nnDescentRound(vectors(spark, dir), nnSeed(spark, dir), K)
+      .select(col("query_id").as("node_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+
+  /** `q_nndescent_recall`: the descent round's measured payoff — top-[[K]]
+    * recall of the seed graph vs the round-1 graph against the exact kNN of
+    * the deterministic node sample, as integer (stage, hits, total) rows.
+    * The improvement (seed → round1) is driver-checked data, not a claim.
+    */
+  def nnDescentRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val seed = nnSeed(spark, dir)
+    val r1 = Embeddings.nnDescentRound(v, seed, K)
+    Embeddings.knnGraphRecall(v, Seq("seed" -> seed, "round1" -> r1), K,
+      NnSampleMod, NnSampleRem)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nndescent_graph" -> (nnDescentGraph _),
+    "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
     "q_srp_recall" -> (srpNearDupRecall _),
     "q_srp_mp_neardup" -> (srpMpNearDup _),
@@ -924,7 +971,83 @@ object EmbeddingQueries {
                   / (na.nm * nb.nm) >= $NearDupThreshold)
      """
 
+  /** NN-Descent replayed on [[base]]'s `v`/`nrm`/`assign` CTEs: `seed` =
+    * within-cell top-K (same cosine, same (score DESC, id ASC) tie-break as
+    * the Spark TopK heap), `und` = forward ∪ reverse edges, `cand` = current
+    * edges UNION two-hop paths (SQL UNION dedupes exactly like the Spark
+    * `.union(...).distinct()`), `round1` = rescored top-K over candidates.
+    */
+  private val nnCtes =
+    s""", massign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> v.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM v CROSS JOIN c
+            JOIN nrm nv ON nv.vec_id = v.vec_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn <= $NnSeedAssign),
+        scand AS (SELECT DISTINCT a.vec_id AS node_id, b.vec_id AS neighbor_id
+                  FROM massign a JOIN massign b
+                    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        seed AS (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT sc.node_id, sc.neighbor_id,
+              row_number() OVER (PARTITION BY sc.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, sc.neighbor_id ASC) AS rank
+            FROM scand sc
+            JOIN v va ON va.vec_id = sc.node_id
+            JOIN v vb ON vb.vec_id = sc.neighbor_id
+            JOIN nrm na ON na.vec_id = sc.node_id
+            JOIN nrm nb ON nb.vec_id = sc.neighbor_id)
+          WHERE rank <= $K),
+        und AS (SELECT node_id AS u, neighbor_id AS w FROM seed
+                UNION ALL SELECT neighbor_id, node_id FROM seed),
+        cand AS (SELECT node_id, neighbor_id FROM seed
+                 UNION
+                 SELECT x.u AS node_id, y.w AS neighbor_id
+                 FROM und x JOIN und y ON x.w = y.u WHERE x.u <> y.w),
+        round1 AS (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT cd.node_id, cd.neighbor_id,
+              row_number() OVER (PARTITION BY cd.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, cd.neighbor_id ASC) AS rank
+            FROM cand cd
+            JOIN v va ON va.vec_id = cd.node_id
+            JOIN v vb ON vb.vec_id = cd.neighbor_id
+            JOIN nrm na ON na.vec_id = cd.node_id
+            JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
+          WHERE rank <= $K),
+        nn_sample AS (SELECT vec_id AS query_id, e AS qe FROM v
+                      WHERE vec_id % $NnSampleMod = $NnSampleRem),
+        nn_exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY s.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> s.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+            FROM nn_sample s JOIN v ON v.vec_id <> s.query_id
+            JOIN nrm nq ON nq.vec_id = s.query_id
+            JOIN nrm nv ON nv.vec_id = v.vec_id)
+          WHERE rank <= $K)
+     """
+
   val oracleSql: Map[String, String] = Map(
+    "q_nndescent_graph" -> (base + nnCtes +
+      "SELECT node_id, neighbor_id, rank::BIGINT AS rank FROM round1"),
+    "q_nndescent_recall" -> (base + nnCtes +
+      """SELECT 'seed' AS stage, count(s.neighbor_id)::BIGINT AS hits,
+                count(*)::BIGINT AS total
+         FROM nn_exact e LEFT JOIN seed s
+           ON s.node_id = e.query_id AND s.neighbor_id = e.neighbor_id
+         UNION ALL
+         SELECT 'round1' AS stage, count(r.neighbor_id)::BIGINT AS hits,
+                count(*)::BIGINT AS total
+         FROM nn_exact e LEFT JOIN round1 r
+           ON r.node_id = e.query_id AND r.neighbor_id = e.neighbor_id"""),
     "q_srp_neardup" -> (srpBase + "SELECT vec_a, vec_b FROM srp_pairs"),
     "q_srp_recall" -> (srpBase +
       """SELECT count(l.vec_a) AS hits, count(*) AS total

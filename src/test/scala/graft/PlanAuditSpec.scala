@@ -74,7 +74,12 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-centroid assignment probe (C = 16), behind per-round
     // Lineage cuts the withoutCuts walk sees through; the recall twin adds
     // the knnExact broadcast-query probe every recall gate carries
-    "q_ivf_conv_quality", "q_ivf_conv_recall")
+    "q_ivf_conv_quality", "q_ivf_conv_recall",
+    // NN-Descent: the seed graph's lineage starts at the same O(n·C)
+    // broadcast-centroid assignment probe (C = 16); the recall gate adds
+    // the knnExact broadcast-sample probe. The descent round itself is
+    // pure equi-joins (see Embeddings.nnDescentRound).
+    "q_nndescent_graph", "q_nndescent_recall")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

@@ -129,3 +129,31 @@ final class KmvSketch(k: Int, hashBits: Int = 64)
 
   def column: TypedColumn[Long, Long] = this.toColumn.name("kmv_estimate")
 }
+
+/** [[KmvSketch]] finishing to the sketch CONTENT — the sorted k smallest
+  * distinct hashes, un-flipped back to the raw hash domain — instead of the
+  * cardinality estimate. This is the mergeable STATE the KMV set-operation
+  * estimators consume (union/intersection/Jaccard between groups are
+  * computed from the k-min sets, never from raw keys — the same
+  * state-materialization move as [[HllSketchState]]): k longs per group
+  * regardless of group size, so pairwise set ops over G groups cost
+  * O(G²·k) on already-aggregated rows.
+  *
+  * Same zero/reduce/merge as [[KmvSketch]] (delegated), so the state is
+  * merge-safe under any partitioning; with `hashBits` ≤ 62 every value is
+  * non-negative and DuckDB replays the identical sketch via a per-group
+  * `row_number() <= k` over the distinct hashes.
+  */
+final class KmvSketchState(k: Int, hashBits: Int = 64)
+    extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+  private val inner = new KmvSketch(k, hashBits)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], hash: Long): Array[Long] = inner.reduce(buf, hash)
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  def finish(buf: Array[Long]): Array[Long] =
+    inner.canonical(buf).map(_ ^ Long.MinValue)
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

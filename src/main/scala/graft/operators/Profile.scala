@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic table profiling — the data-quality sweep an ingest pipeline runs
+  * over every new source before it is allowed into the mixture: one row per
+  * column with its null count and exact distinct cardinality (plus the row
+  * count), all integers, so the whole profile is hash-checkable.
+  *
+  * Plan shape: ONE aggregation job over the table. Multiple distinct
+  * aggregates plan through Catalyst's Expand (a #columns-way fan-out with
+  * per-partition partial DEDUP before the shuffle, so shuffle volume is the
+  * sum of per-partition distinct values, not #columns × rows). That is the
+  * standard exact one-job profile; at 100 TB cardinalities swap to the
+  * [[graft.functions.HllSketch]] estimator (same output schema, one ordinary
+  * aggregate, no Expand) exactly as `q_hll_merge` demonstrates — the exact
+  * form stays the oracle the estimator is priced against.
+  *
+  * The single profile row is then unpivoted driver-lightly with `stack` (a
+  * Generate over ONE row — no per-row re-evaluation hazard).
+  */
+object Profile {
+
+  def tableProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"))) :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', __nn_$c, __nd_$c").mkString(", ")
+    row.select(col("__rows").as("n_rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
+}

@@ -354,6 +354,76 @@ object AnalyticQueries {
       .toDF("event_type", "est_users")
   }
 
+  /** KMV SET-OPERATION estimators (theta-sketch-style), driver-checked: for
+    * every unordered pair of order statuses, the estimated UNION and
+    * INTERSECTION cardinalities of their customer sets — computed from the
+    * k-min sketch STATES alone ([[graft.functions.KmvSketchState]], k = 64
+    * longs per group), never from raw keys — beside the exact quantities and
+    * e4 relative errors, so the estimator's accuracy is gated data (the
+    * `q_ams_*` pattern).
+    *
+    * Math (Beyer et al. / theta sketches): the union's k-min set is the k
+    * smallest of the two sketches' union, θ its k-th value; est_union =
+    * round((k−1) / (θ/2^60)) — the [[qKmvEstimate]] estimator verbatim. Any
+    * union k-min below θ that belongs to set A must appear in A's sketch
+    * (θ ≤ A's own k-th min), so p = |unionK ∩ skA ∩ skB| is the unbiased
+    * intersection tally and est_inter = p·est_union/m (integer floor, both
+    * engines truncate). When the union holds < k distinct hashes the sketch
+    * IS the set and both estimates are exact. ~1.4k customers per status at
+    * sf0.01 ≫ k, so the ESTIMATING branch is what the gate hashes.
+    *
+    * Scale: one bounded-state aggregation over orders (map-side combined),
+    * then a G×G pair join on G=3 SKETCH rows — O(G²·k) on post-aggregation
+    * data, independent of table size (the BNLJ the audit allowlists here is
+    * over group-cardinality rows, the same bounded-broadcast argument as the
+    * centroid probes). The exact side joins distinct (status, custkey) rows
+    * on custkey — an equi-join, present only to price the estimator.
+    */
+  def qKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val st = new graft.functions.KmvSketchState(k, hashBits = 60)
+    val d = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_custkey").as("u"))
+    val sk = d.select(col("status"),
+        graft.operators.TextDedup.tokenHash60(col("u").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(st.toColumn.name("sk")).toDF("status", "sk")
+    val est = sk.select(col("status").as("type_a"), col("sk").as("sk_a"))
+      .join(sk.select(col("status").as("type_b"), col("sk").as("sk_b")),
+        col("type_a") < col("type_b"))
+      .withColumn("uni", array_sort(array_union(col("sk_a"), col("sk_b"))))
+      .withColumn("nu", size(col("uni")).cast("long"))
+      .withColumn("m", least(col("nu"), lit(k.toLong)))
+      .withColumn("theta", element_at(col("uni"), col("m").cast("int")))
+      .withColumn("p", size(array_intersect(
+        slice(col("uni"), lit(1), col("m").cast("int")),
+        array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      .withColumn("est_union", when(col("nu") < k, col("nu"))
+        .otherwise(round(lit((k - 1).toDouble)
+          / (col("theta").cast("double") / lit(math.pow(2.0, 60)))).cast("long")))
+      .withColumn("est_inter", expr("p * est_union div m"))
+      .select("type_a", "type_b", "est_union", "est_inter")
+    val dd = d.distinct()
+    val sizes = dd.groupBy("status").agg(count(lit(1)).as("n"))
+    val ex = dd.select(col("status").as("type_a"), col("u"))
+      .join(dd.select(col("status").as("type_b"), col("u")), "u")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+    est.join(ex, Seq("type_a", "type_b"), "left")
+      .join(sizes.select(col("status").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("status").as("type_b"), col("n").as("n_b")), "type_b")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
+      .withColumn("err_union_e4",
+        expr("abs(est_union - exact_union) * 10000 div exact_union"))
+      .withColumn("err_inter_e4", when(col("exact_inter") === 0, lit(-1L))
+        .otherwise(expr("abs(est_inter - exact_inter) * 10000 div exact_inter")))
+      .select("type_a", "type_b", "est_union", "est_inter",
+        "exact_union", "exact_inter", "err_union_e4", "err_inter_e4")
+  }
+
   /** The HLL ESTIMATING regime, driver-checked: the fixed-2-KiB-state tier
     * below KMV — 256 registers of min-remainder over the same 60-bit hashes,
     * so DuckDB replays register state (`min(hv // 256)` per `hv % 256`
@@ -1083,9 +1153,20 @@ object AnalyticQueries {
           .cast("long").as("touched"): _*)
   }
 
+  /** `q_table_profile`: the generic per-column profile
+    * ([[graft.operators.Profile.tableProfile]]) over lineitem — null counts,
+    * exact distinct cardinalities, row count; the source acceptance sweep as
+    * gated integers. The operator derives everything from `df.columns`, so
+    * the same call profiles ANY table; the oracle enumerates lineitem's
+    * columns literally.
+    */
+  def qTableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.tableProfile(t(s, dir, "lineitem"))
+
   // -------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_profile" -> (qTableProfile _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zorder3_layout" -> (qZorder3Layout _),
     "q_zorder_prune" -> (qZorderPrune _),
@@ -1119,6 +1200,7 @@ object AnalyticQueries {
     "q_string_funcs" -> (qStringFuncs _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_estimate" -> (qKmvEstimate _),
+    "q_kmv_setops" -> (qKmvSetops _),
     "q_hll_estimate" -> (qHllEstimate _),
     "q_hll_custkeys" -> (qHllCustkeys _),
     "q_hll_merge" -> (qHllMerge _),
@@ -1181,6 +1263,16 @@ object AnalyticQueries {
        FROM s"""
 
   val oracleSql: Map[String, String] = Map(
+    // one global-aggregate block per column, unioned — the literal twin of
+    // the operator's single Expand aggregation + stack unpivot
+    "q_table_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate").map(c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+              count(DISTINCT $c)::BIGINT AS n_distinct FROM lineitem""")
+        .mkString(" UNION ALL "),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1425,6 +1517,48 @@ object AnalyticQueries {
                      ELSE CAST(round(63 / (hv / 1152921504606846976.0)) AS BIGINT)
                 END AS est_users
          FROM r WHERE rn = least(nd, 64)""",
+    // the KMV set-op estimators replayed: same 60-bit hashes, per-status
+    // k-min sketch via row_number, union k-mins + theta + intersection tally
+    // per pair, the qKmvEstimate density formula, exact side from raw keys
+    "q_kmv_setops" ->
+      """WITH h AS (SELECT DISTINCT o_orderstatus AS st,
+               CAST('0x' || substring(md5(o_custkey::VARCHAR), 1, 15) AS BIGINT) AS hv
+             FROM orders),
+          r AS (SELECT st, hv, row_number() OVER (PARTITION BY st ORDER BY hv) AS rn FROM h),
+          sk AS (SELECT st, hv FROM r WHERE rn <= 64),
+          tps AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+          prs AS (SELECT a.st AS type_a, b.st AS type_b FROM tps a JOIN tps b ON a.st < b.st),
+          u AS (SELECT p.type_a, p.type_b, s.hv,
+                  bool_or(s.st = p.type_a) AS in_a, bool_or(s.st = p.type_b) AS in_b
+                FROM prs p JOIN sk s ON s.st IN (p.type_a, p.type_b)
+                GROUP BY 1, 2, 3),
+          ur AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn,
+                   count(*) OVER (PARTITION BY type_a, type_b) AS nu FROM u),
+          stats AS (SELECT type_a, type_b, max(nu) AS nu,
+                  max(CASE WHEN rn = least(nu, 64) THEN hv END) AS theta,
+                  sum(CASE WHEN rn <= least(nu, 64) AND in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS p
+                FROM ur GROUP BY 1, 2),
+          e2 AS (SELECT type_a, type_b,
+                  CASE WHEN nu < 64 THEN nu::BIGINT
+                       ELSE CAST(round(63 / (theta / 1152921504606846976.0)) AS BIGINT)
+                  END AS est_union,
+                  least(nu, 64)::BIGINT AS m, p FROM stats),
+          e3 AS (SELECT type_a, type_b, est_union, (p * est_union) // m AS est_inter FROM e2),
+          d AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS u FROM orders),
+          c AS (SELECT st, count(*)::BIGINT AS n FROM d GROUP BY 1),
+          ei AS (SELECT a.st AS type_a, b.st AS type_b, count(*)::BIGINT AS exact_inter
+                 FROM d a JOIN d b ON a.u = b.u AND a.st < b.st GROUP BY 1, 2)
+          SELECT e3.type_a, e3.type_b, est_union, est_inter,
+                 (ca.n + cb.n - coalesce(ei.exact_inter, 0)) AS exact_union,
+                 coalesce(ei.exact_inter, 0) AS exact_inter,
+                 (abs(est_union - (ca.n + cb.n - coalesce(ei.exact_inter, 0))) * 10000)
+                   // (ca.n + cb.n - coalesce(ei.exact_inter, 0)) AS err_union_e4,
+                 CASE WHEN coalesce(ei.exact_inter, 0) = 0 THEN CAST(-1 AS BIGINT)
+                      ELSE (abs(est_inter - ei.exact_inter) * 10000) // ei.exact_inter
+                 END AS err_inter_e4
+          FROM e3 LEFT JOIN ei ON ei.type_a = e3.type_a AND ei.type_b = e3.type_b
+          JOIN c ca ON ca.st = e3.type_a
+          JOIN c cb ON cb.st = e3.type_b""",
     // the HLL estimator replayed in SQL: per-register min remainder, exact
     // integer harmonic sum (2^sigbits terms via bin()), one multiply + one
     // divide by the 2^69 scale, linear counting under the 2.5m threshold —

@@ -142,4 +142,50 @@ class KmvSketchSpec extends SparkSpec {
     assert(est === expected)
     assert(est === (7L << 51), s"7 / (512 / 2^60) must be exact; got $est")
   }
+
+  /** [[graft.functions.KmvSketchState]] (the set-op state): finish must be
+    * the sorted k smallest DISTINCT raw hashes, duplicate-insensitive and
+    * merge-split-invariant — the contract the pairwise union/intersection
+    * math in `q_kmv_setops` consumes.
+    */
+  test("property: state finish = sorted k-min distinct raw hashes, merge-safe") {
+    val k = 16
+    val st = new graft.functions.KmvSketchState(k, hashBits = 60)
+    def stateOf(xs: Seq[Long]): Array[Long] =
+      xs.foldLeft(st.zero)((b, v) => st.reduce(b, v))
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))
+    check(Prop.forAll(gen) { xs: List[Long] =>
+      val expected = xs.distinct.sorted.take(k).toArray
+      val serial = st.finish(stateOf(xs))
+      val viaMerge = (1 until math.min(xs.size, 6)).forall { cut =>
+        val (l, r) = xs.splitAt(cut)
+        java.util.Arrays.equals(
+          st.finish(st.merge(stateOf(l), stateOf(r))), expected)
+      }
+      java.util.Arrays.equals(serial, expected) &&
+        java.util.Arrays.equals(st.finish(stateOf(xs ++ xs)), expected) &&
+        viaMerge
+    })
+  }
+
+  /** The set-op estimators in the EXACT regime (union < k): p/m·est_union
+    * degenerates to the true intersection and union — pinned on a hand case
+    * so the estimator formula's exact branch can't drift.
+    */
+  test("set-op math is exact when the union fits the sketch") {
+    val k = 16
+    val st = new graft.functions.KmvSketchState(k, hashBits = 60)
+    def stateOf(xs: Seq[Long]): Array[Long] =
+      xs.foldLeft(st.zero)((b, v) => st.reduce(b, v))
+    val a = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val b = Seq(4L, 5L, 6L, 7L, 8L)
+    val skA = st.finish(stateOf(a))
+    val skB = st.finish(stateOf(b))
+    val uni = (skA ++ skB).distinct.sorted
+    val m = math.min(uni.length, k)
+    val p = uni.take(m).count(v => skA.contains(v) && skB.contains(v))
+    val estUnion = if (uni.length < k) uni.length.toLong else fail("not exact regime")
+    assert(estUnion === 8L)
+    assert(p * estUnion / m === 3L)
+  }
 }

@@ -79,7 +79,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-centroid assignment probe (C = 16); the recall gate adds
     // the knnExact broadcast-sample probe. The descent round itself is
     // pure equi-joins (see Embeddings.nnDescentRound).
-    "q_nndescent_graph", "q_nndescent_recall")
+    "q_nndescent_graph", "q_nndescent_recall",
+    // KMV set ops: the G×G pair join runs on G=3 POST-AGGREGATION sketch
+    // rows (one per order status) — bounded by group cardinality, not data
+    // volume; the raw-key side of the query is all equi-joins.
+    "q_kmv_setops")
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)

@@ -473,11 +473,11 @@ object AnalyticQueries {
     * computes. Users overlap across event types, so the merged row is a true
     * union cardinality, not a sum of the per-type rows.
     */
-  /** Estimator count for the AMS F₂ sketch — enough that the estimator
-    * spread is itself visible data (the gated table carries all 16 rows,
-    * not a pre-digested median).
+  /** Estimator count for the AMS F₂ sketch (single-sourced from
+    * [[graft.operators.Ams.Estimators]] — the streaming monitor shares the
+    * counter build).
     */
-  val AmsEstimators = 16
+  val AmsEstimators: Int = graft.operators.Ams.Estimators
 
   /** AMS F₂ / SELF-JOIN-SIZE sketch (Alon–Matias–Szegedy, STOC'96): estimate
     * Σₖ nₖ² — the size of the equi-self-join on `o_custkey`, THE statistic a
@@ -506,25 +506,15 @@ object AnalyticQueries {
         expr("(abs(z * z - exact_f2) * 10000) div exact_f2").as("err_e4"))
   }
 
-  /** The [[AmsEstimators]] signed counters of one key stream, from ONE md5
-    * digest per row: estimator j's sign is hex digit j of the digest (16
-    * nibbles of one 128-bit hash — the practical "split one strong hash"
-    * family). The digest is its own projection and the 16 estimators are
-    * 16 conditional SUM aggregates over it — one codegen pass, map-side
-    * combine, NO row fan-out (the per-(row, estimator) md5 formulation
-    * this replaced measured 7.2 s on the sf0.1 lineitem side; this one
-    * ~1 s). The 1-row aggregate unpivots to (j, z) via `stack`.
+  /** The [[AmsEstimators]] signed counters of one key stream — delegated to
+    * the shared [[graft.operators.Ams.zCounters]] (one md5 digest per row in
+    * its own projection, 16 conditional SUM aggregates, NO row fan-out: the
+    * per-(row, estimator) md5 formulation this replaced measured 7.2 s on
+    * the sf0.1 lineitem side, this one ~1 s; the streaming monitor runs the
+    * identical plan in update mode).
     */
-  private def amsZ(keys: DataFrame): DataFrame = {
-    val h = keys.select(md5(col("k").cast("string")).as("h"))
-    val aggs = (1 to AmsEstimators).map(j =>
-      sum(when(conv(substring(col("h"), j, 1), 16, 10).cast("long") >= 8,
-        lit(-1L)).otherwise(lit(1L))).as(s"z$j"))
-    h.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack($AmsEstimators, " +
-        (1 to AmsEstimators).map(j => s"${j}L, z$j").mkString(", ") +
-        ") AS (j, z)"))
-  }
+  private def amsZ(keys: DataFrame): DataFrame =
+    graft.operators.Ams.zCounters(keys)
 
   /** AMS INNER-PRODUCT join-size estimate (the binary companion of
     * [[qAmsSelfJoin]]): |orders ⋈ lineitem on orderkey| ≈ Zᵒⱼ · Zˡⱼ with

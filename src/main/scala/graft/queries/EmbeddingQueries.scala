@@ -453,7 +453,30 @@ object EmbeddingQueries {
       NnSampleMod, NnSampleRem)
   }
 
+  /** Matryoshka prefix widths the recall ladder prices (vs the full 64). */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** `q_mrl_recall`: top-[[K]] recall of prefix-dimension cosine rankings
+    * ([[Embeddings.knnExactPrefix]]) against the full-dim exact ranking, one
+    * integer (dim, hits, total) row per tier — the cost/recall curve behind
+    * a Matryoshka serving-tier choice, as gated data.
+    */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir); val q = queryVectors(spark, dir)
+    val exact = Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id"))
+    MrlDims.map { d =>
+      exact.alias("e")
+        .join(Embeddings.knnExactPrefix(v, q, K, d)
+            .select(col("query_id"), col("neighbor_id")).alias("a"),
+          col("e.query_id") === col("a.query_id") &&
+            col("e.neighbor_id") === col("a.neighbor_id"), "left")
+        .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+        .select(lit(d.toLong).as("dim"), col("hits"), col("total"))
+    }.reduce(_.unionByName(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mrl_recall" -> (mrlRecall _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1065,7 +1088,29 @@ object EmbeddingQueries {
           WHERE rank <= $K)
      """
 
+  /** Per-tier Matryoshka rankings on [[base]]'s `v`/`q`: the same sequential
+    * prefix dot and prefix norms (a/(b·c) grouping) as the Spark slice form.
+    */
+  private lazy val mrlCtes: String = MrlDims.map { d =>
+    s""", mrl$d AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, ${d + 1}), i -> q.qe[i]*v.e[i]))
+                  / (sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> q.qe[i]*q.qe[i])))
+                    * sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> v.e[i]*v.e[i]))))) DESC,
+                v.vec_id ASC) AS rank
+            FROM q JOIN v ON v.vec_id <> q.query_id)
+          WHERE rank <= $K)"""
+  }.mkString
+
   val oracleSql: Map[String, String] = Map(
+    "q_mrl_recall" -> (base + mrlCtes + MrlDims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, count(m.neighbor_id)::BIGINT AS hits,
+                 count(*)::BIGINT AS total
+          FROM exact e LEFT JOIN mrl$d m
+            ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id""")
+      .mkString(" UNION ALL ")),
     "q_nndescent_graph" -> (base + nnCtes +
       "SELECT node_id, neighbor_id, rank::BIGINT AS rank FROM round1"),
     "q_nndescent_recall" -> (base + nnCtes +

@@ -475,8 +475,44 @@ object EmbeddingQueries {
     }.reduce(_.unionByName(_))
   }
 
+  /** Two-stage Matryoshka serving constants: prefix width of the cheap wide
+    * scan and its candidate depth (the full-dim rerank then cuts to [[K]]).
+    */
+  val MrlServeDim = 16
+  val MrlServeR = 50
+
+  /** `q_mrl_rerank`: the PRODUCTION Matryoshka path — prefix-[[MrlServeDim]]
+    * cosine scan keeps [[MrlServeR]] candidates (paying dim/D of the scan),
+    * the full-dim exact rerank ([[Embeddings.exactRerank]], point-lookup
+    * joins into the vector store) re-scores only queries×R rows and cuts to
+    * [[K]] — the same two-stage economics as `q_ivfpq_rerank`, with the
+    * cheap representation a prefix instead of a code.
+    */
+  def mrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir); val q = queryVectors(spark, dir)
+    Embeddings.exactRerank(v, q,
+      Embeddings.knnExactPrefix(v, q, MrlServeR, MrlServeDim), K)
+  }
+
+  /** `q_mrl_rerank_recall`: the two-stage path's recall vs the exact top-K —
+    * compare with `q_mrl_recall`'s dim-16 row to see what the rerank stage
+    * buys back (0.185 → measured ~3× higher at sf0.01).
+    */
+  def mrlRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir); val q = queryVectors(spark, dir)
+    val exact = Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id"))
+    exact.alias("e")
+      .join(mrlRerank(spark, dir)
+          .select(col("query_id"), col("neighbor_id")).alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+          col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mrl_recall" -> (mrlRecall _),
+    "q_mrl_rerank" -> (mrlRerank _),
+    "q_mrl_rerank_recall" -> (mrlRerankRecall _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1104,7 +1140,40 @@ object EmbeddingQueries {
           WHERE rank <= $K)"""
   }.mkString
 
+  /** Two-stage Matryoshka serve replayed: prefix-[[MrlServeDim]] pool of
+    * [[MrlServeR]], full-dim rerank cut at [[K]].
+    */
+  private lazy val mrlServeCtes: String =
+    s""", mrlpool AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, ${MrlServeDim + 1}), i -> q.qe[i]*v.e[i]))
+                  / (sqrt(list_sum(list_transform(range(1, ${MrlServeDim + 1}), i -> q.qe[i]*q.qe[i])))
+                    * sqrt(list_sum(list_transform(range(1, ${MrlServeDim + 1}), i -> v.e[i]*v.e[i]))))) DESC,
+                v.vec_id ASC) AS rank
+            FROM q JOIN v ON v.vec_id <> q.query_id)
+          WHERE rank <= $MrlServeR),
+        mrlrr AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, p.neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, p.neighbor_id ASC) AS rank
+            FROM mrlpool p
+            JOIN q ON q.query_id = p.query_id
+            JOIN v ON v.vec_id = p.neighbor_id
+            JOIN nrm nq ON nq.vec_id = p.query_id
+            JOIN nrm nv ON nv.vec_id = p.neighbor_id)
+          WHERE rank <= $K)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_mrl_rerank" -> (base + mrlServeCtes +
+      "SELECT query_id, neighbor_id, rank FROM mrlrr"),
+    "q_mrl_rerank_recall" -> (base + mrlServeCtes +
+      """SELECT count(m.neighbor_id)::BIGINT AS hits, count(*)::BIGINT AS total
+         FROM exact e LEFT JOIN mrlrr m
+           ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id"""),
     "q_mrl_recall" -> (base + mrlCtes + MrlDims.map(d =>
       s"""SELECT CAST($d AS BIGINT) AS dim, count(m.neighbor_id)::BIGINT AS hits,
                  count(*)::BIGINT AS total

@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_nndescent_graph", "q_nndescent_recall",
     // Matryoshka ladder: per-tier knnExactPrefix broadcast-query probes
     // plus the full-dim knnExact baseline — the documented all-pairs design
-    "q_mrl_recall",
+    "q_mrl_recall", "q_mrl_rerank", "q_mrl_rerank_recall",
     // KMV set ops: the G×G pair join runs on G=3 POST-AGGREGATION sketch
     // rows (one per order status) — bounded by group cardinality, not data
     // volume; the raw-key side of the query is all equi-joins.

@@ -91,6 +91,48 @@ object TextQueries {
     * only the sketch's sub-threshold candidate tail varies with
     * partitioning, and the verify pass discards it.
     */
+  /** Collocation thresholds: a bigram must occur [[CollocMinCount]] times to
+    * be scored (lift over rare pairs is noise), and the gate carries the
+    * top [[CollocTopK]].
+    */
+  val CollocMinCount = 5
+  val CollocTopK = 20
+
+  /** COLLOCATION MINING — the statistically-bound word pairs ("pointwise
+    * mutual information" collocations) a corpus-analysis pass extracts for
+    * tokenizer/vocabulary decisions and phrase-dictionary seeding. Scored by
+    * exact-integer LIFT, the monotone PMI equivalent (PMI = log lift, and
+    * log is monotone, so the ranking is identical without any float log):
+    * lift_e6 = n_ab·N·10⁶ div (n_a·n_b) — exact in both engines; longs hold
+    * it up to ~10⁶-token bigram counts × 10⁹-token corpora (beyond that,
+    * drop the e6 scale or pre-divide N).
+    *
+    * Plan: one unigram aggregation, one bigram aggregation over the native
+    * codegen [[graft.functions.ShinglesExpression]] fan-out, min-count
+    * filter BEFORE the two vocabulary joins (the filter is what keeps the
+    * join input corpus-sublinear), top-k via TakeOrdered (per-partition
+    * heap, no global sort).
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val uni = d.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val nTot = uni.agg(sum(col("n")).as("n_total"))
+    d.select(explode(
+        graft.functions.ShinglesExpression.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CollocMinCount)
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("a"), col("n").as("n_a")), "a")
+      .join(uni.select(col("term").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(nTot)) // 1-row scalar attach (audit-exempt)
+      .withColumn("lift_e6", expr("n_ab * n_total * 1000000 div (n_a * n_b)"))
+      .orderBy(col("lift_e6").desc, col("bigram").asc)
+      .limit(CollocTopK)
+      .select("bigram", "n_ab", "n_a", "n_b", "lift_e6")
+  }
+
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
@@ -1230,6 +1272,7 @@ object TextQueries {
     "q_exact_dedup" -> (exactDedup _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_containment" -> (containmentPairs _),
+    "q_collocations" -> (collocations _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_dedup_report" -> (dedupReport _),
     "q_minhash_lsh" -> (minhashLsh _),
@@ -2073,6 +2116,25 @@ object TextQueries {
                 sum(copies - 1)::BIGINT AS n_dup_docs,
                 sum((copies - 1) * len)::BIGINT AS n_dup_chars
          FROM g""",
+    // lift-ranked collocations replayed: same whitespace unigrams, same
+    // space-joined adjacent bigrams, the identical integer lift
+    "q_collocations" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+          un AS (SELECT term, count(*)::BIGINT AS n
+                 FROM (SELECT unnest(t) AS term FROM tok) GROUP BY 1),
+          tot AS (SELECT sum(n)::BIGINT AS n_total FROM un),
+          bn AS (SELECT bigram, count(*)::BIGINT AS n_ab FROM (
+                   SELECT array_to_string(t[i:i+1], ' ') AS bigram
+                   FROM tok, unnest(CASE WHEN len(t) >= 2
+                     THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i))
+                 GROUP BY 1 HAVING count(*) >= $CollocMinCount)
+          SELECT b.bigram, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+                 (b.n_ab * t.n_total * 1000000) // (ua.n * ub.n) AS lift_e6
+          FROM bn b
+          JOIN un ua ON ua.term = string_split(b.bigram, ' ')[1]
+          JOIN un ub ON ub.term = string_split(b.bigram, ' ')[2]
+          CROSS JOIN tot t
+          ORDER BY lift_e6 DESC, bigram ASC LIMIT $CollocTopK""",
     "q_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          tot AS (SELECT count(*) AS n_total FROM tok)

@@ -263,7 +263,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_epoch_plan" -> Set("doc_id", "text", "source"),
       "q_shard_plan" -> Set("doc_id", "text", "source"),
       "q_shard_plan_scan" -> Set("doc_id", "text", "source"),
-      "q_curriculum" -> Set("doc_id", "text")).foreach { case (name, allowed) =>
+      "q_curriculum" -> Set("doc_id", "text"),
+      "q_priority_sample" -> Set("doc_id", "source", "n_chars"),
+      "q_collocations" -> Set("text"),
+      "q_mixture_capped" -> Set("lang", "text")).foreach { case (name, allowed) =>
       scansOf(name)
         .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
         .foreach { scan =>

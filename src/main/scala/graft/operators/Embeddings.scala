@@ -630,13 +630,29 @@ object Embeddings {
     * [[graft.functions.TopK]] heap — never a full per-node sort.
     */
   def knnGraphSeed(vectors: DataFrame, centroids: DataFrame, nAssign: Int,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    scoreCandidatesTopK(vectors, seedCandidates(vectors, centroids, nAssign), k)
+
+  /** The seed stage's deduped candidate pairs (exposed so the pricing gate
+    * can count the scored volume the builder pays — the cost axis of the
+    * recall ladder).
+    */
+  def seedCandidates(vectors: DataFrame, centroids: DataFrame,
+                     nAssign: Int): DataFrame = {
     val asg = ivfMultiAssign(vectors, centroids, nAssign)
-    val cands = asg.alias("x")
+    asg.alias("x")
       .join(asg.alias("y"),
         col("x.cent_id") === col("y.cent_id") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
       .distinct()
+  }
+
+  /** Exact-cosine scoring of a deduped (query_id, neighbor_id) candidate
+    * frame, cut to top-k per node — the shared tail of the seed and every
+    * descent round.
+    */
+  private def scoreCandidatesTopK(vectors: DataFrame, cands: DataFrame,
+                                  k: Int): DataFrame = {
     val a = vectors.select(col("vec_id").as("query_id"),
       col("embedding").as("a_emb"), l2Norm(col("embedding")).as("a_norm"))
     val b = vectors.select(col("vec_id").as("neighbor_id"),
@@ -667,43 +683,47 @@ object Embeddings {
     * is this same plan, so rounds chain with a [[Lineage]] cut per round like
     * ConnectedComponents.
     */
-  def nnDescentRound(vectors: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+  def nnDescentRound(vectors: DataFrame, graph: DataFrame, k: Int): DataFrame =
+    scoreCandidatesTopK(vectors, descentCandidates(graph), k)
+
+  /** One round's deduped candidate pairs: current edges ∪ two-hop paths over
+    * the undirected edge set (exposed for the pricing gate).
+    */
+  def descentCandidates(graph: DataFrame): DataFrame = {
     val edges = graph.select(col("query_id").as("u"), col("neighbor_id").as("v"))
     val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val twoHop = und.alias("x").join(und.alias("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("query_id"), col("y.v").as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val cands = edges.select(col("u").as("query_id"), col("v").as("neighbor_id"))
+    edges.select(col("u").as("query_id"), col("v").as("neighbor_id"))
       .union(twoHop).distinct()
-    val a = vectors.select(col("vec_id").as("query_id"),
-      col("embedding").as("a_emb"), l2Norm(col("embedding")).as("a_norm"))
-    val b = vectors.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("b_emb"), l2Norm(col("embedding")).as("b_norm"))
-    val scored = cands.join(a, "query_id").join(b, "neighbor_id")
-      .withColumn("score",
-        dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
-    topKPerQuery(scored, k)
   }
 
   /** Per-stage graph recall vs the exact kNN of a deterministic 1/`mod` node
     * sample (the [[ivfNearDupRecallSampled]] economics: the brute-force
     * baseline runs only on sample×corpus while the graph under measurement
-    * covers the full corpus). Output: one (stage, hits, total) row per named
-    * graph — integers, so the measured payoff of each descent round is
-    * hash-checkable data.
+    * covers the full corpus), WITH each stage's price beside its payoff:
+    * `n_scored` = candidate pairs the stage's builder rescored (the cost
+    * driver at scale) and `n_edges` = the resulting graph size. Output: one
+    * (stage, hits, total, n_scored, n_edges) row per stage — integers, so
+    * both the recall ladder and its cost curve are hash-checkable data.
     */
-  def knnGraphRecall(vectors: DataFrame, stages: Seq[(String, DataFrame)],
+  def knnGraphRecall(vectors: DataFrame,
+                     stages: Seq[(String, DataFrame, DataFrame)],
                      k: Int, mod: Int, rem: Int): DataFrame = {
     val sample = vectors.filter(pmod(col("vec_id"), lit(mod)) === rem)
     val exact = knnExact(vectors, sample, k)
       .select(col("query_id"), col("neighbor_id"))
-    stages.map { case (label, g) =>
+    stages.map { case (label, g, cands) =>
       exact.alias("e")
         .join(g.select(col("query_id"), col("neighbor_id")).alias("a"),
           col("e.query_id") === col("a.query_id") &&
             col("e.neighbor_id") === col("a.neighbor_id"), "left")
         .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
-        .select(lit(label).as("stage"), col("hits"), col("total"))
+        .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_scored"))))
+        .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(label).as("stage"), col("hits"), col("total"),
+          col("n_scored"), col("n_edges"))
     }.reduce(_.unionByName(_))
   }
 

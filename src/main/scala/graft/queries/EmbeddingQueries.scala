@@ -432,12 +432,14 @@ object EmbeddingQueries {
       .select(col("query_id").as("node_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
 
-  /** `q_nndescent_recall`: the descent ladder's measured payoff — top-[[K]]
-    * recall of the seed graph vs rounds 1 and 2 against the exact kNN of
-    * the deterministic node sample, as integer (stage, hits, total) rows.
-    * Both the improvement AND its convergence (the round-2 increment is the
-    * diminishing one NN-Descent's stopping rule watches) are driver-checked
-    * data, not claims.
+  /** `q_nndescent_recall`: the descent ladder's measured payoff AND price —
+    * top-[[K]] recall of the seed graph vs rounds 1 and 2 against the exact
+    * kNN of the deterministic node sample, with each stage's scored
+    * candidate volume and edge count beside it, as integer (stage, hits,
+    * total, n_scored, n_edges) rows. The improvement, its convergence (the
+    * round-2 increment is the diminishing one a stopping rule watches), and
+    * the cost curve it was bought at are all driver-checked data, not
+    * claims.
     */
   def nnDescentRecall(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
@@ -445,11 +447,15 @@ object EmbeddingQueries {
     // consumes its input graph ~5x and the next round replays the previous
     // one multiplicatively — uncut, the 3-stage ladder measured 7.3 s warm
     // at sf0.1; cut, each graph materializes once
+    val seedCands = Embeddings.seedCandidates(v,
+      v.filter(col("vec_id") < NumCentroids), NnSeedAssign)
     val seed = graft.operators.Lineage.cut(nnSeed(spark, dir))
+    val c1 = Embeddings.descentCandidates(seed)
     val r1 = graft.operators.Lineage.cut(Embeddings.nnDescentRound(v, seed, K))
+    val c2 = Embeddings.descentCandidates(r1)
     val r2 = Embeddings.nnDescentRound(v, r1, K)
     Embeddings.knnGraphRecall(v,
-      Seq("seed" -> seed, "round1" -> r1, "round2" -> r2), K,
+      Seq(("seed", seed, seedCands), ("round1", r1, c1), ("round2", r2, c2)), K,
       NnSampleMod, NnSampleRem)
   }
 
@@ -1184,17 +1190,23 @@ object EmbeddingQueries {
       "SELECT node_id, neighbor_id, rank::BIGINT AS rank FROM round1"),
     "q_nndescent_recall" -> (base + nnCtes +
       """SELECT 'seed' AS stage, count(s.neighbor_id)::BIGINT AS hits,
-                count(*)::BIGINT AS total
+                count(*)::BIGINT AS total,
+                (SELECT count(*) FROM scand)::BIGINT AS n_scored,
+                (SELECT count(*) FROM seed)::BIGINT AS n_edges
          FROM nn_exact e LEFT JOIN seed s
            ON s.node_id = e.query_id AND s.neighbor_id = e.neighbor_id
          UNION ALL
          SELECT 'round1' AS stage, count(r.neighbor_id)::BIGINT AS hits,
-                count(*)::BIGINT AS total
+                count(*)::BIGINT AS total,
+                (SELECT count(*) FROM cand)::BIGINT AS n_scored,
+                (SELECT count(*) FROM round1)::BIGINT AS n_edges
          FROM nn_exact e LEFT JOIN round1 r
            ON r.node_id = e.query_id AND r.neighbor_id = e.neighbor_id
          UNION ALL
          SELECT 'round2' AS stage, count(r2.neighbor_id)::BIGINT AS hits,
-                count(*)::BIGINT AS total
+                count(*)::BIGINT AS total,
+                (SELECT count(*) FROM cand2)::BIGINT AS n_scored,
+                (SELECT count(*) FROM round2)::BIGINT AS n_edges
          FROM nn_exact e LEFT JOIN round2 r2
            ON r2.node_id = e.query_id AND r2.neighbor_id = e.neighbor_id"""),
     "q_srp_neardup" -> (srpBase + "SELECT vec_a, vec_b FROM srp_pairs"),

@@ -133,6 +133,21 @@ object TextQueries {
       .select("bigram", "n_ab", "n_a", "n_b", "lift_e6")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the n-gram-heuristic classifier
+    * ([[graft.functions.TextFunctions.langId]]) scored against the corpus's
+    * ground-truth `lang` column as (lang, lang_id, n) cells: the accuracy
+    * audit every langid gate in the curation layer implicitly relies on,
+    * as gated data instead of an assumption (e.g. `zh` has no marker list,
+    * so its row shows exactly where those documents land). One narrow
+    * codegen scan + one aggregation; the oracle reuses the single-sourced
+    * [[langMarkerColsSql]]/[[langCaseSql]] truth.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_id"))
+      .groupBy("lang", "lang_id").agg(count(lit(1)).as("n"))
+
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
@@ -1273,6 +1288,7 @@ object TextQueries {
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_containment" -> (containmentPairs _),
     "q_collocations" -> (collocations _),
+    "q_langid_confusion" -> (langIdConfusion _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_dedup_report" -> (dedupReport _),
     "q_minhash_lsh" -> (minhashLsh _),
@@ -2116,6 +2132,10 @@ object TextQueries {
                 sum(copies - 1)::BIGINT AS n_dup_docs,
                 sum((copies - 1) * len)::BIGINT AS n_dup_chars
          FROM g""",
+    "q_langid_confusion" ->
+      s"""SELECT lang, $langCaseSql AS lang_id, count(*)::BIGINT AS n
+          FROM (SELECT lang, $langMarkerColsSql FROM documents)
+          GROUP BY 1, 2""",
     // lift-ranked collocations replayed: same whitespace unigrams, same
     // space-joined adjacent bigrams, the identical integer lift
     "q_collocations" ->

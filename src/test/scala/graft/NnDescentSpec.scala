@@ -17,16 +17,19 @@ class NnDescentSpec extends SparkSpec {
     vectors.filter(col("vec_id") < EmbeddingQueries.NumCentroids)
   private val K = EmbeddingQueries.K
 
-  private def recallMap(stages: Seq[(String, DataFrame)]): Map[String, Long] =
+  private def recallMap(stages: Seq[(String, DataFrame, DataFrame)]): Map[String, Long] =
     Embeddings.knnGraphRecall(vectors, stages, K,
         EmbeddingQueries.NnSampleMod, EmbeddingQueries.NnSampleRem)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   test("one NN-Descent round strictly improves sampled recall over the multi-probe seed") {
+    val seedCands = Embeddings.seedCandidates(vectors, centroids,
+      EmbeddingQueries.NnSeedAssign)
     val seed = Embeddings.knnGraphSeed(vectors, centroids,
       EmbeddingQueries.NnSeedAssign, K)
     val r1 = Embeddings.nnDescentRound(vectors, seed, K)
-    val hits = recallMap(Seq("seed" -> seed, "round1" -> r1))
+    val hits = recallMap(Seq(("seed", seed, seedCands),
+      ("round1", r1, Embeddings.descentCandidates(seed))))
     assert(hits("round1") > hits("seed"),
       s"descent round added no recall: seed=${hits("seed")} round1=${hits("round1")}")
   }

@@ -266,6 +266,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_curriculum" -> Set("doc_id", "text"),
       "q_priority_sample" -> Set("doc_id", "source", "n_chars"),
       "q_collocations" -> Set("text"),
+      "q_langid_confusion" -> Set("lang", "text"),
       "q_mixture_capped" -> Set("lang", "text")).foreach { case (name, allowed) =>
       scansOf(name)
         .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))

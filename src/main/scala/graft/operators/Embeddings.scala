@@ -104,18 +104,13 @@ object Embeddings {
     * vs the full-dim ranking is gated per prefix width by `q_mrl_recall` —
     * the price curve a deployment reads before picking its tier.
     */
-  def knnExactPrefix(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-        slice(col("embedding"), 1, dim).as("q_emb"))
-      .withColumn("q_norm", l2Norm(col("q_emb")))
-    val v = vectors.select(col("vec_id").as("neighbor_id"),
-        slice(col("embedding"), 1, dim).as("v_emb"))
-      .withColumn("v_norm", l2Norm(col("v_emb")))
-    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
-    topKPerQuery(scored, k)
-  }
+  def knnExactPrefix(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame =
+    // delegate to THE exact-probe implementation over pre-sliced inputs, so
+    // a tie-break/null-handling change to knnExact cannot miss the MRL tier
+    knnExact(
+      vectors.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding")),
+      queries.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding")),
+      k)
 
   /** Per-vector nearest-centroid assignment (IVF "index build"): one pass over
     * the vectors against broadcast centroids; argmax by (score, -cent_id).
@@ -582,6 +577,20 @@ object Embeddings {
       .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("k"))
   }
 
+  /** Global (hits, total) top-k recall of an approximate (query_id,
+    * neighbor_id) ranking vs an exact one — the ONE left-join + count
+    * aggregation every whole-corpus recall gate (graph ladder, MRL tiers,
+    * two-stage rerank) reports through, so a tie/null-handling change lands
+    * in all of them at once (the [[knnRecallOf]] philosophy at totals
+    * granularity).
+    */
+  def knnRecallTotals(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.alias("e")
+      .join(approx.select(col("query_id"), col("neighbor_id")).alias("a"),
+        col("e.query_id") === col("a.query_id") &&
+          col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+
   /** Pair recall of an arbitrary blocked pair set vs an exact baseline. */
   private def recallOf(exact: DataFrame, blocked: DataFrame): DataFrame =
     exact.alias("e")
@@ -631,7 +640,14 @@ object Embeddings {
     */
   def knnGraphSeed(vectors: DataFrame, centroids: DataFrame, nAssign: Int,
                    k: Int): DataFrame =
-    scoreCandidatesTopK(vectors, seedCandidates(vectors, centroids, nAssign), k)
+    knnGraphSeedFrom(vectors, seedCandidates(vectors, centroids, nAssign), k)
+
+  /** [[knnGraphSeed]] over an explicit (already materialized) candidate
+    * frame — lets a caller that ALSO prices the candidate volume pay the
+    * bucket self-join once instead of once per consumer.
+    */
+  def knnGraphSeedFrom(vectors: DataFrame, cands: DataFrame, k: Int): DataFrame =
+    scoreCandidatesTopK(vectors, cands, k)
 
   /** The seed stage's deduped candidate pairs (exposed so the pricing gate
     * can count the scored volume the builder pays — the cost axis of the
@@ -715,11 +731,7 @@ object Embeddings {
     val exact = knnExact(vectors, sample, k)
       .select(col("query_id"), col("neighbor_id"))
     stages.map { case (label, g, cands) =>
-      exact.alias("e")
-        .join(g.select(col("query_id"), col("neighbor_id")).alias("a"),
-          col("e.query_id") === col("a.query_id") &&
-            col("e.neighbor_id") === col("a.neighbor_id"), "left")
-        .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+      knnRecallTotals(exact, g)
         .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_scored"))))
         .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
         .select(lit(label).as("stage"), col("hits"), col("total"),

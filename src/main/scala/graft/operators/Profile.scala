@@ -24,11 +24,20 @@ object Profile {
 
   def tableProfile(df: DataFrame): DataFrame = {
     val cols = df.columns
+    // "ANY table" includes messy column names: alias identifiers are
+    // backtick-quoted (with backticks doubled) and the col_name string
+    // literal escapes quotes/backslashes, so `ship date` or `a'b` profile
+    // rather than blowing up the stack() parse
+    def ident(name: String): String = "`" + name.replace("`", "``") + "`"
+    def strLit(name: String): String =
+      "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val aggs = cols.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
-      count_distinct(col(c)).as(s"__nd_$c"))) :+ count(lit(1)).as("__rows")
+      sum(col(ident(c)).isNull.cast("long")).as(s"__nn_$c"),
+      count_distinct(col(ident(c))).as(s"__nd_$c"))) :+ count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', __nn_$c, __nd_$c").mkString(", ")
+    val stackArgs = cols
+      .map(c => s"${strLit(c)}, ${ident(s"__nn_$c")}, ${ident(s"__nd_$c")}")
+      .mkString(", ")
     row.select(col("__rows").as("n_rows"),
         expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))

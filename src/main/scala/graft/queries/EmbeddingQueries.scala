@@ -447,9 +447,13 @@ object EmbeddingQueries {
     // consumes its input graph ~5x and the next round replays the previous
     // one multiplicatively — uncut, the 3-stage ladder measured 7.3 s warm
     // at sf0.1; cut, each graph materializes once
-    val seedCands = Embeddings.seedCandidates(v,
-      v.filter(col("vec_id") < NumCentroids), NnSeedAssign)
-    val seed = graft.operators.Lineage.cut(nnSeed(spark, dir))
+    // the seed candidate frame is cut ONCE and both consumers (the scored
+    // seed graph and the n_scored count) read the materialization — the
+    // uncut form paid the bucket self-join twice (review catch)
+    val seedCands = graft.operators.Lineage.cut(Embeddings.seedCandidates(v,
+      v.filter(col("vec_id") < NumCentroids), NnSeedAssign))
+    val seed = graft.operators.Lineage.cut(
+      Embeddings.knnGraphSeedFrom(v, seedCands, K))
     val c1 = Embeddings.descentCandidates(seed)
     val r1 = graft.operators.Lineage.cut(Embeddings.nnDescentRound(v, seed, K))
     val c2 = Embeddings.descentCandidates(r1)
@@ -471,12 +475,7 @@ object EmbeddingQueries {
     val v = vectors(spark, dir); val q = queryVectors(spark, dir)
     val exact = Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id"))
     MrlDims.map { d =>
-      exact.alias("e")
-        .join(Embeddings.knnExactPrefix(v, q, K, d)
-            .select(col("query_id"), col("neighbor_id")).alias("a"),
-          col("e.query_id") === col("a.query_id") &&
-            col("e.neighbor_id") === col("a.neighbor_id"), "left")
-        .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+      Embeddings.knnRecallTotals(exact, Embeddings.knnExactPrefix(v, q, K, d))
         .select(lit(d.toLong).as("dim"), col("hits"), col("total"))
     }.reduce(_.unionByName(_))
   }
@@ -506,13 +505,9 @@ object EmbeddingQueries {
     */
   def mrlRerankRecall(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir); val q = queryVectors(spark, dir)
-    val exact = Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id"))
-    exact.alias("e")
-      .join(mrlRerank(spark, dir)
-          .select(col("query_id"), col("neighbor_id")).alias("a"),
-        col("e.query_id") === col("a.query_id") &&
-          col("e.neighbor_id") === col("a.neighbor_id"), "left")
-      .agg(count(col("a.neighbor_id")).as("hits"), count(lit(1)).as("total"))
+    Embeddings.knnRecallTotals(
+      Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id")),
+      mrlRerank(spark, dir))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -104,8 +104,9 @@ object TextQueries {
     * exact-integer LIFT, the monotone PMI equivalent (PMI = log lift, and
     * log is monotone, so the ranking is identical without any float log):
     * lift_e6 = n_ab·N·10⁶ div (n_a·n_b) — exact in both engines; longs hold
-    * it up to ~10⁶-token bigram counts × 10⁹-token corpora (beyond that,
-    * drop the e6 scale or pre-divide N).
+    * the n_ab·N·10⁶ product while n_ab·N ≤ ~9.2·10¹² (e.g. 10⁵-count
+    * bigrams on a 10⁸-token corpus — beyond that, drop the e6 scale or
+    * pre-divide N, which costs only the fixed-point tail of the ranking).
     *
     * Plan: one unigram aggregation, one bigram aggregation over the native
     * codegen [[graft.functions.ShinglesExpression]] fan-out, min-count

@@ -37,6 +37,12 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
 # Verify writes UTF-8 unconditionally; q_nfc_canon's probe literals are
 # non-ASCII, so never trust the locale's preferred encoding here
 oracle = json.load(open(f'{out}/oracle_sql.json', encoding='utf-8'))
+# a typo'd filter name must be a hard error, not a silently-empty (and
+# therefore green) gate
+if only is not None:
+    unknown = only - set(oracle)
+    if unknown:
+        sys.exit(f'unknown query name(s) in filter: {sorted(unknown)}')
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:

@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Unpivot-first twin of [[tableProfile]] (same output, same oracle): each
+    * row stacks into #columns narrow (col_name, value-string) rows, then ONE
+    * groupBy(col_name) computes nulls + exact distincts. Cardinality is
+    * representation-independent (value→string is injective per column type),
+    * so the counts equal the Expand form's. Trades the Expand's
+    * (#columns+1)× fan-out of WIDE rows for a #columns× fan-out of 2-string
+    * rows; parallelism is bounded by #columns on the final aggregation
+    * (fine — partial distinct dedup runs map-side at full width first).
+    * Measured r14 at sf0.1: 3.65 s warm vs the Expand form's 3.91 s —
+    * within noise, so the Expand form stays registered (no dependence on
+    * value→string rendering); either cost is inherent to #columns exact
+    * distincts, and the HLL swap is the real scale lever.
+    */
+  def tableProfileUnpivot(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    def strLit(name: String): String =
+      "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ident(name: String): String = "`" + name.replace("`", "``") + "`"
+    val stackArgs = cols
+      .map(c => s"${strLit(c)}, CAST(${ident(c)} AS STRING)").mkString(", ")
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    df.select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, v)"))
+      .groupBy("col_name")
+      .agg(sum(col("v").isNull.cast("long")).as("n_nulls"),
+        count_distinct(col("v")).as("n_distinct"))
+      .crossJoin(broadcast(total)) // 1-row scalar attach (audit-exempt)
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
+
   def tableProfile(df: DataFrame): DataFrame = {
     val cols = df.columns
     // "ANY table" includes messy column names: alias identifiers are

@@ -879,6 +879,63 @@ object AnalyticQueries {
         col("tus").as("purchase_us"), col("last_click_us"))
   }
 
+  /** Staleness bound for the point-in-time feature join: a feature older
+    * than this at the training event is NOT served (24 h in µs — ~45% of
+    * harness purchases have a fresher click, so both branches gate).
+    */
+  val PitStalenessUs = 86400000000L
+
+  /** POINT-IN-TIME FEATURE JOIN — the feature-store operation behind every
+    * leakage-free training set: for each training event (purchase), the
+    * latest value of EACH feature stream (click value, view value) at or
+    * before the event, nulled-to-sentinel when older than [[PitStalenessUs]]
+    * (a stale feature served at training time but not at serving time is a
+    * train/serve skew bug; the staleness bound is what feature stores
+    * enforce). "At or before" — never after — is the point-in-time
+    * correctness that prevents future leakage.
+    *
+    * Plan: the [[qAsofJoin]] union + last-non-null-window formulation
+    * generalized to MULTIPLE feature streams in ONE pass — all three event
+    * kinds union into one frame, one shuffle on user_id, and the four
+    * carry-forward columns (two values, two timestamps) share a single
+    * window exchange+sort; state is the window frame, never an N×M join.
+    * Adding a feature stream adds two columns to the SAME pass, not a join.
+    * Missing-or-stale is the −1 sentinel in BOTH engines (a null double
+    * round-trips as NaN through the two engines' pandas paths differently
+    * enough to be a hash hazard — sentinel is the repo's standing answer).
+    */
+  def qPitFeatures(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("event_type").isin("purchase", "click", "view"))
+      // feature kinds sort before the training kind at equal tus =>
+      // "at or before" inclusive; click=0, view=1, purchase=2
+      .withColumn("kind", when(col("event_type") === "click", 0)
+        .when(col("event_type") === "view", 1).otherwise(2))
+      .withColumn("c_val", when(col("kind") === 0, col("value")))
+      .withColumn("c_us", when(col("kind") === 0, col("tus")))
+      .withColumn("v_val", when(col("kind") === 1, col("value")))
+      .withColumn("v_us", when(col("kind") === 1, col("tus")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def served(us: Column, v: Column, tus: Column): (Column, Column) = {
+      val fresh = us.isNotNull && (tus - us) <= PitStalenessUs
+      (when(fresh, v).otherwise(lit(-1.0)),
+        when(fresh, tus - us).otherwise(lit(-1L)))
+    }
+    val carried = e
+      .withColumn("lc_val", last(col("c_val"), ignoreNulls = true).over(w))
+      .withColumn("lc_us", last(col("c_us"), ignoreNulls = true).over(w))
+      .withColumn("lv_val", last(col("v_val"), ignoreNulls = true).over(w))
+      .withColumn("lv_us", last(col("v_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 2)
+    val (cVal, cAge) = served(col("lc_us"), col("lc_val"), col("tus"))
+    val (vVal, vAge) = served(col("lv_us"), col("lv_val"), col("tus"))
+    carried.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("tus").as("purchase_us"),
+      cVal.as("click_val"), cAge.as("click_age_us"),
+      vVal.as("view_val"), vAge.as("view_age_us"))
+  }
+
   /** The other two as-of DIRECTIONS — forward (earliest same-user click at or
     * after each purchase) and nearest (whichever of backward/forward is
     * closer in time, ties to the earlier) — via the same union + window
@@ -1208,6 +1265,7 @@ object AnalyticQueries {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_pit_features" -> (qPitFeatures _),
     "q_asof_nearest" -> (qAsofNearest _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_date_parts" -> (qDateParts _))
@@ -1650,6 +1708,38 @@ object AnalyticQueries {
                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
                    AND c.tus <= p.tus) AS last_click_us
          FROM e p WHERE p.event_type = 'purchase'""",
+    // the PIT feature join replayed with an INDEPENDENT formulation (DuckDB
+    // window carry-forward mirrors the plan, but staleness/sentinel logic is
+    // re-derived) — same window ordering (tus, kind, event_id)
+    "q_pit_features" ->
+      s"""WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS tus,
+                CASE WHEN event_type = 'click' THEN 0
+                     WHEN event_type = 'view' THEN 1 ELSE 2 END AS kind
+              FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+          u AS (SELECT *,
+                  CASE WHEN kind = 0 THEN value END AS c_val,
+                  CASE WHEN kind = 0 THEN tus END AS c_us,
+                  CASE WHEN kind = 1 THEN value END AS v_val,
+                  CASE WHEN kind = 1 THEN tus END AS v_us
+                FROM e),
+          w AS (SELECT *,
+                  last_value(c_val IGNORE NULLS) OVER win AS lc_val,
+                  last_value(c_us IGNORE NULLS) OVER win AS lc_us,
+                  last_value(v_val IGNORE NULLS) OVER win AS lv_val,
+                  last_value(v_us IGNORE NULLS) OVER win AS lv_us
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY tus, kind, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT event_id AS purchase_id, user_id, tus AS purchase_us,
+            CASE WHEN lc_us IS NOT NULL AND tus - lc_us <= $PitStalenessUs
+                 THEN lc_val ELSE -1.0 END AS click_val,
+            (CASE WHEN lc_us IS NOT NULL AND tus - lc_us <= $PitStalenessUs
+                  THEN tus - lc_us ELSE -1 END)::BIGINT AS click_age_us,
+            CASE WHEN lv_us IS NOT NULL AND tus - lv_us <= $PitStalenessUs
+                 THEN lv_val ELSE -1.0 END AS view_val,
+            (CASE WHEN lv_us IS NOT NULL AND tus - lv_us <= $PitStalenessUs
+                  THEN tus - lv_us ELSE -1 END)::BIGINT AS view_age_us
+          FROM w WHERE kind = 2""",
     "q_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
          j AS (

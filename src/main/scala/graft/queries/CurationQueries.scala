@@ -1677,7 +1677,44 @@ object CurationQueries {
           .as("err_e4"))
   }
 
+  /** Total sample budget for [[neymanAlloc]]. */
+  val NeymanBudget = 200L
+
+  /** NEYMAN OPTIMAL STRATIFIED ALLOCATION — the sampling-DESIGN step the
+    * quota/weighted/priority samplers execute: for a fixed audit budget of
+    * [[NeymanBudget]] docs, the per-source allocation minimizing the
+    * estimator variance of a corpus mean is n_h ∝ N_h·σ_h (big AND
+    * heterogeneous strata get the samples; a uniform-quota audit oversamples
+    * homogeneous sources). σ_h comes out exactly: the variance numerator
+    * n·Σx² − (Σx)² is integer-exact in longs (n_chars ≤ ~10⁴ over ≤ ~10⁵
+    * docs/stratum before overflow — rescale x beyond that), one integer
+    * division and one floor(sqrt) both engines evaluate identically.
+    * Allocations are floored shares of the budget, capped by stratum size;
+    * single-doc and zero-variance strata allocate 0 (the raw Neyman rule —
+    * a production design floors minimums afterwards).
+    *
+    * Plan: one per-source aggregation over (source, n_chars) — three sums —
+    * then G-row arithmetic with a 1-row scalar attach.
+    */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val s = docs(spark, dir)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("sd", when(col("n") > 1,
+        floor(sqrt(expr("(n*sxx - sx*sx) div (n*(n-1))").cast("double"))).cast("long"))
+        .otherwise(0L))
+    val t = s.agg(sum(expr("n * sd")).as("tot"))
+    s.crossJoin(broadcast(t)) // 1-row scalar attach (audit-exempt)
+      .withColumn("alloc", when(col("tot") > 0,
+        expr(s"($NeymanBudget * n * sd) div tot")).otherwise(0L))
+      .select(col("source"), col("n").as("n_docs"), col("sd"),
+        col("alloc"), least(col("alloc"), col("n")).as("alloc_capped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> (neymanAlloc _),
     "q_priority_sample" -> (prioritySample _),
     "q_curriculum" -> (curriculum _),
     "q_curriculum_bpe" -> (curriculumBpe _),
@@ -2099,6 +2136,24 @@ object CurationQueries {
         FROM h"""
 
   val oracleSql: Map[String, String] = Map(
+    // Neyman allocation replayed: exact integer variance numerator, the
+    // floor(sqrt) idiom, floored budget shares
+    "q_neyman_alloc" ->
+      s"""WITH s AS (SELECT source, count(*)::BIGINT AS n,
+                sum(n_chars)::BIGINT AS sx,
+                sum(n_chars * n_chars)::BIGINT AS sxx
+              FROM documents GROUP BY 1),
+          v AS (SELECT source, n,
+                  CASE WHEN n > 1
+                       THEN CAST(floor(sqrt((n*sxx - sx*sx) // (n*(n-1)))) AS BIGINT)
+                       ELSE 0 END AS sd FROM s),
+          t AS (SELECT sum(n * sd)::BIGINT AS tot FROM v)
+          SELECT source, n AS n_docs, sd,
+                 CASE WHEN tot > 0 THEN ($NeymanBudget * n * sd) // tot
+                      ELSE 0 END AS alloc,
+                 least(CASE WHEN tot > 0 THEN ($NeymanBudget * n * sd) // tot
+                            ELSE 0 END, n) AS alloc_capped
+          FROM v CROSS JOIN t""",
     // priority sampling replayed: same 60-bit hash uniform, same
     // w*2^60/(h+1) double priority, top-(k+1) by (pri DESC, doc_id ASC),
     // tau = floor of the (k+1)-th, estimator sum(greatest(w, tau))

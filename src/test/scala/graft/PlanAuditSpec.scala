@@ -265,6 +265,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_shard_plan_scan" -> Set("doc_id", "text", "source"),
       "q_curriculum" -> Set("doc_id", "text"),
       "q_priority_sample" -> Set("doc_id", "source", "n_chars"),
+      "q_neyman_alloc" -> Set("source", "n_chars"),
       "q_collocations" -> Set("text"),
       "q_langid_confusion" -> Set("lang", "text"),
       "q_mixture_capped" -> Set("lang", "text")).foreach { case (name, allowed) =>

@@ -24,9 +24,11 @@ object Profile {
 
   /** Unpivot-first twin of [[tableProfile]] (same output, same oracle): each
     * row stacks into #columns narrow (col_name, value-string) rows, then ONE
-    * groupBy(col_name) computes nulls + exact distincts. Cardinality is
-    * representation-independent (value→string is injective per column type),
-    * so the counts equal the Expand form's. Trades the Expand's
+    * groupBy(col_name) computes nulls + exact distincts. The rendering is
+    * chosen per type so distinct classes are preserved exactly (floats
+    * +0.0-normalized to match count_distinct's NormalizeFloatingNumbers,
+    * binary hex-encoded), so the counts equal the Expand form's — spec-
+    * pinned including signed zeros and the empty table. Trades the Expand's
     * (#columns+1)× fan-out of WIDE rows for a #columns× fan-out of 2-string
     * rows; parallelism is bounded by #columns on the final aggregation
     * (fine — partial distinct dedup runs map-side at full width first).
@@ -36,19 +38,40 @@ object Profile {
     * distincts, and the HLL swap is the real scale lever.
     */
   def tableProfileUnpivot(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType}
+    val spark = df.sparkSession
+    import spark.implicits._
     val cols = df.columns
     def strLit(name: String): String =
       "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def ident(name: String): String = "`" + name.replace("`", "``") + "`"
-    val stackArgs = cols
-      .map(c => s"${strLit(c)}, CAST(${ident(c)} AS STRING)").mkString(", ")
-    val total = df.agg(count(lit(1)).as("n_rows"))
-    df.select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, v)"))
+    // value→string must preserve the raw column's DISTINCT classes, which
+    // plain CAST does not for two cases (review catch): floats render -0.0
+    // and 0.0 as different strings while count_distinct normalizes them to
+    // one value (+0.0 fixes it: -0.0 + 0.0 = +0.0, NaN stays NaN), and
+    // BINARY→STRING is lossy on invalid UTF-8 (hex() is injective)
+    def rendered(c: String): String = df.schema(c).dataType match {
+      case DoubleType | FloatType => s"CAST((${ident(c)} + 0.0) AS STRING)"
+      case BinaryType => s"hex(${ident(c)})"
+      case _ => s"CAST(${ident(c)} AS STRING)"
+    }
+    val stackArgs = cols.map(c => s"${strLit(c)}, ${rendered(c)}").mkString(", ")
+    // every input row stacks into exactly one row per column, so the group
+    // count IS n_rows — no second scan; the literal names frame restores
+    // the one-row-per-column contract on an EMPTY table (a grouped agg
+    // emits nothing on nothing — the CLAUDE.md empty-input hazard — where
+    // the Expand form's global agg emits its finish row)
+    val grouped = df
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, v)"))
       .groupBy("col_name")
-      .agg(sum(col("v").isNull.cast("long")).as("n_nulls"),
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").isNull.cast("long")).as("n_nulls"),
         count_distinct(col("v")).as("n_distinct"))
-      .crossJoin(broadcast(total)) // 1-row scalar attach (audit-exempt)
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    cols.toSeq.toDF("col_name").join(grouped, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
   def tableProfile(df: DataFrame): DataFrame = {
@@ -60,8 +83,11 @@ object Profile {
     def ident(name: String): String = "`" + name.replace("`", "``") + "`"
     def strLit(name: String): String =
       "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    // coalesce: a global sum over ZERO rows is null, and the empty-table
+    // profile must read (0 nulls), not (null nulls) — matching the
+    // unpivot twin's coalesced left join
     val aggs = cols.flatMap(c => Seq(
-      sum(col(ident(c)).isNull.cast("long")).as(s"__nn_$c"),
+      coalesce(sum(col(ident(c)).isNull.cast("long")), lit(0L)).as(s"__nn_$c"),
       count_distinct(col(ident(c))).as(s"__nd_$c"))) :+ count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols

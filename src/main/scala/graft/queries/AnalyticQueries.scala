@@ -910,26 +910,31 @@ object AnalyticQueries {
       // "at or before" inclusive; click=0, view=1, purchase=2
       .withColumn("kind", when(col("event_type") === "click", 0)
         .when(col("event_type") === "view", 1).otherwise(2))
-      .withColumn("c_val", when(col("kind") === 0, col("value")))
-      .withColumn("c_us", when(col("kind") === 0, col("tus")))
-      .withColumn("v_val", when(col("kind") === 1, col("value")))
-      .withColumn("v_us", when(col("kind") === 1, col("tus")))
+      // timestamp and value are carried as ONE struct per feature kind:
+      // carrying them as two independent ignoreNulls columns would let a
+      // NULL-valued observation decouple them (latest timestamp paired
+      // with an OLDER value — a stale value served as fresh, the exact
+      // skew the staleness bound exists to prevent; review catch)
+      .withColumn("c_obs", when(col("kind") === 0,
+        struct(col("tus").as("us"), col("value").as("v"))))
+      .withColumn("v_obs", when(col("kind") === 1,
+        struct(col("tus").as("us"), col("value").as("v"))))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def served(us: Column, v: Column, tus: Column): (Column, Column) = {
-      val fresh = us.isNotNull && (tus - us) <= PitStalenessUs
-      (when(fresh, v).otherwise(lit(-1.0)),
-        when(fresh, tus - us).otherwise(lit(-1L)))
+    def served(obs: Column, tus: Column): (Column, Column) = {
+      val fresh = obs.isNotNull && (tus - obs("us")) <= PitStalenessUs
+      // the latest observation wins; if ITS value is null there is no
+      // usable feature (sentinel), but the age still reflects it
+      (when(fresh, coalesce(obs("v"), lit(-1.0))).otherwise(lit(-1.0)),
+        when(fresh, tus - obs("us")).otherwise(lit(-1L)))
     }
     val carried = e
-      .withColumn("lc_val", last(col("c_val"), ignoreNulls = true).over(w))
-      .withColumn("lc_us", last(col("c_us"), ignoreNulls = true).over(w))
-      .withColumn("lv_val", last(col("v_val"), ignoreNulls = true).over(w))
-      .withColumn("lv_us", last(col("v_us"), ignoreNulls = true).over(w))
+      .withColumn("lc", last(col("c_obs"), ignoreNulls = true).over(w))
+      .withColumn("lv", last(col("v_obs"), ignoreNulls = true).over(w))
       .filter(col("kind") === 2)
-    val (cVal, cAge) = served(col("lc_us"), col("lc_val"), col("tus"))
-    val (vVal, vAge) = served(col("lv_us"), col("lv_val"), col("tus"))
+    val (cVal, cAge) = served(col("lc"), col("tus"))
+    val (vVal, vAge) = served(col("lv"), col("tus"))
     carried.select(col("event_id").as("purchase_id"), col("user_id"),
       col("tus").as("purchase_us"),
       cVal.as("click_val"), cAge.as("click_age_us"),
@@ -1717,28 +1722,24 @@ object AnalyticQueries {
                      WHEN event_type = 'view' THEN 1 ELSE 2 END AS kind
               FROM events WHERE event_type IN ('purchase', 'click', 'view')),
           u AS (SELECT *,
-                  CASE WHEN kind = 0 THEN value END AS c_val,
-                  CASE WHEN kind = 0 THEN tus END AS c_us,
-                  CASE WHEN kind = 1 THEN value END AS v_val,
-                  CASE WHEN kind = 1 THEN tus END AS v_us
+                  CASE WHEN kind = 0 THEN {'us': tus, 'v': value} END AS c_obs,
+                  CASE WHEN kind = 1 THEN {'us': tus, 'v': value} END AS v_obs
                 FROM e),
           w AS (SELECT *,
-                  last_value(c_val IGNORE NULLS) OVER win AS lc_val,
-                  last_value(c_us IGNORE NULLS) OVER win AS lc_us,
-                  last_value(v_val IGNORE NULLS) OVER win AS lv_val,
-                  last_value(v_us IGNORE NULLS) OVER win AS lv_us
+                  last_value(c_obs IGNORE NULLS) OVER win AS lc,
+                  last_value(v_obs IGNORE NULLS) OVER win AS lv
                 FROM u
                 WINDOW win AS (PARTITION BY user_id ORDER BY tus, kind, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           SELECT event_id AS purchase_id, user_id, tus AS purchase_us,
-            CASE WHEN lc_us IS NOT NULL AND tus - lc_us <= $PitStalenessUs
-                 THEN lc_val ELSE -1.0 END AS click_val,
-            (CASE WHEN lc_us IS NOT NULL AND tus - lc_us <= $PitStalenessUs
-                  THEN tus - lc_us ELSE -1 END)::BIGINT AS click_age_us,
-            CASE WHEN lv_us IS NOT NULL AND tus - lv_us <= $PitStalenessUs
-                 THEN lv_val ELSE -1.0 END AS view_val,
-            (CASE WHEN lv_us IS NOT NULL AND tus - lv_us <= $PitStalenessUs
-                  THEN tus - lv_us ELSE -1 END)::BIGINT AS view_age_us
+            CASE WHEN lc IS NOT NULL AND tus - lc.us <= $PitStalenessUs
+                 THEN coalesce(lc.v, -1.0) ELSE -1.0 END AS click_val,
+            (CASE WHEN lc IS NOT NULL AND tus - lc.us <= $PitStalenessUs
+                  THEN tus - lc.us ELSE -1 END)::BIGINT AS click_age_us,
+            CASE WHEN lv IS NOT NULL AND tus - lv.us <= $PitStalenessUs
+                 THEN coalesce(lv.v, -1.0) ELSE -1.0 END AS view_val,
+            (CASE WHEN lv IS NOT NULL AND tus - lv.us <= $PitStalenessUs
+                  THEN tus - lv.us ELSE -1 END)::BIGINT AS view_age_us
           FROM w WHERE kind = 2""",
     "q_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),

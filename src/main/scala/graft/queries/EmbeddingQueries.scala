@@ -1048,9 +1048,16 @@ object EmbeddingQueries {
     * the Spark TopK heap), `und` = forward ∪ reverse edges, `cand` = current
     * edges UNION two-hop paths (SQL UNION dedupes exactly like the Spark
     * `.union(...).distinct()`), `round1` = rescored top-K over candidates.
+    *
+    * Every stage is `MATERIALIZED` (a DuckDB-only evaluation hint — no
+    * semantic change): the recall gate references the chain from three
+    * UNION arms plus the n_scored/n_edges scalar counts, and DuckDB's
+    * default inlining re-evaluated the scored rounds per reference — 380 s
+    * and an OOM under memory pressure at sf0.1; materialized, each stage
+    * runs once.
     */
   private val nnCtes =
-    s""", massign AS (
+    s""", massign AS MATERIALIZED (
           SELECT vec_id, cent_id FROM (
             SELECT v.vec_id, c.cent_id,
               row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1060,10 +1067,10 @@ object EmbeddingQueries {
             JOIN nrm nv ON nv.vec_id = v.vec_id
             JOIN nrm nc ON nc.vec_id = c.cent_id)
           WHERE rn <= $NnSeedAssign),
-        scand AS (SELECT DISTINCT a.vec_id AS node_id, b.vec_id AS neighbor_id
+        scand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS node_id, b.vec_id AS neighbor_id
                   FROM massign a JOIN massign b
                     ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
-        seed AS (
+        seed AS MATERIALIZED (
           SELECT node_id, neighbor_id, rank FROM (
             SELECT sc.node_id, sc.neighbor_id,
               row_number() OVER (PARTITION BY sc.node_id ORDER BY
@@ -1075,13 +1082,13 @@ object EmbeddingQueries {
             JOIN nrm na ON na.vec_id = sc.node_id
             JOIN nrm nb ON nb.vec_id = sc.neighbor_id)
           WHERE rank <= $K),
-        und AS (SELECT node_id AS u, neighbor_id AS w FROM seed
+        und AS MATERIALIZED (SELECT node_id AS u, neighbor_id AS w FROM seed
                 UNION ALL SELECT neighbor_id, node_id FROM seed),
-        cand AS (SELECT node_id, neighbor_id FROM seed
+        cand AS MATERIALIZED (SELECT node_id, neighbor_id FROM seed
                  UNION
                  SELECT x.u AS node_id, y.w AS neighbor_id
                  FROM und x JOIN und y ON x.w = y.u WHERE x.u <> y.w),
-        round1 AS (
+        round1 AS MATERIALIZED (
           SELECT node_id, neighbor_id, rank FROM (
             SELECT cd.node_id, cd.neighbor_id,
               row_number() OVER (PARTITION BY cd.node_id ORDER BY
@@ -1093,13 +1100,13 @@ object EmbeddingQueries {
             JOIN nrm na ON na.vec_id = cd.node_id
             JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
           WHERE rank <= $K),
-        und2 AS (SELECT node_id AS u, neighbor_id AS w FROM round1
+        und2 AS MATERIALIZED (SELECT node_id AS u, neighbor_id AS w FROM round1
                  UNION ALL SELECT neighbor_id, node_id FROM round1),
-        cand2 AS (SELECT node_id, neighbor_id FROM round1
+        cand2 AS MATERIALIZED (SELECT node_id, neighbor_id FROM round1
                   UNION
                   SELECT x.u AS node_id, y.w AS neighbor_id
                   FROM und2 x JOIN und2 y ON x.w = y.u WHERE x.u <> y.w),
-        round2 AS (
+        round2 AS MATERIALIZED (
           SELECT node_id, neighbor_id, rank FROM (
             SELECT cd.node_id, cd.neighbor_id,
               row_number() OVER (PARTITION BY cd.node_id ORDER BY
@@ -1111,9 +1118,9 @@ object EmbeddingQueries {
             JOIN nrm na ON na.vec_id = cd.node_id
             JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
           WHERE rank <= $K),
-        nn_sample AS (SELECT vec_id AS query_id, e AS qe FROM v
+        nn_sample AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v
                       WHERE vec_id % $NnSampleMod = $NnSampleRem),
-        nn_exact AS (
+        nn_exact AS MATERIALIZED (
           SELECT query_id, neighbor_id FROM (
             SELECT s.query_id, v.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY s.query_id ORDER BY

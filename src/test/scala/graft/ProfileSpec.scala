@@ -21,4 +21,24 @@ class ProfileSpec extends SparkSpec {
     assert(expand === Set(
       ("id", 4L, 0L, 3L), ("ship date", 4L, 1L, 2L), ("a'b", 4L, 0L, 2L)))
   }
+
+  test("signed zeros count as ONE distinct value in both forms") {
+    val df = Seq((1L, 0.0), (2L, -0.0), (3L, 1.0)).toDF("id", "x")
+    def cells(p: org.apache.spark.sql.DataFrame) =
+      p.as[(String, Long, Long, Long)].collect().toSet
+    val expand = cells(graft.operators.Profile.tableProfile(df))
+    val unpivot = cells(graft.operators.Profile.tableProfileUnpivot(df))
+    assert(expand === unpivot)
+    assert(expand.contains(("x", 3L, 0L, 2L)),
+      s"0.0 and -0.0 must normalize to one distinct value: $expand")
+  }
+
+  test("an empty table profiles as one zero row per column in both forms") {
+    val df = Seq((1L, "a")).toDF("id", "s").filter(org.apache.spark.sql.functions.lit(false))
+    def cells(p: org.apache.spark.sql.DataFrame) =
+      p.as[(String, Long, Long, Long)].collect().toSet
+    val expect = Set(("id", 0L, 0L, 0L), ("s", 0L, 0L, 0L))
+    assert(cells(graft.operators.Profile.tableProfile(df)) === expect)
+    assert(cells(graft.operators.Profile.tableProfileUnpivot(df)) === expect)
+  }
 }

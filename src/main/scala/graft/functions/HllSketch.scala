@@ -119,6 +119,68 @@ final class HllSketchState(hashBits: Int = 60)
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+/** The per-column PROFILE fold — row count, null count, and the [[HllSketch]]
+  * distinct estimate in ONE fixed-state pass (what
+  * [[graft.operators.Profile.tableProfileHll]] runs per unpivoted column):
+  * input is the column value's 60-bit hash, with nulls carried as
+  * [[ProfileHllCounter.NullSentinel]] (unreachable by a real hash — the
+  * hash range is [0, 2^60)) so null rows count into n_rows/n_nulls but never
+  * touch a register, matching `count(DISTINCT c)`'s null-blindness. State is
+  * two longs + the 2 KiB register array regardless of cardinality; merge is
+  * component sums + elementwise register min, so map-side combine and any
+  * chunking give identical results.
+  */
+final class ProfileHllCounter(hashBits: Int = 60)
+    extends Aggregator[Long, Array[Long], (Long, Long, Long)]
+    with Serializable {
+  private val inner = new HllSketch(hashBits)
+
+  /** Buffer layout: [0] = n_rows, [1] = n_nulls, [2..257] = the 256
+    * registers — ONE flat array mutated in place, so the per-row reduce
+    * allocates nothing (the profile fold runs once per row per column; a
+    * tuple-of-counts buffer measured ~2× slower at sf0.1).
+    */
+  def zero: Array[Long] = {
+    val a = Array.fill(258)(Long.MaxValue)
+    a(0) = 0L
+    a(1) = 0L
+    a
+  }
+
+  def reduce(b: Array[Long], hash: Long): Array[Long] = {
+    b(0) += 1
+    if (hash == ProfileHllCounter.NullSentinel) b(1) += 1
+    else {
+      val reg = (hash & 255L).toInt + 2
+      val w = hash >>> 8
+      if (w < b(reg)) b(reg) = w
+    }
+    b
+  }
+
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    x(0) += y(0)
+    x(1) += y(1)
+    var i = 2
+    while (i < 258) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+
+  def finish(b: Array[Long]): (Long, Long, Long) =
+    (b(0), b(1), inner.finish(java.util.Arrays.copyOfRange(b, 2, 258)))
+
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[(Long, Long, Long)] =
+    ExpressionEncoder[(Long, Long, Long)]()
+}
+
+object ProfileHllCounter {
+  /** Null marker in the hash domain — [[graft.operators.TextDedup.tokenHash60]]
+    * emits [0, 2^60), so MinValue cannot collide with a real hash.
+    */
+  val NullSentinel: Long = Long.MinValue
+}
+
 /** Folds ALREADY-BUILT [[HllSketchState]] registers into one estimate —
   * `estimate(merge(sketches))`, never re-reading raw keys. Exactness
   * contract: because a register is the MIN remainder, merging per-source

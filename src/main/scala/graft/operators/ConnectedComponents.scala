@@ -183,4 +183,59 @@ object ConnectedComponents {
       parent.keys.toSeq.map(v => v -> find(v)).toMap
     }
   }
+
+  /** DELTA union-find over a COMPACTED label base — the distributed
+    * escalation seam of the streaming maintainer
+    * ([[graft.streaming.GroupStream]]): when "docs ever matched" outgrows
+    * one driver, the accumulated pair log is compacted by a periodic batch
+    * [[run]] pass into a distributed (id, comp) label table, and the
+    * low-latency tier restarts FLAT on top of it. `base` resolves a vertex
+    * to its compacted label (a point-read into that table in production; a
+    * map in specs); a vertex the base has never seen resolves to itself.
+    * Driver state is then only the DELTA — one parent edge per compacted
+    * label or fresh vertex moved SINCE the compaction — so driver memory is
+    * bounded by post-compaction evidence, not by all history
+    * ([[deltaSize]] makes the bound measurable).
+    *
+    * Labels keep the batch convention (component minimum): a delta union
+    * attaches the larger root under the smaller, so a fresh vertex with an
+    * id below an old component's label becomes the new label exactly as a
+    * batch re-run over the full log would decide. The merged labeling
+    * materializes distributively without rescanning the pair log: relabel
+    * the compacted table with [[relabels]] (one broadcastable left join —
+    * [[graft.streaming.GroupStream.mergedLabels]]) and append
+    * [[freshSnapshot]] for vertices first seen after the compaction.
+    * Unions stay idempotent, so at-least-once redelivery needs no journal,
+    * same as the un-compacted tier.
+    */
+  final class CompactedUnionFind(base: Long => Option[Long]) {
+    private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    private val freshVerts = scala.collection.mutable.HashSet.empty[Long]
+    private def resolve(l: Long): Long = parent.get(l) match {
+      case None => l
+      case Some(p) =>
+        val r = resolve(p)
+        parent(l) = r
+        r
+    }
+    private def baseLabel(x: Long): Long = base(x) match {
+      case Some(l) => l
+      case None => freshVerts += x; x
+    }
+    def find(x: Long): Long = resolve(baseLabel(x))
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    /** Driver-held delta entries — the bounded-state claim as a number. */
+    def deltaSize: Int = synchronized { parent.size + freshVerts.size }
+    /** (old compacted label → merged label), only for labels that moved. */
+    def relabels: Map[Long, Long] = synchronized {
+      parent.keys.toSeq.map(l => l -> resolve(l)).filter(p => p._1 != p._2).toMap
+    }
+    /** (vertex → merged label) for vertices first seen since compaction. */
+    def freshSnapshot: Map[Long, Long] = synchronized {
+      freshVerts.toSeq.map(v => v -> find(v)).toMap
+    }
+  }
 }

@@ -739,6 +739,138 @@ object Embeddings {
     }.reduce(_.unionByName(_))
   }
 
+  /** BEAM SEARCH over a kNN graph — the SERVING query path that makes the
+    * NN-Descent/HNSW-family index investment pay off (the graph analogue of
+    * [[ivfPqRerankFromIndex]]'s retrieve stage): seeded from the IVF probe
+    * (each query's `nProbe` nearest centroids, self excluded BEFORE ranking
+    * so every query keeps `nProbe` live entry points), the search runs
+    * `rounds` bounded expansion waves — frontier = current per-query
+    * top-`beam` of everything scored so far, expansion = frontier ⋈ the
+    * graph's edge list, fresh candidates = expanded nodes never scored for
+    * that query (anti-join against the visited set), each rescored with the
+    * exact cosine. Greedy best-first with full visited memory, so the
+    * result is deterministic and hash-checkable.
+    *
+    * Scale shape: every step is an equi-join or a bounded heap. The frontier
+    * is queries×beam rows (broadcast into the edge join — the corpus-sized
+    * side is the edge list, touched by key), the visited set is bounded by
+    * queries×(nProbe + rounds·beam·k) rows, and scoring joins candidates to
+    * the vector store by id (point lookups, the [[exactRerank]] shape). No
+    * stage touches all vectors except the id-keyed score join's build side;
+    * nothing is quadratic in the corpus. Per-wave [[Lineage]] cuts
+    * materialize the visited set once (it is read by the next beam, the
+    * anti-join, and the union — the [[nnDescentRound]] chaining pattern).
+    *
+    * Returns one (label, visitedSoFar, freshlyScored) triple per stage so
+    * the recall gate can price each wave: n_scored = |freshlyScored| is the
+    * number of exact distance evaluations the wave paid — the serving-cost
+    * axis of the ladder.
+    */
+  def graphSearchStages(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
+                        centroids: DataFrame, nProbe: Int, beam: Int,
+                        rounds: Int): Seq[(String, DataFrame, DataFrame)] = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(broadcast(q), "query_id").join(v, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+            .as("score"))
+    val c = centroids.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_norm"))
+    val probeScored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("p_emb"),
+        l2Norm(col("embedding")).as("p_norm"))
+      .crossJoin(broadcast(c))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dotD(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+    val entries = topKPerQuery(probeScored, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val edges = graph.select(col("query_id").as("node_id"),
+      col("neighbor_id").as("next_id"))
+    val stages = Seq.newBuilder[(String, DataFrame, DataFrame)]
+    var visited = Lineage.cut(score(entries))
+    stages += (("seed", visited, entries))
+    var r = 1
+    while (r <= rounds) {
+      val frontier = topKPerQuery(visited, beam)
+        .select(col("query_id"), col("neighbor_id"))
+      val expand = broadcast(frontier).alias("b")
+        .join(edges.alias("g"), col("b.neighbor_id") === col("g.node_id"))
+        .select(col("b.query_id").as("query_id"),
+          col("g.next_id").as("neighbor_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .distinct()
+      // fresh is cut once and read by BOTH consumers (the score join below
+      // and the recall gate's n_scored count)
+      val fresh = Lineage.cut(
+        expand.join(visited.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti"))
+      visited = Lineage.cut(visited.unionByName(score(fresh)))
+      stages += ((s"round$r", visited, fresh))
+      r += 1
+    }
+    stages.result()
+  }
+
+  /** The serving cut of [[graphSearchStages]]: per-query top-`k` of
+    * everything the search scored, as (query_id, neighbor_id, rank).
+    */
+  def graphSearch(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
+                  centroids: DataFrame, nProbe: Int, beam: Int, rounds: Int,
+                  k: Int): DataFrame =
+    topKPerQuery(
+      graphSearchStages(vectors, queries, graph, centroids, nProbe, beam,
+        rounds).last._2, k)
+
+  /** Per-wave recall of the beam search vs the exact top-`k`, with each
+    * wave's exact-distance-evaluation count beside it — the (stage, hits,
+    * total, n_scored) ladder that prices the beam/rounds choice the way
+    * [[knnGraphRecall]] prices the index build. All integers.
+    */
+  def graphSearchRecall(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
+                        centroids: DataFrame, nProbe: Int, beam: Int,
+                        rounds: Int, k: Int): DataFrame = {
+    // the exact baseline is read once per stage — cut it (queries×k rows)
+    // so the broadcast-probe scan runs once, not once per union arm
+    val exact = Lineage.cut(knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id")))
+    graphSearchStages(vectors, queries, graph, centroids, nProbe, beam, rounds)
+      .map { case (label, vis, fresh) =>
+        knnRecallTotals(exact, topKPerQuery(vis, k))
+          .crossJoin(broadcast(fresh.agg(count(lit(1)).as("n_scored"))))
+          .select(lit(label).as("stage"), col("hits"), col("total"),
+            col("n_scored"))
+      }.reduce(_.unionByName(_))
+  }
+
+  /** Stream-served graph-ANN search — [[rerankProbeSink]]'s contract for the
+    * graph index family: each query micro-batch is answered by
+    * [[graphSearch]] against a PRE-BUILT static kNN graph and vector store
+    * (build once with [[knnGraphSeed]] + [[nnDescentRound]], keep the floats
+    * bucketed by id for the point-lookup score joins). Per-trigger working
+    * set = graph edges + the id-keyed store rows the search touches; per-
+    * batch plans see static frames, so streamed answers are exactly the
+    * batch search's (spec-asserted).
+    */
+  def graphProbeSink(queryStream: DataFrame, graph: DataFrame,
+                     vectorStore: DataFrame, centroids: DataFrame,
+                     nProbe: Int, beam: Int, rounds: Int, k: Int,
+                     checkpointDir: String)
+                    (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          onBatch(graphSearch(vectorStore, batch.toDF(), graph, centroids,
+            nProbe, beam, rounds, k))
+      }
+      .start()
+
   /** Sign-random-projection (hyperplane) LSH — the second blocking family
     * next to IVF, and the embedding-space analogue of SimHash: each vector is
     * reduced to `nBits` sign bits (bit j = sign of the dot with hyperplane j),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Generic table profiling — the data-quality sweep an ingest pipeline runs
@@ -42,6 +42,7 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns
+    requireProfilable(cols)
     def strLit(name: String): String =
       "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def ident(name: String): String = "`" + name.replace("`", "``") + "`"
@@ -74,8 +75,103 @@ object Profile {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
+  /** Duplicate names and unorderable types are the two silent breakers of
+    * the "ANY table" contract (review catch): `df.columns` yields duplicate
+    * names twice but the stack rows share `col_name` (merging the columns'
+    * stats), and `count_distinct` cannot compare unorderable types (e.g.
+    * MAP columns) — fail fast on the first, document the second.
+    */
+  private[graft] def requireProfilable(cols: Array[String]): Unit =
+    require(cols.distinct.length == cols.length,
+      s"duplicate column names cannot be profiled distinctly: " +
+        cols.diff(cols.distinct).distinct.mkString(", "))
+
+  /** Cross-engine CANONICAL string rendering for profile hashing — the seam
+    * that makes [[tableProfileHll]]'s estimate oracle-checkable: both engines
+    * must hash the SAME string per value, and plain double→string rendering
+    * is NOT cross-engine-stable (Java 17's `Double.toString` and DuckDB's
+    * shortest-round-trip formatter disagree on some values, and Spark flips
+    * to scientific notation at 1e7 where DuckDB does not). Per type:
+    *   - integers / strings: the decimal/raw string — identical by
+    *     construction;
+    *   - DOUBLE/FLOAT: `round(x · 100)` as a long — exact and identical in
+    *     both engines (the product is one IEEE multiply, `round` is half-up
+    *     on positives in both), and INJECTIVE on ≤ 2-decimal domains (money,
+    *     rates, integral quantities — the profile's registered columns);
+    *     a caller profiling free-range doubles estimates the cardinality of
+    *     the centi-grid classes instead, which the scaladoc contract states;
+    *   - timestamps/dates: the ISO string both engines render identically
+    *     (`2000-12-01 00:00:00[.ffffff]`);
+    *   - binary: hex (injective; raw bytes are not valid UTF-8 input to md5
+    *     string-casting in DuckDB).
+    * Null-preserving in every branch, so null tracking stays exact.
+    */
+  def hashCanonical(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType}
+    val ic = col("`" + c.replace("`", "``") + "`")
+    df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        round(ic * lit(100)).cast("long").cast("string")
+      case BinaryType => hex(ic)
+      case _ => ic.cast("string")
+    }
+  }
+
+  /** ESTIMATOR twin of [[tableProfile]] — the 100 TB form: per-column row
+    * count, null count, and HLL distinct estimate in ONE pass with NO
+    * Expand. Each row fans out into #columns narrow (col_name, hash) pairs
+    * (a single generate — the unpivot shape), then one keyed aggregation
+    * folds a [[graft.functions.ProfileHllCounter]] per column: 2 KiB of
+    * state per column regardless of cardinality, map-side combine, shuffle
+    * volume = #columns × #partitions sketch rows. That replaces the exact
+    * form's scale-killer — the (#columns+1)-way Expand whose shuffle carries
+    * every per-partition-distinct value — with fixed state, at the standard
+    * 1.04/√256 ≈ 6.5% relative error (`q_table_profile_hll` gates the
+    * actual per-column error beside the exact counts as data).
+    *
+    * Values are hashed through [[hashCanonical]] (see its injectivity
+    * contract) and nulls ride the hash stream as a sentinel, so n_nulls is
+    * exact and the estimator matches `count(DISTINCT c)`'s null-blindness.
+    * Empty table: one all-zero row per column (the literal-names left join —
+    * a keyed aggregation emits nothing on nothing).
+    */
+  def tableProfileHll(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns
+    requireProfilable(cols)
+    val agg = new graft.functions.ProfileHllCounter(60)
+    // hash in the codegen'd projection BELOW the explode, group by the
+    // column INDEX (an Int — no per-row String key allocation through the
+    // typed-agg deserializer), restore names by a #columns-row join at the end
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("i"),
+        coalesce(TextDedup.tokenHash60(hashCanonical(df, c)),
+          lit(graft.functions.ProfileHllCounter.NullSentinel)).as("h"))
+    }
+    val names = cols.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+      .toDF("i", "col_name")
+    df.select(explode(array(entries: _*)).as("kv"))
+      .select(col("kv.i").as("i"), col("kv.h").as("h"))
+      .as[(Int, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("p"))
+      .toDF("i", "p")
+      .select(col("i"), col("p._1").as("n_rows"),
+        col("p._2").as("n_nulls"), col("p._3").as("est_distinct"))
+      .join(names, Seq("i"), "right")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("est_distinct"), lit(0L)).as("est_distinct"))
+  }
+
+  /** Requires distinct column names and orderable (non-MAP) column types —
+    * see [[requireProfilable]].
+    */
   def tableProfile(df: DataFrame): DataFrame = {
     val cols = df.columns
+    requireProfilable(cols)
     // "ANY table" includes messy column names: alias identifiers are
     // backtick-quoted (with backticks doubled) and the col_name string
     // literal escapes quotes/backslashes, so `ship date` or `a'b` profile

@@ -1215,10 +1215,39 @@ object AnalyticQueries {
   def qTableProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.tableProfile(t(s, dir, "lineitem"))
 
+  /** `q_table_profile_hll`: the profiler's PRODUCTION form gated beside the
+    * exact one — [[graft.operators.Profile.tableProfileHll]]'s fixed-state
+    * HLL estimates (no Expand, 2 KiB/column) joined to the exact profile's
+    * counts with the per-column e4 relative error as data (the `q_ams_*` /
+    * `q_kmv_setops` estimator-accuracy pattern). The exact Expand runs here
+    * only as the BASELINE the estimator is priced against; at 100 TB the
+    * estimator runs alone.
+    */
+  def qTableProfileHll(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "lineitem")
+    // the per-row work here (11 md5s + 11 sketch folds) is CPU-bound, and
+    // the single small harness file arrives as ONE scan partition — spread
+    // it so the fold uses the cores (measured 10.8 -> 1.9 s warm at sf0.1).
+    // At 100 TB the scan has natural partitions and no such respread runs
+    // (the operator itself never shuffles input rows).
+    val spread = df.repartition(s.sparkContext.defaultParallelism)
+    if (sys.env.contains("GRAFT_PROFILE_HLL_ONLY"))
+      return graft.operators.Profile.tableProfileHll(spread)
+    graft.operators.Profile.tableProfile(df)
+      .join(graft.operators.Profile.tableProfileHll(spread)
+        .select(col("col_name"), col("est_distinct")), "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct").as("exact_distinct"), col("est_distinct"),
+        when(col("n_distinct") === 0L, 0L)
+          .otherwise(expr("abs(est_distinct - n_distinct) * 10000 div n_distinct"))
+          .as("err_e4"))
+  }
+
   // -------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_profile" -> (qTableProfile _),
+    "q_table_profile_hll" -> (qTableProfileHll _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zorder3_layout" -> (qZorder3Layout _),
     "q_zorder_prune" -> (qZorderPrune _),
@@ -1305,6 +1334,54 @@ object AnalyticQueries {
                                ELSE raw END) AS BIGINT) AS $out
         FROM e"""
 
+  /** The HLL profile oracle: per lineitem column, the [[hllOracleSql]]
+    * register replay over [[graft.operators.Profile.hashCanonical]]'s
+    * cross-engine rendering (ints/strings/timestamps cast to VARCHAR,
+    * doubles via the exact `round(x·100)` centi-grid long), non-null values
+    * only, beside the exact counts and the e4 error. One CTE chain per
+    * column, unioned — the literal twin of the estimator's single keyed
+    * aggregation.
+    */
+  private def profileHllOracleSql: String = {
+    val cols = Seq(
+      ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+      ("l_linenumber", "int"), ("l_quantity", "dbl"), ("l_extendedprice", "dbl"),
+      ("l_discount", "dbl"), ("l_tax", "dbl"), ("l_returnflag", "str"),
+      ("l_linestatus", "str"), ("l_shipdate", "ts"))
+    def canon(c: String, t: String) = t match {
+      case "dbl" => s"CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR)"
+      case "str" => c
+      case _ => s"CAST($c AS VARCHAR)"
+    }
+    val ctes = cols.zipWithIndex.map { case ((c, t), i) =>
+      s"""h_$i AS (SELECT CAST('0x' || substring(md5(${canon(c, t)}), 1, 15) AS BIGINT) AS hv
+                   FROM lineitem WHERE $c IS NOT NULL),
+          r_$i AS (SELECT hv % 256 AS reg, min(hv // 256) AS w FROM h_$i GROUP BY 1),
+          s_$i AS (SELECT coalesce(sum(CASE WHEN w = 0 THEN 1::BIGINT
+                              ELSE (1::BIGINT << length(bin(w))) END), 0)
+                       + (256 - count(*)) * (1::BIGINT << 53) AS s_int,
+                     256 - count(*) AS v_empty FROM r_$i),
+          e_$i AS (SELECT CAST(round(CASE WHEN v_empty > 0 AND raw <= 640.0
+                                 THEN 256 * ln(256.0 / v_empty)
+                                 ELSE raw END) AS BIGINT) AS est
+                   FROM (SELECT v_empty,
+                           0.7213 / (1 + 1.079 / 256.0)
+                             * CAST('590295810358705651712' AS DOUBLE) / s_int AS raw
+                         FROM s_$i)),
+          x_$i AS (SELECT count(*)::BIGINT AS n_rows,
+                     sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     count(DISTINCT $c)::BIGINT AS exact FROM lineitem)"""
+    }.mkString(",\n")
+    val arms = cols.zipWithIndex.map { case ((c, _), i) =>
+      s"""SELECT '$c' AS col_name, x.n_rows, x.n_nulls, x.exact AS exact_distinct,
+             e.est AS est_distinct,
+             CAST(CASE WHEN x.exact = 0 THEN 0
+                  ELSE abs(e.est - x.exact) * 10000 // x.exact END AS BIGINT) AS err_e4
+          FROM x_$i x CROSS JOIN e_$i e"""
+    }.mkString(" UNION ALL ")
+    s"WITH $ctes $arms"
+  }
+
   /** Shared by the window form and the bucketed realization — one truth. */
   private val ntileOracle =
     """WITH s AS (
@@ -1326,6 +1403,7 @@ object AnalyticQueries {
               sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
               count(DISTINCT $c)::BIGINT AS n_distinct FROM lineitem""")
         .mkString(" UNION ALL "),
+    "q_table_profile_hll" -> profileHllOracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

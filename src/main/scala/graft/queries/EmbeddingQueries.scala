@@ -456,11 +456,59 @@ object EmbeddingQueries {
       Embeddings.knnGraphSeedFrom(v, seedCands, K))
     val c1 = Embeddings.descentCandidates(seed)
     val r1 = graft.operators.Lineage.cut(Embeddings.nnDescentRound(v, seed, K))
-    val c2 = Embeddings.descentCandidates(r1)
-    val r2 = Embeddings.nnDescentRound(v, r1, K)
+    // round 2 follows the seed's cut-candidates-then-score pattern: c2 is
+    // cut once and read by BOTH consumers (round-2 scoring and the n_scored
+    // count), and r2 is cut because the unioned gate consumes it twice (the
+    // recall left-join and the n_edges count) — uncut, both relied on AQE
+    // stage reuse (review catch; measured at sf0.1: cut 5.5-5.8 s vs
+    // uncut 6.0-6.3 s warm, so the explicit cut pattern is also faster)
+    val c2 = graft.operators.Lineage.cut(Embeddings.descentCandidates(r1))
+    val r2 = graft.operators.Lineage.cut(Embeddings.knnGraphSeedFrom(v, c2, K))
     Embeddings.knnGraphRecall(v,
       Seq(("seed", seed, seedCands), ("round1", r1, c1), ("round2", r2, c2)), K,
       NnSampleMod, NnSampleRem)
+  }
+
+  /** Beam width and expansion rounds for the graph-ANN SERVING search
+    * (`q_graph_search`): beam = [[K]] keeps the frontier the size of the
+    * answer, two waves match the built graph's descent depth.
+    */
+  val GsBeam = 10
+  val GsRounds = 2
+
+  /** The search-time index: the round-1 NN-Descent graph (`q_nndescent_graph`'s
+    * exact construction), cut once — the search consumes the edge list once
+    * per wave, and serving economics assume a PRE-BUILT index anyway.
+    */
+  private def gsGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Lineage.cut(
+      Embeddings.nnDescentRound(vectors(spark, dir),
+        graft.operators.Lineage.cut(nnSeed(spark, dir)), K))
+
+  /** `q_graph_search`: the graph-ANN SERVING query — IVF-probe-seeded beam
+    * search ([[Embeddings.graphSearch]]) over the NN-Descent graph, per-query
+    * top-[[K]] as (query_id, neighbor_id, rank). This is the rung that makes
+    * the `q_nndescent_*` index build pay off: queries are answered from the
+    * edge list + point lookups, never a corpus scan.
+    */
+  def graphSearchQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.graphSearch(v, queryVectors(spark, dir), gsGraph(spark, dir),
+        v.filter(col("vec_id") < NumCentroids), NProbe, GsBeam, GsRounds, K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** `q_graph_search_recall`: the search ladder's payoff AND price — per-wave
+    * top-[[K]] recall vs the exact baseline with the wave's exact-distance-
+    * evaluation count beside it, as integer (stage, hits, total, n_scored)
+    * rows. Read next to `q_nndescent_recall`: that ladder prices the BUILD,
+    * this one prices each SERVE.
+    */
+  def graphSearchRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.graphSearchRecall(v, queryVectors(spark, dir), gsGraph(spark, dir),
+      v.filter(col("vec_id") < NumCentroids), NProbe, GsBeam, GsRounds, K)
   }
 
   /** Matryoshka prefix widths the recall ladder prices (vs the full 64). */
@@ -514,6 +562,8 @@ object EmbeddingQueries {
     "q_mrl_recall" -> (mrlRecall _),
     "q_mrl_rerank" -> (mrlRerank _),
     "q_mrl_rerank_recall" -> (mrlRerankRecall _),
+    "q_graph_search" -> (graphSearchQ _),
+    "q_graph_search_recall" -> (graphSearchRecallQ _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1056,7 +1106,7 @@ object EmbeddingQueries {
     * and an OOM under memory pressure at sf0.1; materialized, each stage
     * runs once.
     */
-  private val nnCtes =
+  private val nnGraphCtes =
     s""", massign AS MATERIALIZED (
           SELECT vec_id, cent_id FROM (
             SELECT v.vec_id, c.cent_id,
@@ -1099,8 +1149,16 @@ object EmbeddingQueries {
             JOIN v vb ON vb.vec_id = cd.neighbor_id
             JOIN nrm na ON na.vec_id = cd.node_id
             JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
-          WHERE rank <= $K),
-        und2 AS MATERIALIZED (SELECT node_id AS u, neighbor_id AS w FROM round1
+          WHERE rank <= $K)
+     """
+
+  /** The descent LADDER's tail (rounds 2 + the node-sample exact baseline) —
+    * split from [[nnGraphCtes]] so the graph-search oracles can reuse the
+    * round-1 graph without dragging (and paying for) the materialized
+    * round-2/sample stages they never read.
+    */
+  private val nnLadderCtes =
+    s""", und2 AS MATERIALIZED (SELECT node_id AS u, neighbor_id AS w FROM round1
                  UNION ALL SELECT neighbor_id, node_id FROM round1),
         cand2 AS MATERIALIZED (SELECT node_id, neighbor_id FROM round1
                   UNION
@@ -1131,6 +1189,77 @@ object EmbeddingQueries {
             JOIN nrm nv ON nv.vec_id = v.vec_id)
           WHERE rank <= $K)
      """
+
+  private val nnCtes = nnGraphCtes + nnLadderCtes
+
+  /** One scored-expansion block of the beam-search oracle: score `src`'s
+    * (query_id, neighbor_id) pairs with the shared sequential-double cosine
+    * (the exact arithmetic [[Embeddings.graphSearchStages]]' score join
+    * runs, so stored scores are bit-identical across engines).
+    */
+  private def gsScoreCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
+          SELECT p.query_id, p.neighbor_id,
+            (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+              / (nq.nm * nv.nm)) AS score
+          FROM $src p
+          JOIN q ON q.query_id = p.query_id
+          JOIN v ON v.vec_id = p.neighbor_id
+          JOIN nrm nq ON nq.vec_id = p.query_id
+          JOIN nrm nv ON nv.vec_id = p.neighbor_id)"""
+
+  /** Per-query top-`lim` of a scored visited set by (score DESC, id ASC) —
+    * the oracle twin of the TopK heap's ordering.
+    */
+  private def gsTopCte(name: String, src: String, lim: String): String =
+    s"""$name AS (SELECT query_id, neighbor_id, rn FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS rn
+          FROM $src) WHERE rn <= $lim)"""
+
+  /** The beam search replayed wave by wave on [[base]]'s `q`/`v` and
+    * [[nnGraphCtes]]' `round1` graph: `gprobe` = each query's [[NProbe]]
+    * nearest centroids (self excluded before ranking), `gs0` their exact
+    * scores, then per wave a beam cut, a frontier⋈edges expansion with a
+    * NOT-EXISTS visited guard (the anti-join), and a scored union.
+    */
+  private val gsCtes =
+    s""", gprobe AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.cent_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i]))
+                  / (nq.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM q JOIN c ON c.cent_id <> q.query_id
+            JOIN nrm nq ON nq.vec_id = q.query_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn <= $NProbe),
+        ${gsScoreCte("gs0", "gprobe")},
+        ${gsTopCte("beam0", "gs0", GsBeam.toString)},
+        exp1 AS MATERIALIZED (
+          SELECT DISTINCT b.query_id, g.neighbor_id
+          FROM beam0 b JOIN round1 g ON g.node_id = b.neighbor_id
+          WHERE g.neighbor_id <> b.query_id
+            AND NOT EXISTS (SELECT 1 FROM gs0 s
+                            WHERE s.query_id = b.query_id
+                              AND s.neighbor_id = g.neighbor_id)),
+        ${gsScoreCte("sc1", "exp1")},
+        vis1 AS MATERIALIZED (
+          SELECT query_id, neighbor_id, score FROM gs0
+          UNION ALL SELECT query_id, neighbor_id, score FROM sc1),
+        ${gsTopCte("beam1", "vis1", GsBeam.toString)},
+        exp2 AS MATERIALIZED (
+          SELECT DISTINCT b.query_id, g.neighbor_id
+          FROM beam1 b JOIN round1 g ON g.node_id = b.neighbor_id
+          WHERE g.neighbor_id <> b.query_id
+            AND NOT EXISTS (SELECT 1 FROM vis1 s
+                            WHERE s.query_id = b.query_id
+                              AND s.neighbor_id = g.neighbor_id)),
+        ${gsScoreCte("sc2", "exp2")},
+        vis2 AS MATERIALIZED (
+          SELECT query_id, neighbor_id, score FROM vis1
+          UNION ALL SELECT query_id, neighbor_id, score FROM sc2)"""
 
   /** Per-tier Matryoshka rankings on [[base]]'s `v`/`q`: the same sequential
     * prefix dot and prefix norms (a/(b·c) grouping) as the Spark slice form.
@@ -1188,6 +1317,30 @@ object EmbeddingQueries {
           FROM exact e LEFT JOIN mrl$d m
             ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id""")
       .mkString(" UNION ALL ")),
+    "q_graph_search" -> (base + nnGraphCtes + gsCtes +
+      s""", ${gsTopCte("gsfinal", "vis2", K.toString)}
+         SELECT query_id, neighbor_id, rn::BIGINT AS rank FROM gsfinal"""),
+    "q_graph_search_recall" -> (base + nnGraphCtes + gsCtes +
+      s""", ${gsTopCte("top0", "gs0", K.toString)},
+          ${gsTopCte("top1", "vis1", K.toString)},
+          ${gsTopCte("top2", "vis2", K.toString)}
+         SELECT 'seed' AS stage, count(t.neighbor_id)::BIGINT AS hits,
+                count(*)::BIGINT AS total,
+                (SELECT count(*) FROM gs0)::BIGINT AS n_scored
+         FROM exact e LEFT JOIN top0 t
+           ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+         UNION ALL
+         SELECT 'round1' AS stage, count(t.neighbor_id)::BIGINT AS hits,
+                count(*)::BIGINT AS total,
+                (SELECT count(*) FROM sc1)::BIGINT AS n_scored
+         FROM exact e LEFT JOIN top1 t
+           ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+         UNION ALL
+         SELECT 'round2' AS stage, count(t.neighbor_id)::BIGINT AS hits,
+                count(*)::BIGINT AS total,
+                (SELECT count(*) FROM sc2)::BIGINT AS n_scored
+         FROM exact e LEFT JOIN top2 t
+           ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id"""),
     "q_nndescent_graph" -> (base + nnCtes +
       "SELECT node_id, neighbor_id, rank::BIGINT AS rank FROM round1"),
     "q_nndescent_recall" -> (base + nnCtes +

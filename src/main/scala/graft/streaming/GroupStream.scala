@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, coalesce, col}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.ConnectedComponents
@@ -24,8 +24,13 @@ import graft.operators.ConnectedComponents
   * balance-delta sinks), and the state is O(#docs ever matched), not
   * O(corpus). Union is idempotent, so `foreachBatch`'s at-least-once
   * redelivery needs no journal here. For group state too large for one
-  * driver, the sharded escalation is the batch operator itself on a
-  * periodic compaction cadence — this maintainer is the low-latency tier.
+  * driver, the escalation is BUILT: [[compactPairLog]] runs the batch
+  * operator over the accumulated pair log on a compaction cadence, and
+  * [[maintainGroupsCompacted]] restarts the low-latency tier as a DELTA
+  * over the compacted label table
+  * ([[ConnectedComponents.CompactedUnionFind]]) — driver memory bounded by
+  * post-compaction evidence, full labeling recoverable distributively via
+  * [[mergedLabels]] without rescanning the log.
   */
 object GroupStream {
 
@@ -48,4 +53,55 @@ object GroupStream {
         ()
       }
       .start()
+
+  /** COMPACTION: the periodic batch pass that keeps the driver tier small —
+    * distributed [[ConnectedComponents.run]] over the accumulated pair log
+    * (every near-dup pair ever emitted — an append-only parquet table in
+    * production), yielding the (id, comp) label table the delta tier
+    * restarts on. Labels are component minima, identical to what the driver
+    * union-find would hold — the handoff changes WHERE state lives, never a
+    * label (spec-asserted across the seam).
+    */
+  def compactPairLog(pairLog: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    ConnectedComponents.run(pairLog, srcCol, dstCol)
+
+  /** [[maintainGroups]] restarted on a compacted base: identical fold, but
+    * into a [[ConnectedComponents.CompactedUnionFind]] whose driver state is
+    * only the post-compaction delta.
+    */
+  def maintainGroupsCompacted(pairs: DataFrame, srcCol: String, dstCol: String,
+                              uf: ConnectedComponents.CompactedUnionFind,
+                              checkpointDir: String): StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch
+          .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .collect()
+        uf.synchronized {
+          rows.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+
+  /** The DISTRIBUTED realization of the merged labeling — compacted table +
+    * driver delta, without rescanning the pair log: one broadcastable
+    * relabel left-join over the label table (only labels that MOVED since
+    * compaction are in the map) plus the fresh-vertex rows the table has
+    * never seen. Equals `ConnectedComponents.run` over the FULL pair
+    * history row-for-row (spec-asserted across chunkings and bridge merges).
+    */
+  def mergedLabels(labels: DataFrame,
+                   uf: ConnectedComponents.CompactedUnionFind): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val moved = uf.relabels.toSeq.toDF("comp", "new_comp")
+    val fresh = uf.freshSnapshot.toSeq.toDF("id", "comp")
+    labels.select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+      .join(broadcast(moved), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+      .unionByName(fresh.select(col("id"), col("comp")))
+  }
 }

@@ -49,15 +49,26 @@ object PrioritySampleStream {
     * subset-sum estimates Σ max(w, τ) with τ = floor of the (k+1)-th
     * priority (empty when the stream so far fits the sample — the batch
     * query's degenerate-regime contract). `dims` maps id → (group, w).
+    *
+    * Every group present in `dims` gets a row — a group with zero sampled
+    * members (or the τ-empty degenerate regime, where the crossJoin empties
+    * the estimate side) reads as explicit zeros, mirroring the batch
+    * `q_priority_sample`'s coalesced left join, so a dashboard consumer
+    * sees "estimated 0" rather than a silently missing group.
     */
   def subsetEstimates(snapshot: DataFrame, dims: DataFrame, k: Int): DataFrame = {
     val tau = snapshot.filter(col("rn") === (k + 1))
       .select(floor(col("pri")).cast("long").as("t"))
-    snapshot.filter(col("rn") <= k)
+    val est = snapshot.filter(col("rn") <= k)
       .join(dims, "id")
       .crossJoin(broadcast(tau))
       .groupBy("group")
       .agg(count(lit(1)).as("n_sampled"),
         sum(greatest(col("w"), col("t"))).as("est_w"))
+    dims.select("group").distinct()
+      .join(est, Seq("group"), "left")
+      .select(col("group"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_w"), lit(0L)).as("est_w"))
   }
 }

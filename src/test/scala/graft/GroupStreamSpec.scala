@@ -54,12 +54,81 @@ class GroupStreamSpec extends SparkSpec {
     assert(expected(18L) === 5L && expected(8L) === 5L)
   }
 
+  private def runChunkedCompacted(edges: Seq[(Long, Long)], nChunks: Int,
+                                  base: Map[Long, Long]): ConnectedComponents.CompactedUnionFind = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val uf = new ConnectedComponents.CompactedUnionFind(base.get)
+    val q = GroupStream.maintainGroupsCompacted(
+      in.toDF().toDF("u", "v"), "u", "v", uf,
+      Files.createTempDirectory(s"grpc-ck-$nChunks").toString)
+    val size = math.max(1, math.ceil(edges.size.toDouble / nChunks).toInt)
+    edges.grouped(size).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    uf
+  }
+
+  /** The distributed escalation seam: batch-compact phase-A evidence, restart
+    * the driver tier as a DELTA over the compacted labels, stream phase B —
+    * the merged labeling must equal batch CC over the FULL history at every
+    * chunking (bridge merges across the seam and a fresh-vertex NEW MINIMUM
+    * relabeling an old component included), with driver state bounded by
+    * post-compaction evidence and redelivery still idempotent.
+    */
+  test("compaction handoff: merged labels equal batch CC over the full history") {
+    val phaseA = Seq((5L, 6L), (6L, 7L), (15L, 16L), (16L, 17L), (30L, 31L))
+    val phaseB = Seq(
+      (6L, 16L),  // bridges two compacted components across the seam
+      (50L, 51L), // an all-fresh component the labels table never saw
+      (2L, 30L),  // fresh id 2 becomes the NEW min label of old {30,31}
+      (17L, 17L)) // self-loop tolerated
+    val labels = GroupStream.compactPairLog(phaseA.toDF("u", "v"), "u", "v")
+      .localCheckpoint(true)
+    val labelMap = labels.as[(Long, Long)].collect().toMap
+    assert(labelMap === ccLabels(phaseA), "compaction must reproduce batch labels")
+    val expected = ccLabels(phaseA ++ phaseB)
+    Seq(1, 2, 4).foreach { n =>
+      val uf = runChunkedCompacted(phaseB, n, labelMap)
+      val merged = GroupStream.mergedLabels(labels, uf)
+        .as[(Long, Long)].collect().toMap
+      assert(merged === expected, s"nChunks=$n diverged across the seam")
+      // bounded driver state: 3 merging unions + 3 fresh vertices — never
+      // the 8-vertex compacted history
+      assert(uf.deltaSize === 6, s"delta state grew: ${uf.deltaSize}")
+    }
+    // at-least-once redelivery across the seam stays idempotent
+    val uf2 = new ConnectedComponents.CompactedUnionFind(labelMap.get)
+    (phaseB ++ phaseB).foreach { case (a, b) => uf2.union(a, b) }
+    assert(GroupStream.mergedLabels(labels, uf2).as[(Long, Long)].collect().toMap
+      === expected)
+    assert(uf2.deltaSize === 6)
+    // the new-min case actually exercised: old component {30,31} relabeled 2
+    assert(expected(31L) === 2L && expected(30L) === 2L)
+  }
+
   test("property: random edge streams equal batch CC at every chunking") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { _ =>
       val edges = Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
       val expected = ccLabels(edges)
       assert(runChunked(edges, 4) === expected)
+    }
+  }
+
+  test("property: random compaction seams equal batch CC over full history") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val a = Seq.fill(20)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val b = Seq.fill(20)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val labelMap = ccLabels(a)
+      val uf = new ConnectedComponents.CompactedUnionFind(labelMap.get)
+      b.foreach { case (x, y) => uf.union(x, y) }
+      val merged = GroupStream.mergedLabels(labelMap.toSeq.toDF("id", "comp"), uf)
+        .as[(Long, Long)].collect().toMap
+      assert(merged === ccLabels(a ++ b))
     }
   }
 

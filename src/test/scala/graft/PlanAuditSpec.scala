@@ -80,6 +80,12 @@ class PlanAuditSpec extends SparkSpec {
     // the knnExact broadcast-sample probe. The descent round itself is
     // pure equi-joins (see Embeddings.nnDescentRound).
     "q_nndescent_graph", "q_nndescent_recall",
+    // Graph-ANN SERVING: the lineage starts at the same seed-graph build
+    // (O(n·C) broadcast-centroid probe) plus the query-side IVF entry probe
+    // (queries × C broadcast centroids); the recall twin adds the knnExact
+    // broadcast-query baseline. The search waves themselves are pure
+    // equi-joins + bounded heaps (see Embeddings.graphSearchStages).
+    "q_graph_search", "q_graph_search_recall",
     // Matryoshka ladder: per-tier knnExactPrefix broadcast-query probes
     // plus the full-dim knnExact baseline — the documented all-pairs design
     "q_mrl_recall", "q_mrl_rerank", "q_mrl_rerank_recall",

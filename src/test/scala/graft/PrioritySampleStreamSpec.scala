@@ -70,5 +70,20 @@ class PrioritySampleStreamSpec extends SparkSpec {
       .map { case (_, _, id) => (s"g${id % 3}", math.max(wOf(id), tau)) }
       .groupBy(_._1).map { case (g, vs) => g -> ((vs.size.toLong, vs.map(_._2).sum)) }
     assert(est === expect)
+
+    // a group with ZERO sampled members still appears, as explicit zeros
+    // (the batch query's coalesced left-join contract) — carve one
+    // unsampled id into its own group and re-roll
+    val sampledIds = batch.take(K).map(_._3).toSet
+    val lonelyId = rows.map(_._1).find(!sampledIds.contains(_)).get
+    val dimsLonely = rows.toDF("id", "w")
+      .withColumn("group",
+        when(col("id") === lonelyId, lit("lonely"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(3)))))
+      .select("id", "group", "w")
+    val estLonely = PrioritySampleStream.subsetEstimates(snap, dimsLonely, K)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, e) => g -> ((n, e)) }.toMap
+    assert(estLonely("lonely") === ((0L, 0L)))
   }
 }

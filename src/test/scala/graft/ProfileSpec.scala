@@ -40,5 +40,39 @@ class ProfileSpec extends SparkSpec {
     val expect = Set(("id", 0L, 0L, 0L), ("s", 0L, 0L, 0L))
     assert(cells(graft.operators.Profile.tableProfile(df)) === expect)
     assert(cells(graft.operators.Profile.tableProfileUnpivot(df)) === expect)
+    assert(cells(graft.operators.Profile.tableProfileHll(df)) === expect)
+  }
+
+  /** The HLL twin's exact lanes (rows, nulls) must equal the exact profile
+    * cell-for-cell; the estimate lane is in the collision-free linear-
+    * counting regime on a tiny table, so it lands on the exact distincts
+    * too — and chunking must be invisible (fixed-state merge).
+    */
+  test("HLL profile: exact row/null lanes, tiny-regime estimate, chunking-proof") {
+    val df = Seq(
+        (1L, Option("a"), 1.5), (2L, Option.empty[String], 1.5),
+        (2L, Option("b"), 2.25), (3L, Option("a"), 1.5))
+      .toDF("id", "name", "score")
+    val exact = graft.operators.Profile.tableProfile(df)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def hll(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.tableProfileHll(d)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    val est = hll(df)
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (c, (_, n, nn, ed)) =>
+      assert((n, nn) === ((exact(c)._2, exact(c)._3)), s"row/null lane drifted for $c")
+      assert(ed === exact(c)._4, s"tiny-regime estimate off for $c: $ed vs ${exact(c)._4}")
+    }
+    assert(hll(df.repartition(7)) === est, "chunking changed the profile")
+  }
+
+  test("duplicate column names are rejected by every profile form") {
+    val df = Seq((1L, 2L)).toDF("a", "a")
+    intercept[IllegalArgumentException](graft.operators.Profile.tableProfile(df))
+    intercept[IllegalArgumentException](graft.operators.Profile.tableProfileUnpivot(df))
+    intercept[IllegalArgumentException](graft.operators.Profile.tableProfileHll(df))
   }
 }

@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   */
 final case class UnigramSegPiece(piece: String, wfreq: Long)
 
+/** Lang-keyed twin of [[UnigramSegPiece]] for the multilingual build. */
+final case class UnigramLangSegPiece(lang_id: String, piece: String, wfreq: Long)
+
+/** Per-(language, word) token count under the language's model. */
+final case class UnigramLangWordToks(lang_id: String, word: String, n_toks: Long)
+
 /** Unigram-LM (SentencePiece-style) tokenizer skeleton — the OTHER
   * production tokenizer family beside BPE, and a genuinely different shape:
   * where BPE greedily grows a merge list, unigram LM starts from an
@@ -208,4 +214,124 @@ object Unigram {
       emRound(vocab, k).filter(col("em_freq") > 0)
         .select(col("piece"), col("em_freq").as("freq")))
       .withColumnRenamed("in_freq", "prev_freq")
+
+  /** One-row CORPUS segmentation stats under a piece→cost model — the
+    * per-round axis of the EM convergence ladder (`q_unigram_conv`):
+    * Σ wfreq (words), Σ wfreq · best-path-cost (the hard-EM objective the
+    * stopping rule watches), Σ wfreq · n_pieces (corpus tokens). One
+    * vocabulary-sized Viterbi pass over the broadcast map; all integers.
+    */
+  def corpusStats(vocab: DataFrame, pieceCost: Map[String, Long]): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pieceCost)
+    vocab.select(col("word"), col("wfreq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val cm = bc.value
+        it.map { case (w, f) =>
+          val segs = viterbi(w, cm)
+          (f, f * segs.map(cm).sum, f * segs.size.toLong)
+        }
+      }
+      .toDF("wf", "wc", "wt")
+      .agg(sum(col("wf")).as("n_words"), sum(col("wc")).as("total_cost"),
+        sum(col("wt")).as("n_tokens"))
+  }
+
+  // ------------------------------------------------------------ multilingual
+
+  /** Per-language seeded candidate vocabularies over a (lang_id, word,
+    * wfreq) vocabulary ([[Bpe.langWordVocab]]) — the multilingual build
+    * ([[Bpe.pairsByLang]] precedent): each language seeds from its OWN
+    * substrings — all of its single characters (per-language coverage) plus
+    * its top-`k` longer pieces by the same (freq DESC, piece ASC) order, as
+    * a `row_number` window partitioned on the tiny language domain. Emits
+    * (lang_id, piece, freq, cost).
+    */
+  def seedPiecesByLang(langVocab: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang_id").orderBy(col("freq").desc, col("piece").asc)
+    val sub = langVocab
+      .select(col("lang_id"), col("word"), col("wfreq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("lang_id"), col("wfreq"),
+        explode(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("word")) - col("i") + 1))).as("j"),
+        col("word"), col("i"))
+      .select(col("lang_id"),
+        col("word").substr(col("i"), col("j")).as("piece"), col("wfreq"))
+      .groupBy("lang_id", "piece").agg(sum(col("wfreq")).as("freq"))
+    val chars = sub.filter(length(col("piece")) === 1)
+    val multi = sub.filter(length(col("piece")) >= 2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    chars.unionByName(multi)
+      .select(col("lang_id"), col("piece"), col("freq"),
+        (lit(64L) - length(bin(col("freq")))).cast("long").as("cost"))
+  }
+
+  /** Collect a per-language piece→cost map from a costed per-language piece
+    * frame — bounded (languages × (alphabet + k) rows; the BPE merge-list
+    * collect precedent).
+    */
+  def langCostMaps(costed: DataFrame): Map[String, Map[String, Long]] =
+    costed.select(col("lang_id"), col("piece"), col("cost")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(x => x._2 -> x._3).toMap }
+
+  /** Segment each language's vocabulary words under ITS OWN piece→cost map
+    * and recount usage — the lang-keyed E+M body. One `mapPartitions` pass
+    * with the broadcast per-language maps; emits (lang_id, piece, em_freq)
+    * for used pieces.
+    */
+  def segmentCountsByLang(langVocab: DataFrame,
+                          costByLang: Map[String, Map[String, Long]]): DataFrame = {
+    val spark = langVocab.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(costByLang)
+    langVocab.select(col("lang_id"), col("word"), col("wfreq"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (l, w, f) =>
+          viterbi(w, m(l)).map(UnigramLangSegPiece(l, _, f))
+        }
+      }
+      .toDF().groupBy("lang_id", "piece").agg(sum(col("wfreq")).as("em_freq"))
+  }
+
+  /** ONE hard-EM round PER LANGUAGE — the multilingual tokenizer build
+    * (`q_unigram_bylang`): each language owns its candidate vocabulary,
+    * costs, and recount, so a minority language's pieces never compete with
+    * the dominant language for seed slots (the exact per-language-BPE
+    * argument). Emits (lang_id, piece, cost, seed_freq, em_freq).
+    */
+  def emRoundByLang(langVocab: DataFrame, k: Int): DataFrame = {
+    val costed = Lineage.cut(seedPiecesByLang(langVocab, k))
+    costed.join(segmentCountsByLang(langVocab, langCostMaps(costed)),
+        Seq("lang_id", "piece"), "left")
+      .select(col("lang_id"), col("piece"), col("cost"),
+        col("freq").as("seed_freq"),
+        coalesce(col("em_freq"), lit(0L)).as("em_freq"))
+  }
+
+  /** Per-(language, word) token counts under each language's seed model —
+    * the unigram analogue of [[Bpe.encodeVocabByLang]], feeding the
+    * by-language fertility twin. Vocabulary-sized; broadcast maps.
+    */
+  def vocabTokenCountsByLang(langVocab: DataFrame, k: Int): DataFrame = {
+    val spark = langVocab.sparkSession
+    import spark.implicits._
+    val m0 = langCostMaps(Lineage.cut(seedPiecesByLang(langVocab, k)))
+    val bc = spark.sparkContext.broadcast(m0)
+    langVocab.select(col("lang_id"), col("word"), col("wfreq"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (l, w, _) =>
+          UnigramLangWordToks(l, w, viterbi(w, m(l)).size.toLong)
+        }
+      }
+      .toDF()
+  }
 }

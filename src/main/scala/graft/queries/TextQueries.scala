@@ -539,7 +539,8 @@ object TextQueries {
     * fertility realizations.
     */
   private def fertilityRollup(d: DataFrame, wordToks: DataFrame,
-                              keys: Seq[String]): DataFrame = {
+                              keys: Seq[String],
+                              tokCol: String = "n_bpe_tokens"): DataFrame = {
     val lang = graft.functions.TextFunctions.langId(col("text")).as("lang_id")
     // lang below the explode in its own projection — see Bpe.langWordVocab:
     // a single select would re-run the 8-regex language CASE per word row
@@ -549,18 +550,18 @@ object TextQueries {
       .join(broadcast(wordToks), keys)
       .groupBy("lang_id")
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_toks")).as("n_bpe_tokens"),
+        sum(col("n_toks")).as(tokCol),
         sum(length(col("word")).cast("long")).as("n_chars"))
     d.select(lang).groupBy("lang_id").agg(count(lit(1)).as("n_docs"))
       .join(perLang, Seq("lang_id"), "left")
       .select(col("lang_id"), col("n_docs"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col(tokCol), lit(0L)).as(tokCol),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .withColumn("toks_per_word_e6",
-        expr("(n_bpe_tokens * 1000000) div greatest(n_words, 1)"))
+        expr(s"($tokCol * 1000000) div greatest(n_words, 1)"))
       .withColumn("chars_per_tok_e6",
-        expr("(n_chars * 1000000) div greatest(n_bpe_tokens, 1)"))
+        expr(s"(n_chars * 1000000) div greatest($tokCol, 1)"))
   }
 
   /** Per-language round-1 merge tables — the MULTILINGUAL tokenizer build:
@@ -634,6 +635,77 @@ object TextQueries {
       graft.operators.Lineage.cut(
         graft.operators.Bpe.wordVocab(docs(spark, dir), "text")),
       UnigramSeedK)
+
+  /** Hard-EM rounds the convergence ladder prices. */
+  val UnigramConvRounds = 3
+
+  /** `q_unigram_conv`: the EM CONVERGENCE ladder — per round, the model
+    * size, the pieces actually used, and the corpus segmentation objective
+    * Σ wfreq·cost with the token count beside it, all integers (the
+    * `q_ivf_conv_quality` pattern applied to the tokenizer EM: the
+    * round-over-round objective delta IS the stopping-rule increment, and
+    * it is gated data, not a claim). Round r+1 = round r's used pieces with
+    * re-derived costs ([[graft.operators.Unigram.emStep]] chained), so the
+    * model-size column shows Kudo's shrinking and the cost column shows
+    * what each shrink+re-estimate bought. Each round is vocabulary-sized
+    * work (two broadcast-map Viterbi passes); the corpus is touched once
+    * for the vocabulary.
+    */
+  def unigramConv(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.operators.Lineage.cut(
+      graft.operators.Bpe.wordVocab(docs(spark, dir), "text"))
+    var pieces = graft.operators.Unigram.seedPieces(vocab, UnigramSeedK)
+      .select("piece", "freq")
+    (1 to UnigramConvRounds).map { r =>
+      val out = graft.operators.Lineage.cut(
+        graft.operators.Unigram.emStep(vocab, pieces))
+      val costMap = out.select("piece", "cost").collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      val model = out.agg(count(lit(1)).as("n_pieces_model"),
+        sum((col("em_freq") > 0).cast("long")).as("n_pieces_used"))
+      val row = model
+        .crossJoin(graft.operators.Unigram.corpusStats(vocab, costMap))
+        .select(lit(r.toLong).as("round"), col("n_pieces_model"),
+          col("n_pieces_used"), col("n_words"), col("total_cost"),
+          col("n_tokens"))
+      pieces = out.filter(col("em_freq") > 0)
+        .select(col("piece"), col("em_freq").as("freq"))
+      row
+    }.reduce(_.unionByName(_))
+  }
+
+  /** `q_unigram_bylang`: per-language unigram-LM round-1 models — the
+    * multilingual parity the BPE family has (`q_bpe_bylang`): each language
+    * seeds, costs, segments, and recounts over its OWN vocabulary, so
+    * minority-language pieces never compete with the dominant language for
+    * the [[UnigramSeedK]] multi-character slots. Emits (lang_id, piece,
+    * cost, seed_freq, em_freq); see
+    * [[graft.operators.Unigram.emRoundByLang]] for the plan shape.
+    */
+  def unigramByLang(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.emRoundByLang(
+      graft.operators.Lineage.cut(
+        graft.operators.Bpe.langWordVocab(docs(spark, dir), "text",
+          graft.functions.TextFunctions.langId(col("text")))),
+      UnigramSeedK)
+
+  /** `q_unigram_fertility_bylang`: the by-language fertility payoff table
+    * under the PER-LANGUAGE unigram models — formula- and shape-identical
+    * to `q_bpe_fertility_bylang` (one shared rollup definition; the token
+    * column is named `n_uni_tokens` so the two tables diff column-to-column
+    * without a rename), closing the bake-off: both trained families now
+    * report per-language fertility under both shared and per-language
+    * vocabularies.
+    */
+  def unigramFertilityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lv = graft.operators.Lineage.cut(
+      graft.operators.Bpe.langWordVocab(d, "text",
+        graft.functions.TextFunctions.langId(col("text"))))
+    fertilityRollup(d,
+      graft.operators.Unigram.vocabTokenCountsByLang(lv, UnigramSeedK),
+      Seq("lang_id", "word"), tokCol = "n_uni_tokens")
+  }
 
   /** `q_tokenizer_fertility`: the two trained tokenizer families priced
     * side by side on the SAME corpus vocabulary — BPE (top-[[BpeTopK]]
@@ -1278,6 +1350,9 @@ object TextQueries {
     "q_oov_rate_bpe" -> (oovRateBpe _),
     "q_unigram_round" -> (unigramRound _),
     "q_unigram_round2" -> (unigramRound2 _),
+    "q_unigram_conv" -> (unigramConv _),
+    "q_unigram_bylang" -> (unigramByLang _),
+    "q_unigram_fertility_bylang" -> (unigramFertilityByLang _),
     "q_tokenizer_fertility" -> (tokenizerFertility _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_hash_sample" -> (hashSample _),
@@ -1347,16 +1422,18 @@ object TextQueries {
     * the global and per-language fertility oracles so the two gated tables
     * stay schema- and formula-identical.
     */
-  private lazy val fertilityTailSql =
-    """SELECT nd.lang_id, nd.n_docs,
+  private def fertilityTail(tokCol: String): String =
+    s"""SELECT nd.lang_id, nd.n_docs,
          coalesce(pl.n_words, 0)::BIGINT AS n_words,
-         coalesce(pl.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+         coalesce(pl.$tokCol, 0)::BIGINT AS $tokCol,
          coalesce(pl.n_chars, 0)::BIGINT AS n_chars,
-         (coalesce(pl.n_bpe_tokens, 0) * 1000000)
+         (coalesce(pl.$tokCol, 0) * 1000000)
            // greatest(coalesce(pl.n_words, 0), 1) AS toks_per_word_e6,
          (coalesce(pl.n_chars, 0) * 1000000)
-           // greatest(coalesce(pl.n_bpe_tokens, 0), 1) AS chars_per_tok_e6
+           // greatest(coalesce(pl.$tokCol, 0), 1) AS chars_per_tok_e6
        FROM nd LEFT JOIN pl USING (lang_id)"""
+
+  private lazy val fertilityTailSql = fertilityTail("n_bpe_tokens")
 
   /** The BPE encode recursion shared by the `q_bpe_encode` and
     * `q_bpe_budget` oracles — and, since r13, by the BPE-denominated
@@ -1416,7 +1493,11 @@ object TextQueries {
     * (piece, cost, seed_freq, em_freq); `best` carries (word, wfreq, np,
     * path) for consumers that need segmentation sizes.
     */
-  private[queries] lazy val unigramRound1Ctes: String =
+  /** The seed-and-cost prefix (sub/seed/pcost) alone — shared by the round
+    * CTEs below and by the generated convergence-ladder oracle, which
+    * builds its own per-round enumeration on top of `pcost`.
+    */
+  private[queries] lazy val unigramSeedCtes: String =
     s"""sub AS (SELECT substring(word, u.i, t.j) AS piece,
                     sum(wfreq)::BIGINT AS freq
                   FROM v,
@@ -1431,7 +1512,10 @@ object TextQueries {
                      SELECT piece, freq FROM sub WHERE len(piece) >= 2
                      ORDER BY freq DESC, piece ASC LIMIT $UnigramSeedK)),
           pcost AS (SELECT piece, freq,
-                      (64 - length(bin(freq)))::BIGINT AS cost FROM seed),
+                      (64 - length(bin(freq)))::BIGINT AS cost FROM seed)"""
+
+  private[queries] lazy val unigramRound1Ctes: String =
+    s"""$unigramSeedCtes,
           paths AS (
             SELECT word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
                    0::BIGINT AS np, '' AS path
@@ -1456,6 +1540,118 @@ object TextQueries {
           r1 AS (SELECT pcost.piece, pcost.cost, pcost.freq AS seed_freq,
                    coalesce(em1.em_freq, 0)::BIGINT AS em_freq
                  FROM pcost LEFT JOIN em1 USING (piece))"""
+
+  /** One generated convergence round for the `q_unigram_conv` oracle:
+    * enumerate under model `m_r` (round 1's model is `pcost`), pick best
+    * paths, recount, derive the next model from USED pieces, and emit the
+    * round's stat row. Multi-referenced stages are `MATERIALIZED` — DuckDB
+    * inlines CTEs per reference, and the chained rounds would otherwise
+    * re-run every earlier enumeration multiplicatively (the r14
+    * `q_nndescent_recall` hazard applied proactively).
+    */
+  private def unigramConvRoundCtes(r: Int): String = {
+    val model = if (r == 1) "pcost" else s"m$r"
+    s"""paths_c$r AS (
+          SELECT word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
+                 0::BIGINT AS np, '' AS path
+          FROM v
+          UNION ALL
+          SELECT p.word, p.wfreq, p.pos + len(c.piece), p.cost + c.cost,
+                 p.np + 1,
+                 CASE WHEN p.path = '' THEN c.piece
+                      ELSE p.path || ' ' || c.piece END
+          FROM paths_c$r p JOIN $model c
+            ON substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
+          WHERE p.pos < len(p.word)),
+        best_c$r AS MATERIALIZED (
+          SELECT word, wfreq, cost, np, path FROM (
+            SELECT word, wfreq, cost, np, path,
+              row_number() OVER (PARTITION BY word
+                ORDER BY cost ASC, np ASC, path ASC) AS rn
+            FROM paths_c$r WHERE pos = len(word)) WHERE rn = 1),
+        em_c$r AS MATERIALIZED (
+          SELECT sp.piece, sum(b.wfreq)::BIGINT AS em_freq
+          FROM best_c$r b, unnest(string_split(b.path, ' ')) AS sp(piece)
+          GROUP BY 1),
+        m${r + 1} AS MATERIALIZED (
+          SELECT c.piece, em.em_freq AS freq,
+                 (64 - length(bin(em.em_freq)))::BIGINT AS cost
+          FROM $model c JOIN em_c$r em USING (piece)
+          WHERE em.em_freq > 0),
+        stat$r AS (SELECT $r::BIGINT AS round,
+                     (SELECT count(*) FROM $model)::BIGINT AS n_pieces_model,
+                     (SELECT count(*) FROM em_c$r)::BIGINT AS n_pieces_used,
+                     sum(wfreq)::BIGINT AS n_words,
+                     sum(wfreq * cost)::BIGINT AS total_cost,
+                     sum(wfreq * np)::BIGINT AS n_tokens
+                   FROM best_c$r)"""
+  }
+
+  private def unigramConvOracle: String = {
+    val rounds = (1 to UnigramConvRounds).map(unigramConvRoundCtes).mkString(",\n")
+    val fan = (1 to UnigramConvRounds)
+      .map(r => s"SELECT * FROM stat$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+        $unigramVocabCtes,
+        $unigramSeedCtes,
+        $rounds
+        $fan"""
+  }
+
+  /** The lang-keyed unigram CTE chain through per-(lang, word) best paths —
+    * shared by the `q_unigram_bylang` model gate and the
+    * `q_unigram_fertility_bylang` rollup: per-language vocabulary (the
+    * `q_bpe_bylang` labeling), per-language seed (chars + top-K multi via
+    * the lang-partitioned window), per-language costs, and the exhaustive
+    * enumeration joined on (lang_id, piece).
+    */
+  private lazy val unigramByLangCtes: String =
+    s"""ld AS ($langDocCte),
+        ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+        lw AS (SELECT l.lang_id, t.word FROM ltok t JOIN ld l USING (doc_id)
+               WHERE len(t.word) >= 1),
+        lv AS MATERIALIZED (
+          SELECT lang_id, word, count(*)::BIGINT AS wfreq FROM lw GROUP BY 1, 2),
+        lsub AS MATERIALIZED (
+          SELECT lang_id, substring(word, u.i, t.j) AS piece,
+                 sum(wfreq)::BIGINT AS freq
+          FROM lv,
+               unnest(generate_series(1, len(word))) AS u(i),
+               unnest(generate_series(1,
+                 least(${graft.operators.Unigram.MaxPieceLen},
+                       len(word) - u.i + 1))) AS t(j)
+          GROUP BY 1, 2),
+        lseed AS (SELECT lang_id, piece, freq FROM lsub WHERE len(piece) = 1
+                  UNION ALL
+                  SELECT lang_id, piece, freq FROM (
+                    SELECT lang_id, piece, freq,
+                      row_number() OVER (PARTITION BY lang_id
+                        ORDER BY freq DESC, piece ASC) AS rn
+                    FROM lsub WHERE len(piece) >= 2)
+                  WHERE rn <= $UnigramSeedK),
+        lpc AS MATERIALIZED (
+          SELECT lang_id, piece, freq,
+                 (64 - length(bin(freq)))::BIGINT AS cost FROM lseed),
+        lpaths AS (
+          SELECT lang_id, word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
+                 0::BIGINT AS np, '' AS path
+          FROM lv
+          UNION ALL
+          SELECT p.lang_id, p.word, p.wfreq, p.pos + len(c.piece),
+                 p.cost + c.cost, p.np + 1,
+                 CASE WHEN p.path = '' THEN c.piece
+                      ELSE p.path || ' ' || c.piece END
+          FROM lpaths p JOIN lpc c
+            ON c.lang_id = p.lang_id
+           AND substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
+          WHERE p.pos < len(p.word)),
+        lbest AS MATERIALIZED (
+          SELECT lang_id, word, wfreq, np, path FROM (
+            SELECT lang_id, word, wfreq, np, path,
+              row_number() OVER (PARTITION BY lang_id, word
+                ORDER BY cost ASC, np ASC, path ASC) AS rn
+            FROM lpaths WHERE pos = len(word)) WHERE rn = 1)"""
 
   private val jaccardOracle =
     """WITH sh AS (
@@ -1977,6 +2173,34 @@ object TextQueries {
           SELECT p2.piece, p2.cost, p2.freq AS prev_freq,
                  coalesce(em2.em_freq, 0)::BIGINT AS em_freq
           FROM p2 LEFT JOIN em2 USING (piece)""",
+    // the EM convergence ladder: per-round stats generated from the same
+    // round constant as the Spark chain (model r+1 = round r's used pieces
+    // with re-derived bit-length costs)
+    "q_unigram_conv" -> unigramConvOracle,
+    // per-language round-1 models: the round-1 replay LANG-KEYED (seed
+    // window partitioned by language, enumeration joined on (lang_id, piece))
+    "q_unigram_bylang" ->
+      s"""WITH RECURSIVE
+          $unigramByLangCtes,
+          lem AS (SELECT b.lang_id, sp.piece, sum(b.wfreq)::BIGINT AS em_freq
+                  FROM lbest b, unnest(string_split(b.path, ' ')) AS sp(piece)
+                  GROUP BY 1, 2)
+          SELECT lpc.lang_id, lpc.piece, lpc.cost, lpc.freq AS seed_freq,
+                 coalesce(lem.em_freq, 0)::BIGINT AS em_freq
+          FROM lpc LEFT JOIN lem USING (lang_id, piece)""",
+    // per-language unigram fertility: the lang-keyed best paths feed the
+    // SAME fertility tail as the BPE twins (token column n_uni_tokens)
+    "q_unigram_fertility_bylang" ->
+      s"""WITH RECURSIVE
+          $unigramByLangCtes,
+          wn AS (SELECT lang_id, word, np AS n_toks FROM lbest),
+          nd AS (SELECT lang_id, count(*)::BIGINT AS n_docs FROM ld GROUP BY 1),
+          pl AS (SELECT w2.lang_id, count(*)::BIGINT AS n_words,
+                    sum(wn.n_toks)::BIGINT AS n_uni_tokens,
+                    sum(len(w2.word))::BIGINT AS n_chars
+                 FROM lw w2 JOIN wn USING (lang_id, word)
+                 GROUP BY 1)
+          ${fertilityTail("n_uni_tokens")}""",
     // BPE and unigram fertility side by side over the SAME vocabulary
     // rollup (bpeEncRecursion's v ≡ the unigram CTEs' v, shared verbatim)
     "q_tokenizer_fertility" ->

@@ -219,6 +219,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_oov_rate_bpe" -> Set("doc_id", "text"),
       "q_unigram_round" -> Set("text"),
       "q_unigram_round2" -> Set("text"),
+      "q_unigram_conv" -> Set("text"),
+      "q_unigram_bylang" -> Set("text"),
+      "q_unigram_fertility_bylang" -> Set("text"),
       "q_tokenizer_fertility" -> Set("text"),
       "q_source_quota" -> Set("doc_id", "source"),
       "q_weighted_sample" -> Set("doc_id", "source", "n_chars"),

@@ -78,6 +78,51 @@ class UnigramSpec extends SparkSpec {
     ()
   }
 
+  /** The multilingual build must be EXACTLY per-language independence: for
+    * every language, the lang-keyed round equals a standalone [[Unigram.emRound]]
+    * run over that language's own vocabulary slice — no cross-language
+    * leakage through the shared seed window or the broadcast maps.
+    */
+  test("by-language round equals an independent per-language round") {
+    val langVocab = Bpe.langWordVocab(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("text")),
+      "text", graft.functions.TextFunctions.langId(col("text"))).cache()
+    val byLang = Unigram.emRoundByLang(langVocab, 12)
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(x => (x._2, x._3, x._4, x._5)).toSet }
+    assert(byLang.size >= 2, s"harness corpus should label >= 2 languages: ${byLang.keySet}")
+    byLang.keys.foreach { l =>
+      val solo = Unigram.emRound(
+          langVocab.filter(col("lang_id") === l).select("word", "wfreq"), 12)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(byLang(l) === solo, s"lang $l diverged from its standalone round")
+    }
+    langVocab.unpersist()
+    ()
+  }
+
+  /** Convergence-ladder invariants: each round's model is exactly the
+    * previous round's used pieces (Kudo's shrinking), so the model-size
+    * column is non-increasing, and every round segments the full corpus
+    * (constant n_words).
+    */
+  test("EM convergence ladder: models shrink to used pieces, corpus stays covered") {
+    var pieces = Unigram.seedPieces(vocab, 12).select("piece", "freq")
+    val stats = (1 to 3).map { _ =>
+      val out = Unigram.emStep(vocab, pieces).cache()
+      val nModel = out.count()
+      val nUsed = out.filter(col("em_freq") > 0).count()
+      pieces = out.filter(col("em_freq") > 0)
+        .select(col("piece"), col("em_freq").as("freq"))
+      (nModel, nUsed)
+    }
+    stats.sliding(2).foreach { case Seq((_, used), (nextModel, _)) =>
+      assert(nextModel === used, "round r+1 model must be round r's used set")
+    }
+    assert(stats.map(_._1) === stats.map(_._1).sorted.reverse, "model sizes must not grow")
+  }
+
   test("EM recount conserves segmentation mass") {
     val out = Unigram.emRound(vocab, 12).cache()
     val emTotal = out.agg(org.apache.spark.sql.functions.sum("em_freq"))

@@ -1847,21 +1847,21 @@ object CurationQueries {
     * [[TextQueries.oracleSql q_corpus_clean]] applies verbatim.
     */
   private val groupsCte =
-    """WITH RECURSIVE sh AS (
+    """WITH RECURSIVE sh AS MATERIALIZED (
          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
-       ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       inter AS (
+       ), sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS MATERIALIZED (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          FROM sh a JOIN sh b USING (shingle)
          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-       pairs AS (
+       pairs AS MATERIALIZED (
          SELECT doc_a, doc_b FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE inter * 100 >= 60 * (sa.sz + sb.sz - inter)),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT doc_a AS eu, doc_b AS ev FROM pairs
          UNION SELECT doc_b, doc_a FROM pairs),
        reach(v, r) AS (
@@ -1889,16 +1889,16 @@ object CurationQueries {
     * embedding CTE family in the unified oracle.
     */
   private val textPairsCte =
-    """sh AS (
+    """sh AS MATERIALIZED (
          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
-       ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       inter AS (
+       ), sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS MATERIALIZED (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          FROM sh a JOIN sh b USING (shingle)
          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-       tpairs AS (
+       tpairs AS MATERIALIZED (
          SELECT doc_a, doc_b FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
@@ -2285,7 +2285,7 @@ object CurationQueries {
     "q_unified_groups" ->
       s"""WITH RECURSIVE $textPairsCte,
           ${EmbeddingQueries.nearDupBase.trim.stripPrefix("WITH ")},
-          all_edges AS (
+          all_edges AS MATERIALIZED (
             SELECT doc_a AS eu, doc_b AS ev FROM tpairs
             UNION SELECT doc_b, doc_a FROM tpairs
             UNION SELECT vec_a, vec_b FROM blocked_pairs
@@ -2301,7 +2301,7 @@ object CurationQueries {
     "q_dedup_decision" ->
       s"""WITH RECURSIVE $textPairsCte,
           ${EmbeddingQueries.nearDupBase.trim.stripPrefix("WITH ")},
-          all_edges AS (
+          all_edges AS MATERIALIZED (
             SELECT doc_a AS eu, doc_b AS ev FROM tpairs
             UNION SELECT doc_b, doc_a FROM tpairs
             UNION SELECT vec_a, vec_b FROM blocked_pairs

@@ -673,12 +673,12 @@ object EmbeddingQueries {
     * sequentially left-to-right, matching Spark's `aggregate` bit-for-bit.
     */
   private val base =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        nrm AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS MATERIALIZED (SELECT vec_id,
                   sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
                 FROM v),
         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < $NumQueries),
-        exact AS (
+        exact AS MATERIALIZED (
           SELECT query_id, neighbor_id, rank FROM (
             SELECT q.query_id, v.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -689,7 +689,7 @@ object EmbeddingQueries {
             JOIN nrm nv ON nv.vec_id = v.vec_id)
           WHERE rank <= $K),
         c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
-        assign AS (
+        assign AS MATERIALIZED (
           SELECT vec_id, cent_id FROM (
             SELECT v.vec_id, c.cent_id,
               row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -699,7 +699,7 @@ object EmbeddingQueries {
             JOIN nrm nv ON nv.vec_id = v.vec_id
             JOIN nrm nc ON nc.vec_id = c.cent_id)
           WHERE rn = 1),
-        probes AS (
+        probes AS MATERIALIZED (
           SELECT query_id, qe, cent_id FROM (
             SELECT q.query_id, q.qe, c.cent_id,
               row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -821,17 +821,17 @@ object EmbeddingQueries {
     s""", cbk AS (
           SELECT t.m, c.vec_id AS k, c.e[t.m*8+1 : t.m*8+8] AS cw
           FROM (SELECT vec_id, e FROM v WHERE vec_id < 16) c, range(0, 8) t(m)),
-        cbn AS (SELECT m, k, cw,
+        cbn AS MATERIALIZED (SELECT m, k, cw,
                   list_sum(list_transform(range(1, 9), i -> cw[i]*cw[i])) AS cwn2
                 FROM cbk),
-        pcodes AS (
+        pcodes AS MATERIALIZED (
           SELECT vec_id, m, code FROM (
             SELECT v.vec_id, cb.m, cb.k AS code,
               row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
                 (cb.cwn2 - 2 * list_sum(list_transform(range(1, 9),
                    i -> v.e[cb.m*8+i]*cb.cw[i]))) ASC, cb.k ASC) AS rn
             FROM v CROSS JOIN cbn cb) WHERE rn = 1),
-        pqtab AS (
+        pqtab AS MATERIALIZED (
           SELECT q.query_id, cb.m, cb.k AS code,
             CAST(floor(list_sum(list_transform(range(1, 9),
               i -> q.qe[cb.m*8+i]*cb.cw[i])) * 1000000) AS BIGINT) AS qdot_e6,
@@ -860,7 +860,7 @@ object EmbeddingQueries {
     * candidate set cut to the `probes`×`assign` bucket intersection.
     */
   private lazy val ivfPqCte =
-    s""", ivfpqscore AS (
+    s""", ivfpqscore AS MATERIALIZED (
           SELECT p.query_id, a.vec_id AS neighbor_id,
             CAST(sum(t.qdot_e6) AS DOUBLE)
               / (nq.nm * sqrt(greatest(CAST(sum(t.cwn2_e6) AS DOUBLE) / 1000000.0,
@@ -886,7 +886,7 @@ object EmbeddingQueries {
     * pool rows and re-cut at [[K]].
     */
   private lazy val rerankCte =
-    s""", ivfpqcand AS (
+    s""", ivfpqcand AS MATERIALIZED (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
               row_number() OVER (PARTITION BY query_id
@@ -992,6 +992,14 @@ object EmbeddingQueries {
     * realizes the smaller-id tie-break. Step 1 is the pure-relevance argmax
     * (row_number seed). The recursion references the working table once and
     * groups by the list-typed selection state — both DuckDB-legal.
+    *
+    * `msim` and `rrscore` must stay NON-materialized: the recursive body
+    * reads them through a correlated scalar subquery / join, and DuckDB
+    * evaluates a correlated subquery over a MATERIALIZED CTE inside a
+    * recursion wrongly and run-to-run flakily (r15 sweep finding — the
+    * selection degraded to the −id tie-break on some runs). Their upstream
+    * pool chain (`ivfpqcand` → `ivfpqscore` → `pcodes`) IS materialized,
+    * which is where the per-reference re-evaluation cost actually lived.
     */
   private lazy val mmrCte =
     s""", msim AS (
@@ -1035,8 +1043,8 @@ object EmbeddingQueries {
     * bit-identical to the Spark path.
     */
   private[queries] lazy val srpBase =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        nrm AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS MATERIALIZED (SELECT vec_id,
                   sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
                 FROM v),
         planes AS (
@@ -1049,7 +1057,7 @@ object EmbeddingQueries {
             CASE WHEN list_sum(list_transform(range(1, 65), i -> v.e[i]*p.pv[i])) > 0
                  THEN 1 ELSE 0 END AS bit
           FROM v CROSS JOIN planes p),
-        sig AS (
+        sig AS MATERIALIZED (
           SELECT vec_id, j // 4 AS band,
             sum(bit * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
                        ELSE 8 END))::BIGINT AS sg
@@ -1805,12 +1813,12 @@ object EmbeddingQueries {
     * recall query scores against.
     */
   private[queries] lazy val nearDupBase =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        nrm AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nrm AS MATERIALIZED (SELECT vec_id,
                   sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS nm
                 FROM v),
         c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < $NumCentroids),
-        massign AS (
+        massign AS MATERIALIZED (
           SELECT vec_id, cent_id FROM (
             SELECT v.vec_id, c.cent_id,
               row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1824,7 +1832,7 @@ object EmbeddingQueries {
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM massign x JOIN massign y
             ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id),
-        blocked_pairs AS (
+        blocked_pairs AS MATERIALIZED (
           SELECT c.vec_a, c.vec_b
           FROM cand c
           JOIN v a ON a.vec_id = c.vec_a

@@ -847,6 +847,97 @@ object Embeddings {
       }.reduce(_.unionByName(_))
   }
 
+  /** Beam-width SWEEP of the graph search — the [[ivfProbeSweep]] pattern
+    * applied to the serving knob the per-wave ladder does not price: for
+    * each beam width, the final top-`k` recall vs the exact baseline and
+    * the TOTAL exact-distance evaluations the search paid (Σ over waves of
+    * freshly-scored candidates). One (beam, hits, total, n_scored) integer
+    * row per width — the cost/recall curve behind a beam choice, as gated
+    * data. The exact baseline is cut once and shared across widths.
+    */
+  def graphSearchSweep(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
+                       centroids: DataFrame, nProbe: Int, beams: Seq[Int],
+                       rounds: Int, k: Int): DataFrame = {
+    val exact = Lineage.cut(knnExact(vectors, queries, k)
+      .select(col("query_id"), col("neighbor_id")))
+    beams.map { b =>
+      val stages = graphSearchStages(vectors, queries, graph, centroids,
+        nProbe, b, rounds)
+      val scoredAll = stages.map(_._3).reduce(_.unionByName(_))
+      knnRecallTotals(exact, topKPerQuery(stages.last._2, k))
+        .crossJoin(broadcast(scoredAll.agg(count(lit(1)).as("n_scored"))))
+        .select(lit(b.toLong).as("beam"), col("hits"), col("total"),
+          col("n_scored"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** INSERT a batch of new vectors into an existing kNN graph — the
+    * index-MAINTENANCE operator that keeps a graph index serving while the
+    * corpus grows (the HNSW insertion recipe, batched): each new node's
+    * out-edges are its [[graphSearch]] answers over the EXISTING graph (the
+    * search already is the candidate generator insertion needs), and each
+    * touched existing node gains the new node as a back-edge candidate and
+    * re-prunes its list to the top-`k` by exact cosine — so graph degree
+    * stays bounded and bidirectional reachability of new nodes holds
+    * without ever rebuilding.
+    *
+    * Scale shape: one beam search for the batch (bounded, see
+    * [[graphSearchStages]]), then the re-prune touches ONLY the affected
+    * nodes (≤ batch × k of them): their current edges come from one
+    * broadcast semi-join against the edge list, scoring is id-keyed point
+    * lookups, and the cut to `k` is the bounded TopK heap. Untouched nodes'
+    * rows pass through an anti-join unread. Returns the UPDATED graph
+    * (query_id, neighbor_id, rank) covering old + affected + new nodes.
+    */
+  def graphInsert(store: DataFrame, graph: DataFrame, newVectors: DataFrame,
+                  centroids: DataFrame, nProbe: Int, beam: Int, rounds: Int,
+                  k: Int): DataFrame = {
+    val out = Lineage.cut(
+      graphSearch(store, newVectors, graph, centroids, nProbe, beam, rounds, k))
+    val backCands = out.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    val affected = backCands.select("query_id").distinct()
+    val rescoreCands = graph.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(affected), Seq("query_id"))
+      .unionByName(backCands).distinct()
+    val allVecs = store.select(col("vec_id"), col("embedding"))
+      .unionByName(newVectors.select(col("vec_id"), col("embedding")))
+    val repruned = scoreCandidatesTopK(allVecs, rescoreCands, k)
+    val untouched = graph.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(broadcast(affected), Seq("query_id"), "left_anti")
+    untouched
+      .unionByName(repruned.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .unionByName(out.select(col("query_id"), col("neighbor_id"), col("rank")))
+  }
+
+  /** Streaming graph-index MAINTENANCE — [[indexIngestSink]]'s contract for
+    * the graph family: newly-arriving vectors are inserted per micro-batch
+    * with [[graphInsert]] against the caller's CURRENT (store, graph), and
+    * the updated pair is handed back to swap in (cut, so cross-batch lineage
+    * never accumulates; persist/bucket the frames in production). The batch
+    * operator is the per-trigger body, so a streamed sequence of inserts
+    * equals the same inserts applied in batch (spec-asserted).
+    */
+  def graphIngestSink(vectorStream: DataFrame, centroids: DataFrame,
+                      nProbe: Int, beam: Int, rounds: Int, k: Int,
+                      checkpointDir: String)
+                     (current: () => (DataFrame, DataFrame))
+                     (onBatch: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val (store, graph) = current()
+          val updated = Lineage.cut(graphInsert(store, graph, batch.toDF(),
+            centroids, nProbe, beam, rounds, k))
+          val grownStore = Lineage.cut(store.unionByName(
+            batch.toDF().select(store.columns.map(col): _*)))
+          onBatch(grownStore, updated)
+        }
+      }
+      .start()
+
   /** Stream-served graph-ANN search — [[rerankProbeSink]]'s contract for the
     * graph index family: each query micro-batch is answered by
     * [[graphSearch]] against a PRE-BUILT static kNN graph and vector store

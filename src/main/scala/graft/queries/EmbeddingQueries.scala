@@ -511,6 +511,28 @@ object EmbeddingQueries {
       v.filter(col("vec_id") < NumCentroids), NProbe, GsBeam, GsRounds, K)
   }
 
+  /** Beam widths the serving sweep prices — bracketing the deployed
+    * [[GsBeam]] = 10 from both sides. The deployed width itself is NOT
+    * swept: its (hits, total, n_scored) row is exactly
+    * `q_graph_search_recall`'s terminal wave (same visited set, same
+    * cumulative scored count), so re-running it would duplicate a gated row
+    * at ~1/3 of the sweep's cost.
+    */
+  val GsSweepBeams: Seq[Int] = Seq(4, 24)
+
+  /** `q_graph_sweep`: the serving beam-width knob priced
+    * ([[Embeddings.graphSearchSweep]]) — per width, final recall vs the
+    * exact baseline and the TOTAL exact-distance evaluations paid, as
+    * integer (beam, hits, total, n_scored) rows. `q_graph_search_recall`
+    * prices the WAVES at the deployed width; this prices the WIDTH — the
+    * two knobs a graph-serving deployment actually turns.
+    */
+  def graphSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Embeddings.graphSearchSweep(v, queryVectors(spark, dir), gsGraph(spark, dir),
+      v.filter(col("vec_id") < NumCentroids), NProbe, GsSweepBeams, GsRounds, K)
+  }
+
   /** Matryoshka prefix widths the recall ladder prices (vs the full 64). */
   val MrlDims: Seq[Int] = Seq(8, 16, 32)
 
@@ -564,6 +586,7 @@ object EmbeddingQueries {
     "q_mrl_rerank_recall" -> (mrlRerankRecall _),
     "q_graph_search" -> (graphSearchQ _),
     "q_graph_search_recall" -> (graphSearchRecallQ _),
+    "q_graph_sweep" -> (graphSweepQ _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1232,7 +1255,11 @@ object EmbeddingQueries {
     * scores, then per wave a beam cut, a frontier⋈edges expansion with a
     * NOT-EXISTS visited guard (the anti-join), and a scored union.
     */
-  private val gsCtes =
+  /** The beam-independent prefix of the search replay: each query's
+    * [[NProbe]] nearest centroids (self excluded before ranking) and their
+    * exact scores — shared by every beam width in the sweep.
+    */
+  private val gsProbeCtes =
     s""", gprobe AS (
           SELECT query_id, neighbor_id FROM (
             SELECT q.query_id, c.cent_id AS neighbor_id,
@@ -1243,31 +1270,41 @@ object EmbeddingQueries {
             JOIN nrm nq ON nq.vec_id = q.query_id
             JOIN nrm nc ON nc.vec_id = c.cent_id)
           WHERE rn <= $NProbe),
-        ${gsScoreCte("gs0", "gprobe")},
-        ${gsTopCte("beam0", "gs0", GsBeam.toString)},
-        exp1 AS MATERIALIZED (
+        ${gsScoreCte("gs0", "gprobe")}"""
+
+  /** The per-beam wave chain (beam cut, frontier expansion with the
+    * NOT-EXISTS visited guard, scored union — [[GsRounds]] waves), CTE
+    * names suffixed so several widths coexist in one sweep oracle. The
+    * default-width instance uses the empty suffix, so `q_graph_search`'s
+    * oracle text is exactly the pre-sweep form.
+    */
+  private def gsWaveCtes(beam: Int, sfx: String): String =
+    s""", ${gsTopCte(s"beam0$sfx", "gs0", beam.toString)},
+        exp1$sfx AS MATERIALIZED (
           SELECT DISTINCT b.query_id, g.neighbor_id
-          FROM beam0 b JOIN round1 g ON g.node_id = b.neighbor_id
+          FROM beam0$sfx b JOIN round1 g ON g.node_id = b.neighbor_id
           WHERE g.neighbor_id <> b.query_id
             AND NOT EXISTS (SELECT 1 FROM gs0 s
                             WHERE s.query_id = b.query_id
                               AND s.neighbor_id = g.neighbor_id)),
-        ${gsScoreCte("sc1", "exp1")},
-        vis1 AS MATERIALIZED (
+        ${gsScoreCte(s"sc1$sfx", s"exp1$sfx")},
+        vis1$sfx AS MATERIALIZED (
           SELECT query_id, neighbor_id, score FROM gs0
-          UNION ALL SELECT query_id, neighbor_id, score FROM sc1),
-        ${gsTopCte("beam1", "vis1", GsBeam.toString)},
-        exp2 AS MATERIALIZED (
+          UNION ALL SELECT query_id, neighbor_id, score FROM sc1$sfx),
+        ${gsTopCte(s"beam1$sfx", s"vis1$sfx", beam.toString)},
+        exp2$sfx AS MATERIALIZED (
           SELECT DISTINCT b.query_id, g.neighbor_id
-          FROM beam1 b JOIN round1 g ON g.node_id = b.neighbor_id
+          FROM beam1$sfx b JOIN round1 g ON g.node_id = b.neighbor_id
           WHERE g.neighbor_id <> b.query_id
-            AND NOT EXISTS (SELECT 1 FROM vis1 s
+            AND NOT EXISTS (SELECT 1 FROM vis1$sfx s
                             WHERE s.query_id = b.query_id
                               AND s.neighbor_id = g.neighbor_id)),
-        ${gsScoreCte("sc2", "exp2")},
-        vis2 AS MATERIALIZED (
-          SELECT query_id, neighbor_id, score FROM vis1
-          UNION ALL SELECT query_id, neighbor_id, score FROM sc2)"""
+        ${gsScoreCte(s"sc2$sfx", s"exp2$sfx")},
+        vis2$sfx AS MATERIALIZED (
+          SELECT query_id, neighbor_id, score FROM vis1$sfx
+          UNION ALL SELECT query_id, neighbor_id, score FROM sc2$sfx)"""
+
+  private val gsCtes = gsProbeCtes + gsWaveCtes(GsBeam, "")
 
   /** Per-tier Matryoshka rankings on [[base]]'s `v`/`q`: the same sequential
     * prefix dot and prefix norms (a/(b·c) grouping) as the Spark slice form.
@@ -1325,6 +1362,19 @@ object EmbeddingQueries {
           FROM exact e LEFT JOIN mrl$d m
             ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id""")
       .mkString(" UNION ALL ")),
+    "q_graph_sweep" -> (base + nnGraphCtes + gsProbeCtes +
+      GsSweepBeams.map(b => gsWaveCtes(b, s"_b$b")).mkString +
+      GsSweepBeams.map { b =>
+        s""", ${gsTopCte(s"top_b$b", s"vis2_b$b", K.toString)}"""
+      }.mkString + " " +
+      GsSweepBeams.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS beam, count(t.neighbor_id)::BIGINT AS hits,
+                  count(*)::BIGINT AS total,
+                  ((SELECT count(*) FROM gs0) + (SELECT count(*) FROM sc1_b$b)
+                    + (SELECT count(*) FROM sc2_b$b))::BIGINT AS n_scored
+           FROM exact e LEFT JOIN top_b$b t
+             ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id"""
+      }.mkString(" UNION ALL ")),
     "q_graph_search" -> (base + nnGraphCtes + gsCtes +
       s""", ${gsTopCte("gsfinal", "vis2", K.toString)}
          SELECT query_id, neighbor_id, rn::BIGINT AS rank FROM gsfinal"""),

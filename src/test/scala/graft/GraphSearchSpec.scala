@@ -60,6 +60,119 @@ class GraphSearchSpec extends SparkSpec {
     assert(Seq(seed, r1, r2).forall(_._4 > 0), "a wave scored nothing")
   }
 
+  /** Graph insertion (the HNSW recipe, batched): new nodes enter with their
+    * beam-search answers as out-edges, touched nodes re-prune to the exact
+    * top-k over old-list ∪ new back-candidates, untouched rows pass through
+    * byte-identical — checked against a driver-side recompute of every
+    * affected list from the raw embeddings (same sequential-double cosine).
+    */
+  test("graphInsert: bounded degree, exact re-pruned back-edges, untouched rows intact") {
+    import org.apache.spark.sql.functions.{col => c}
+    val all = vectors.cache()
+    val held = all.filter(c("vec_id") % 17 === 5 && c("vec_id") >= EmbeddingQueries.NumCentroids)
+    val store = all.join(held.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val g0 = graft.operators.Lineage.cut(
+      Embeddings.nnDescentRound(store,
+        Embeddings.knnGraphSeed(store, centroids, EmbeddingQueries.NnSeedAssign, K), K))
+    val heldRows = held.select("vec_id", "embedding").localCheckpoint(true)
+    val g1 = Embeddings.graphInsert(store, g0, heldRows, centroids,
+        EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K)
+      .as[(Long, Long, Int)].collect()
+    val heldIds = heldRows.select("vec_id").as[Long].collect().toSet
+    assert(heldIds.nonEmpty)
+    val byNode = g1.groupBy(_._1)
+    // every new node is present with a ranked, bounded, self-free list
+    heldIds.foreach { id =>
+      val rows = byNode(id)
+      assert(rows.length <= K && rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      assert(!rows.exists(_._2 == id))
+    }
+    // expected affected set = exactly the new nodes' out-edge targets
+    val out = Embeddings.graphSearch(store, heldRows, g0, centroids,
+        EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K)
+      .as[(Long, Long, Int)].collect()
+    val affected = out.map(_._2).toSet
+    val old = g0.as[(Long, Long, Int)].collect()
+    val oldByNode = old.groupBy(_._1)
+    // untouched nodes keep their exact rows
+    oldByNode.keys.filterNot(affected).foreach { id =>
+      assert(byNode(id).toSet === oldByNode(id).toSet, s"untouched $id drifted")
+    }
+    // affected nodes re-prune to the exact top-k over old ∪ back-candidates
+    val emb = all.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val backByNode = out.groupBy(_._2).map { case (v, xs) => v -> xs.map(_._1).toSet }
+    affected.foreach { v =>
+      val cands = oldByNode.getOrElse(v, Array.empty).map(_._2).toSet ++ backByNode(v)
+      val expect = cands.toSeq
+        .map(n => (n, cos(v, n)))
+        .sortBy { case (n, s) => (-s, n) }
+        .take(K).map(_._1)
+      val got = byNode(v).sortBy(_._3).map(_._2).toSeq
+      assert(got === expect, s"re-pruned list wrong for $v")
+    }
+    all.unpersist()
+    ()
+  }
+
+  /** Streaming ingest parity ([[Embeddings.graphIngestSink]]): vectors
+    * inserted across micro-batches must leave exactly the (store, graph)
+    * that the same batched [[Embeddings.graphInsert]] sequence produces.
+    */
+  test("graphIngestSink: streamed inserts equal the batch insert sequence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c}
+    val all = vectors.cache()
+    val held = all.filter(c("vec_id") % 17 === 5 && c("vec_id") >= EmbeddingQueries.NumCentroids)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val store0 = all.join(
+        held.map(_._1).toDF("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val g0 = graft.operators.Lineage.cut(
+      Embeddings.nnDescentRound(store0,
+        Embeddings.knnGraphSeed(store0, centroids, EmbeddingQueries.NnSeedAssign, K), K))
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    @volatile var state = (store0, g0)
+    val q = Embeddings.graphIngestSink(
+      in.toDF().toDF("vec_id", "embedding"), centroids,
+      EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K,
+      java.nio.file.Files.createTempDirectory("gi-ck").toString)(() => state) {
+      (s, g) => state = (s, g)
+    }
+    val chunks = held.grouped(math.max(1, held.size / 2)).toSeq
+    chunks.foreach { ch => in.addData(ch); q.processAllAvailable() }
+    q.stop()
+
+    var batchState = (store0, g0)
+    chunks.foreach { ch =>
+      val nv = ch.toDF("vec_id", "embedding")
+      batchState = (
+        batchState._1.unionByName(nv).localCheckpoint(true),
+        Embeddings.graphInsert(batchState._1, batchState._2, nv, centroids,
+          EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam,
+          EmbeddingQueries.GsRounds, K).localCheckpoint(true))
+    }
+    assert(state._2.as[(Long, Long, Int)].collect().toSet
+      === batchState._2.as[(Long, Long, Int)].collect().toSet)
+    assert(state._1.select("vec_id").as[Long].collect().toSet
+      === batchState._1.select("vec_id").as[Long].collect().toSet)
+    all.unpersist()
+    ()
+  }
+
   /** Stream-static serving parity ([[Embeddings.graphProbeSink]]): query
     * micro-batches answered from the ONE pre-built graph + static store must
     * equal the batch search for the same query set, at every chunking —

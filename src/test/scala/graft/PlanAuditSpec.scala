@@ -85,7 +85,7 @@ class PlanAuditSpec extends SparkSpec {
     // (queries × C broadcast centroids); the recall twin adds the knnExact
     // broadcast-query baseline. The search waves themselves are pure
     // equi-joins + bounded heaps (see Embeddings.graphSearchStages).
-    "q_graph_search", "q_graph_search_recall",
+    "q_graph_search", "q_graph_search_recall", "q_graph_sweep",
     // Matryoshka ladder: per-tier knnExactPrefix broadcast-query probes
     // plus the full-dim knnExact baseline — the documented all-pairs design
     "q_mrl_recall", "q_mrl_rerank", "q_mrl_rerank_recall",

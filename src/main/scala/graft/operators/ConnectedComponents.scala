@@ -218,20 +218,28 @@ object ConnectedComponents {
         parent(l) = r
         r
     }
-    private def baseLabel(x: Long): Long = base(x) match {
-      case Some(l) => l
-      case None => freshVerts += x; x
-    }
+    private def baseLabel(x: Long): Long = base(x).getOrElse(x)
+    /** Pure read — a lookup of an unseen vertex must not inflate the delta
+      * state or inject a spurious singleton into [[freshSnapshot]] (review
+      * catch); only [[union]] registers fresh vertices.
+      */
     def find(x: Long): Long = resolve(baseLabel(x))
     def union(a: Long, b: Long): Unit = {
+      if (base(a).isEmpty) freshVerts += a
+      if (base(b).isEmpty) freshVerts += b
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     /** Driver-held delta entries — the bounded-state claim as a number. */
     def deltaSize: Int = synchronized { parent.size + freshVerts.size }
-    /** (old compacted label → merged label), only for labels that moved. */
+    /** (old compacted label → merged label), only for COMPACTED labels that
+      * moved — fresh-vertex parent entries are excluded (a fresh id is by
+      * definition absent from the base, so it can never match a labels-table
+      * row; shipping it would only bloat the broadcast relabel map).
+      */
     def relabels: Map[Long, Long] = synchronized {
-      parent.keys.toSeq.map(l => l -> resolve(l)).filter(p => p._1 != p._2).toMap
+      parent.keys.toSeq.filterNot(freshVerts.contains)
+        .map(l => l -> resolve(l)).filter(p => p._1 != p._2).toMap
     }
     /** (vertex → merged label) for vertices first seen since compaction. */
     def freshSnapshot: Map[Long, Long] = synchronized {

@@ -769,15 +769,18 @@ object Embeddings {
   def graphSearchStages(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
                         centroids: DataFrame, nProbe: Int, beam: Int,
                         rounds: Int): Seq[(String, DataFrame, DataFrame)] = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
-    val v = vectors.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
-    def score(cands: DataFrame): DataFrame =
-      cands.join(broadcast(q), "query_id").join(v, "neighbor_id")
-        .select(col("query_id"), col("neighbor_id"),
-          (dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
-            .as("score"))
+    val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
+    graphSearchWaves(vectors, queries, graph, visited0, entries, beam, rounds)
+  }
+
+  /** The beam-INDEPENDENT seed of the search — the IVF entry probe and its
+    * exact scores, cut once: (visited₀, entries). Hoisted out of
+    * [[graphSearchStages]] so [[graphSearchSweep]] pays it once across all
+    * widths (the oracle hoists its twin, `gsProbeCtes`, identically).
+    */
+  private def graphSearchSeed(vectors: DataFrame, queries: DataFrame,
+                              centroids: DataFrame,
+                              nProbe: Int): (DataFrame, DataFrame) = {
     val c = centroids.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_norm"))
     val probeScored = queries
@@ -789,10 +792,35 @@ object Embeddings {
         dotD(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
     val entries = topKPerQuery(probeScored, nProbe)
       .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
+    val scored = entries.join(broadcast(q), "query_id").join(v, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+          .as("score"))
+    (Lineage.cut(scored), entries)
+  }
+
+  /** The per-width expansion waves over a pre-seeded visited set. */
+  private def graphSearchWaves(vectors: DataFrame, queries: DataFrame,
+                               graph: DataFrame, visited0: DataFrame,
+                               entries: DataFrame, beam: Int,
+                               rounds: Int): Seq[(String, DataFrame, DataFrame)] = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(broadcast(q), "query_id").join(v, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dotD(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")))
+            .as("score"))
     val edges = graph.select(col("query_id").as("node_id"),
       col("neighbor_id").as("next_id"))
     val stages = Seq.newBuilder[(String, DataFrame, DataFrame)]
-    var visited = Lineage.cut(score(entries))
+    var visited = visited0
     stages += (("seed", visited, entries))
     var r = 1
     while (r <= rounds) {
@@ -860,9 +888,12 @@ object Embeddings {
                        rounds: Int, k: Int): DataFrame = {
     val exact = Lineage.cut(knnExact(vectors, queries, k)
       .select(col("query_id"), col("neighbor_id")))
+    // the entry probe and its scores do not depend on the width — seed once
+    // (review catch; the oracle hoists gsProbeCtes the same way)
+    val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
     beams.map { b =>
-      val stages = graphSearchStages(vectors, queries, graph, centroids,
-        nProbe, b, rounds)
+      val stages = graphSearchWaves(vectors, queries, graph, visited0,
+        entries, b, rounds)
       val scoredAll = stages.map(_._3).reduce(_.unionByName(_))
       knnRecallTotals(exact, topKPerQuery(stages.last._2, k))
         .crossJoin(broadcast(scoredAll.agg(count(lit(1)).as("n_scored"))))
@@ -917,6 +948,14 @@ object Embeddings {
     * never accumulates; persist/bucket the frames in production). The batch
     * operator is the per-trigger body, so a streamed sequence of inserts
     * equals the same inserts applied in batch (spec-asserted).
+    *
+    * Redelivery-safe by an already-present anti-join (review catch): this
+    * sink read-modify-writes accumulated state, so `foreachBatch`'s
+    * at-least-once redelivery of a batch whose swap already landed would
+    * otherwise double-insert (duplicate store rows, > k edges per node).
+    * Vectors whose ids are already in the store are dropped before the
+    * insert, making a replayed batch a no-op — the id-based analogue of the
+    * balance sink's journaled claim.
     */
   def graphIngestSink(vectorStream: DataFrame, centroids: DataFrame,
                       nProbe: Int, beam: Int, rounds: Int, k: Int,
@@ -927,12 +966,13 @@ object Embeddings {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val (store, graph) = current()
-          val updated = Lineage.cut(graphInsert(store, graph, batch.toDF(),
+        val (store, graph) = current()
+        val fresh = Lineage.cut(batch.toDF().select(store.columns.map(col): _*)
+          .join(store.select("vec_id"), Seq("vec_id"), "left_anti"))
+        if (!fresh.isEmpty) {
+          val updated = Lineage.cut(graphInsert(store, graph, fresh,
             centroids, nProbe, beam, rounds, k))
-          val grownStore = Lineage.cut(store.unionByName(
-            batch.toDF().select(store.columns.map(col): _*)))
+          val grownStore = Lineage.cut(store.unionByName(fresh))
           onBatch(grownStore, updated)
         }
       }

@@ -99,7 +99,12 @@ object Profile {
     *     on positives in both), and INJECTIVE on ≤ 2-decimal domains (money,
     *     rates, integral quantities — the profile's registered columns);
     *     a caller profiling free-range doubles estimates the cardinality of
-    *     the centi-grid classes instead, which the scaladoc contract states;
+    *     the centi-grid classes instead, which the scaladoc contract states.
+    *     NaN / ±Infinity / |x| > 9·10¹⁵ route to the value's string form so
+    *     the profiler never throws under Spark 4's ANSI long cast (review
+    *     catch) — those classes are counted, but their strings are
+    *     cross-engine-canonical only where both engines render them
+    *     identically (the registered columns never reach this branch);
     *   - timestamps/dates: the ISO string both engines render identically
     *     (`2000-12-01 00:00:00[.ffffff]`);
     *   - binary: hex (injective; raw bytes are not valid UTF-8 input to md5
@@ -111,7 +116,9 @@ object Profile {
     val ic = col("`" + c.replace("`", "``") + "`")
     df.schema(c).dataType match {
       case DoubleType | FloatType =>
-        round(ic * lit(100)).cast("long").cast("string")
+        val d = ic.cast("double")
+        when(isnan(d) || abs(d) > lit(9.0e15), d.cast("string"))
+          .otherwise(round(d * lit(100)).cast("long").cast("string"))
       case BinaryType => hex(ic)
       case _ => ic.cast("string")
     }

@@ -1231,8 +1231,6 @@ object AnalyticQueries {
     // At 100 TB the scan has natural partitions and no such respread runs
     // (the operator itself never shuffles input rows).
     val spread = df.repartition(s.sparkContext.defaultParallelism)
-    if (sys.env.contains("GRAFT_PROFILE_HLL_ONLY"))
-      return graft.operators.Profile.tableProfileHll(spread)
     graft.operators.Profile.tableProfile(df)
       .join(graft.operators.Profile.tableProfileHll(spread)
         .select(col("col_name"), col("est_distinct")), "col_name")

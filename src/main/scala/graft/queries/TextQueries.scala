@@ -1484,7 +1484,7 @@ object TextQueries {
     */
   private[queries] lazy val unigramVocabCtes: String =
     """w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-          v AS (SELECT word, count(*)::BIGINT AS wfreq
+          v AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wfreq
                 FROM w WHERE len(word) >= 1 GROUP BY 1)"""
 
   /** Round 1 of the unigram-LM hard-EM replay (expects `v` in scope): seed
@@ -1498,7 +1498,7 @@ object TextQueries {
     * builds its own per-round enumeration on top of `pcost`.
     */
   private[queries] lazy val unigramSeedCtes: String =
-    s"""sub AS (SELECT substring(word, u.i, t.j) AS piece,
+    s"""sub AS MATERIALIZED (SELECT substring(word, u.i, t.j) AS piece,
                     sum(wfreq)::BIGINT AS freq
                   FROM v,
                        unnest(generate_series(1, len(word))) AS u(i),
@@ -1511,7 +1511,7 @@ object TextQueries {
                    SELECT piece, freq FROM (
                      SELECT piece, freq FROM sub WHERE len(piece) >= 2
                      ORDER BY freq DESC, piece ASC LIMIT $UnigramSeedK)),
-          pcost AS (SELECT piece, freq,
+          pcost AS MATERIALIZED (SELECT piece, freq,
                       (64 - length(bin(freq)))::BIGINT AS cost FROM seed)"""
 
   private[queries] lazy val unigramRound1Ctes: String =

@@ -58,7 +58,12 @@ object AsOfStream {
   final case class Match(purchase_id: Long, user_id: Long, purchase_us: Long,
                          last_click_us: Option[Long])
 
-  private def us(ts: Timestamp): Long = ts.getTime * 1000L
+  /** Full-microsecond conversion: `getTime` alone is millisecond-truncated,
+    * which would desync the stream from the batch twin's `unix_micros` on
+    * sub-millisecond timestamps — `getNanos` carries the fraction exactly.
+    */
+  private def us(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
 
   /** Run the as-of operator over a merged (user_id, kind, event_id, ts)
     * stream; `delay` is the watermark (how late a click may arrive and still

@@ -65,7 +65,13 @@ object PitStream {
 
   private val FeatureKinds = Seq(0, 1)
 
-  private def us(ts: Timestamp): Long = ts.getTime * 1000L
+  /** Full-microsecond conversion: `getTime` alone is millisecond-truncated,
+    * which would desync the stream from the batch twin's `unix_micros` on
+    * sub-millisecond timestamps (review catch) — `getNanos` carries the
+    * fractional second exactly.
+    */
+  private def us(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
 
   /** Run the PIT feature server over a merged (user_id, kind, event_id, ts,
     * value) stream; `delay` = the watermark, `stalenessUs` = the serving

@@ -154,6 +154,13 @@ class GraphSearchSpec extends SparkSpec {
     }
     val chunks = held.grouped(math.max(1, held.size / 2)).toSeq
     chunks.foreach { ch => in.addData(ch); q.processAllAvailable() }
+    // at-least-once redelivery: a replayed chunk is a no-op (the
+    // already-present anti-join), not a double insert
+    val before = state._2.as[(Long, Long, Int)].collect().toSet
+    in.addData(chunks.head)
+    q.processAllAvailable()
+    assert(state._2.as[(Long, Long, Int)].collect().toSet === before,
+      "redelivered batch must not change the graph")
     q.stop()
 
     var batchState = (store0, g0)

@@ -105,6 +105,13 @@ class GroupStreamSpec extends SparkSpec {
     assert(GroupStream.mergedLabels(labels, uf2).as[(Long, Long)].collect().toMap
       === expected)
     assert(uf2.deltaSize === 6)
+    // find() is a PURE read: probing an unseen vertex must not grow the
+    // delta or add a spurious singleton to the merged labeling
+    val sizeBefore = uf2.deltaSize
+    assert(uf2.find(999L) === 999L && uf2.find(999L) === 999L)
+    assert(uf2.deltaSize === sizeBefore, "find() mutated delta state")
+    assert(GroupStream.mergedLabels(labels, uf2).as[(Long, Long)].collect().toMap
+      === expected, "find() injected a row into the merged labeling")
     // the new-min case actually exercised: old component {30,31} relabeled 2
     assert(expected(31L) === 2L && expected(30L) === 2L)
   }

@@ -26,6 +26,15 @@ class PitStreamSpec extends SparkSpec {
 
   private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
 
+  /** Second + MICROSECOND timestamps — sub-millisecond precision must
+    * survive the stream/batch seam (getTime alone truncates to ms).
+    */
+  private def tsUs(sec: Long, micros: Int) = {
+    val t = new Timestamp(1700000000000L + sec * 1000L)
+    t.setNanos(micros * 1000)
+    t
+  }
+
   /** The batch twin — qPitFeatures' exact formulation (struct-coupled
     * observation carry, (tus, kind, event_id) running-last, `served`
     * arithmetic) applied to the fed events with the spec's staleness.
@@ -79,7 +88,11 @@ class PitStreamSpec extends SparkSpec {
     PitEvent(1L, 2, 12L, ts(20), None),
     PitEvent(1L, 1, 13L, ts(30), None), // null-valued view: sentinel val, real age
     PitEvent(1L, 2, 14L, ts(60), None),
-    PitEvent(1L, 0, 15L, ts(55), Some(9.0)), // late-fed click, inside watermark
+    // two clicks 100 us apart inside ONE millisecond: the later one (lower
+    // event_id) must win — ms-truncated arithmetic would tie them on time
+    // and serve the higher event_id instead
+    PitEvent(1L, 0, 15L, tsUs(55, 200), Some(9.0)),
+    PitEvent(1L, 0, 16L, tsUs(55, 100), Some(8.0)),
     PitEvent(4L, 2, 41L, ts(80), None), // only click is 80 s old -> stale
     PitEvent(2L, 0, 22L, ts(100), Some(7.0)),
     PitEvent(2L, 2, 21L, ts(100), None),

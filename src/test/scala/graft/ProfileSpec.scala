@@ -69,6 +69,26 @@ class ProfileSpec extends SparkSpec {
     assert(hll(df.repartition(7)) === est, "chunking changed the profile")
   }
 
+  /** The 'ANY table' contract under hostile doubles: NaN / ±Infinity /
+    * beyond-long magnitudes must profile (string-form hash classes), never
+    * throw through Spark 4's ANSI long cast — and the exact lanes and
+    * tiny-regime estimate still agree with the exact profiler, including
+    * count_distinct's all-NaNs-are-one normalization.
+    */
+  test("HLL profile survives NaN, infinities, and beyond-long doubles") {
+    val df = Seq(
+        (1L, Double.NaN), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+        (4L, Double.NegativeInfinity), (5L, 9.4e15), (6L, 1.5))
+      .toDF("id", "x")
+    val exact = graft.operators.Profile.tableProfile(df)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val est = graft.operators.Profile.tableProfileHll(df)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(exact("x")._4 === 5L, "two NaNs must normalize to one class")
+    assert(est("x") === exact("x"), s"hostile doubles drifted: ${est("x")} vs ${exact("x")}")
+    assert(est("id") === exact("id"))
+  }
+
   test("duplicate column names are rejected by every profile form") {
     val df = Seq((1L, 2L)).toDF("a", "a")
     intercept[IllegalArgumentException](graft.operators.Profile.tableProfile(df))

@@ -1048,6 +1048,56 @@ object Embeddings {
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** 64-bit BINARY-QUANTIZATION signature, packed as two 32-bit halves —
+    * the 1-bit compression tier below SQ8/PQ: bit j = sign of the dot with
+    * Carter-Wegman hyperplane j (the [[srpSignatures]] family, packed for
+    * arithmetic instead of banded for blocking). Two-halves packing keeps
+    * every shift below 2³² so assembly is overflow-free integer arithmetic
+    * in BOTH engines (a single 64-bit pack would need the sign bit, and
+    * DuckDB's BIGINT sum promotes to HUGEINT); Hamming distance is then two
+    * `bit_count(xor(...))`s. One narrow codegen projection per vector —
+    * 8 bytes of index per vector, 32× smaller than the float embedding.
+    */
+  def srpPackedSignatures(vectors: DataFrame): DataFrame =
+    // ONE native expression for all 64 plane signs (the composed 64-dot
+    // projection generated a method past the JIT inlining budget — ~4×
+    // slower at sf0.1; see SrpPackExpression)
+    vectors.select(col("vec_id"),
+        graft.functions.SrpPackExpression.srpPack(col("embedding")).as("pk"))
+      .select(col("vec_id"), col("pk.sig_lo").as("sig_lo"),
+        col("pk.sig_hi").as("sig_hi"))
+
+  /** Hamming top-`r` candidate pool over the packed signatures — the
+    * retrieve stage of binary-quantization serving: integer xor/popcount
+    * against the broadcast query signatures (no float arithmetic, ~32×
+    * less index traffic than the raw scan), per-query top-`r` by
+    * (distance ASC, id ASC) via the bounded TopK heap (score = 64 − d, an
+    * exact small integer in a double).
+    */
+  def bqPool(vectors: DataFrame, queries: DataFrame, r: Int): DataFrame = {
+    val s = srpPackedSignatures(vectors)
+      .select(col("vec_id").as("neighbor_id"), col("sig_lo").as("v_lo"),
+        col("sig_hi").as("v_hi"))
+    val qs = srpPackedSignatures(queries)
+      .select(col("vec_id").as("query_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi"))
+    val scored = s.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        (lit(64L) - (bit_count(col("v_lo").bitwiseXOR(col("q_lo")))
+          + bit_count(col("v_hi").bitwiseXOR(col("q_hi"))))).cast("double"))
+    topKPerQuery(scored, r).select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Binary-quantization SERVING — the two-stage economics of
+    * [[ivfPqRerank]]/[[knnExactPrefix]] with the cheap representation ONE
+    * BIT per dimension: Hamming top-`r` pool from the packed signatures,
+    * exact-cosine rerank of just queries×r store rows cut to `k`. The
+    * coarsest rung of the compression-serving ladder (float → prefix → SQ8
+    * → PQ → binary), priced by `q_bq_recall` like every other rung.
+    */
+  def bqRerank(vectors: DataFrame, queries: DataFrame, r: Int, k: Int): DataFrame =
+    exactRerank(vectors, queries, bqPool(vectors, queries, r), k)
+
   /** SRP-blocked near-dup pairs: band-bucket self-join for candidates, exact
     * cosine verify — precision exact, recall set by the banding (measured by
     * [[srpNearDupRecall]] against the all-pairs baseline). Same

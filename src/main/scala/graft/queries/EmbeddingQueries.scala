@@ -533,6 +533,39 @@ object EmbeddingQueries {
       v.filter(col("vec_id") < NumCentroids), NProbe, GsSweepBeams, GsRounds, K)
   }
 
+  /** Candidate-pool depth of the binary-quantization serve (the full-dim
+    * rerank then cuts to [[K]] — [[MrlServeR]]'s economics at 1 bit/dim).
+    */
+  val BqServeR = 50
+
+  /** `q_bq_rerank`: BINARY-QUANTIZATION serving — the coarsest rung of the
+    * compression ladder (float → Matryoshka prefix → SQ8 → PQ → 1 bit/dim):
+    * Hamming top-[[BqServeR]] pool over 64 packed sign bits (integer
+    * xor/popcount, 8 bytes of index per vector), exact rerank to [[K]]
+    * ([[Embeddings.bqRerank]]).
+    */
+  def bqRerankQ(spark: SparkSession, dir: String): DataFrame =
+    // the 64-plane signature projection is CPU-bound and the single small
+    // harness file arrives as ONE scan partition — spread it so the bit
+    // build uses the cores (13 -> ~2 s warm at sf0.1; at 100 TB the scan
+    // has natural partitions and no respread runs)
+    Embeddings.bqRerank(
+      vectors(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      queryVectors(spark, dir), BqServeR, K)
+
+  /** `q_bq_recall`: the 1-bit tier's recall vs the exact top-[[K]] — read
+    * beside `q_mrl_recall`/`q_sq8_recall`/`q_pq_recall` to see what each
+    * compression level costs in answer quality.
+    */
+  def bqRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // see bqRerankQ
+    val q = queryVectors(spark, dir)
+    Embeddings.knnRecallTotals(
+      Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id")),
+      Embeddings.bqRerank(v, q, BqServeR, K))
+  }
+
   /** Matryoshka prefix widths the recall ladder prices (vs the full 64). */
   val MrlDims: Seq[Int] = Seq(8, 16, 32)
 
@@ -584,6 +617,8 @@ object EmbeddingQueries {
     "q_mrl_recall" -> (mrlRecall _),
     "q_mrl_rerank" -> (mrlRerank _),
     "q_mrl_rerank_recall" -> (mrlRerankRecall _),
+    "q_bq_rerank" -> (bqRerankQ _),
+    "q_bq_recall" -> (bqRecallQ _),
     "q_graph_search" -> (graphSearchQ _),
     "q_graph_search_recall" -> (graphSearchRecallQ _),
     "q_graph_sweep" -> (graphSweepQ _),
@@ -1306,6 +1341,51 @@ object EmbeddingQueries {
 
   private val gsCtes = gsProbeCtes + gsWaveCtes(GsBeam, "")
 
+  /** The binary-quantization serve replayed on [[base]]'s `v`/`q`: the
+    * Carter-Wegman plane signs (the `srpBase` formula verbatim — ±1
+    * products are rounding-free, so bits are bit-identical), two-halves
+    * packing with every shift below 2³² (overflow-free in both engines),
+    * integer Hamming ranking, exact-cosine rerank. `bqpk` is materialized —
+    * the pool self-join reads it twice.
+    */
+  private lazy val bqCtes =
+    s""", bqplanes AS (
+          SELECT j, list_transform(range(0, 64),
+            i -> CASE WHEN ((1103515245*(j*64+i) + 12345) % 2147483647) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END) AS pv
+          FROM range(0, 64) t(j)),
+        bqbits AS (
+          SELECT v.vec_id, p.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i -> v.e[i]*p.pv[i])) > 0
+                 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM v CROSS JOIN bqplanes p),
+        bqpk AS MATERIALIZED (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS lo,
+            CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS hi
+          FROM bqbits GROUP BY 1),
+        bqpool AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q2.vec_id AS query_id, p.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+                (bit_count(xor(p.lo, q2.lo)) + bit_count(xor(p.hi, q2.hi))) ASC,
+                p.vec_id ASC) AS rn
+            FROM bqpk q2 JOIN bqpk p ON p.vec_id <> q2.vec_id
+            WHERE q2.vec_id < $NumQueries)
+          WHERE rn <= $BqServeR),
+        bqrr AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, p.neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, p.neighbor_id ASC) AS rank
+            FROM bqpool p
+            JOIN q ON q.query_id = p.query_id
+            JOIN v ON v.vec_id = p.neighbor_id
+            JOIN nrm nq ON nq.vec_id = p.query_id
+            JOIN nrm nv ON nv.vec_id = p.neighbor_id)
+          WHERE rank <= $K)"""
+
   /** Per-tier Matryoshka rankings on [[base]]'s `v`/`q`: the same sequential
     * prefix dot and prefix norms (a/(b·c) grouping) as the Spark slice form.
     */
@@ -1362,6 +1442,12 @@ object EmbeddingQueries {
           FROM exact e LEFT JOIN mrl$d m
             ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id""")
       .mkString(" UNION ALL ")),
+    "q_bq_rerank" -> (base + bqCtes +
+      "SELECT query_id, neighbor_id, rank FROM bqrr"),
+    "q_bq_recall" -> (base + bqCtes +
+      """SELECT count(m.neighbor_id)::BIGINT AS hits, count(*)::BIGINT AS total
+         FROM exact e LEFT JOIN bqrr m
+           ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id"""),
     "q_graph_sweep" -> (base + nnGraphCtes + gsProbeCtes +
       GsSweepBeams.map(b => gsWaveCtes(b, s"_b$b")).mkString +
       GsSweepBeams.map { b =>

@@ -87,4 +87,35 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  /** srp_pack's ±1 matrix and accumulation must equal a sequential-double
+    * reference built from the shared Carter-Wegman parity — the contract
+    * that keeps the packed bits bit-identical to the DuckDB replay (±1
+    * products are exact, sums sequential). Exercised on harness embeddings.
+    */
+  test("srp_pack bits equal the sequential Carter-Wegman reference") {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(64)
+      .select(col("vec_id"),
+        graft.functions.SrpPackExpression.srpPack(col("embedding")).as("pk"),
+        col("embedding"))
+      .select(col("vec_id"), col("pk.sig_lo"), col("pk.sig_hi"), col("embedding"))
+      .as[(Long, Long, Long, Array[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, lo, hi, e) =>
+      var rLo = 0L
+      var rHi = 0L
+      for (j <- 0 until 64) {
+        var s = 0.0
+        for (i <- e.indices.take(64)) {
+          val x = j.toLong * 64 + i
+          val sign = if (((1103515245L * x + 12345L) % 2147483647L) % 2 == 0L) 1.0 else -1.0
+          s += e(i).toDouble * sign
+        }
+        if (s > 0) { if (j < 32) rLo |= 1L << j else rHi |= 1L << (j - 32) }
+      }
+      assert((lo, hi) === ((rLo, rHi)), s"vec $id bits drifted")
+    }
+  }
 }

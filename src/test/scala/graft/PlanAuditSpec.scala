@@ -86,6 +86,10 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-query baseline. The search waves themselves are pure
     // equi-joins + bounded heaps (see Embeddings.graphSearchStages).
     "q_graph_search", "q_graph_search_recall", "q_graph_sweep",
+    // Binary-quantization serving: the Hamming scan is the documented
+    // broadcast-query probe over packed integer signatures (n × queries,
+    // no join key by design); the recall twin adds the knnExact baseline.
+    "q_bq_rerank", "q_bq_recall",
     // Matryoshka ladder: per-tier knnExactPrefix broadcast-query probes
     // plus the full-dim knnExact baseline — the documented all-pairs design
     "q_mrl_recall", "q_mrl_rerank", "q_mrl_rerank_recall",

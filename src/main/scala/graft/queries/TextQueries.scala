@@ -636,6 +636,47 @@ object TextQueries {
         graft.operators.Bpe.wordVocab(docs(spark, dir), "text")),
       UnigramSeedK)
 
+  /** Corpus-prefix divisors of the Heaps-law curve: prefixes at max-id/8,
+    * /4, /2, and the full corpus.
+    */
+  val HeapsDivisors: Seq[Int] = Seq(8, 4, 2, 1)
+
+  /** `q_heaps_law`: VOCABULARY GROWTH over corpus prefixes — the Heaps-law
+    * curve (V(n) ≈ K·nᵝ) whose flattening tells a curation pipeline when
+    * more of the same source stops buying new vocabulary. For each prefix
+    * (docs with id ≤ max_id/divisor): doc count, token count, and the
+    * number of distinct word TYPES first seen inside it — all integers.
+    *
+    * Plan shape (no global sort, no per-prefix rescans): prefixes are id
+    * thresholds from a 1-row max (scalar attach), types come from the
+    * vocabulary-sized first-occurrence table (`min(doc_id)` per word), and
+    * all [[HeapsDivisors]] prefixes are conditional aggregates in ONE pass
+    * over each input (the `q_ams_*` fan-out-free form), stacked into rows.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val words = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val firstOcc = words.groupBy("word").agg(min(col("doc_id")).as("first_doc"))
+    def tiers(src: DataFrame, idCol: String, outPrefix: String,
+              agg: Int => Column): DataFrame =
+      src.crossJoin(broadcast(mx)) // 1-row scalar attach (audit-exempt)
+        .agg(agg(HeapsDivisors.head).as(s"$outPrefix${HeapsDivisors.head}"),
+          HeapsDivisors.tail.map(f => agg(f).as(s"$outPrefix$f")): _*)
+    def cnt(idCol: String)(f: Int): Column =
+      count(when(col(idCol) <= expr(s"mx div $f"), 1))
+    val nd = tiers(d.select("doc_id"), "doc_id", "nd_", cnt("doc_id"))
+    val nt = tiers(words.select("doc_id"), "doc_id", "nt_", cnt("doc_id"))
+    val ty = tiers(firstOcc, "first_doc", "ty_", cnt("first_doc"))
+    val stackArgs = HeapsDivisors
+      .map(f => s"${f}L, mx div $f, nd_$f, nt_$f, ty_$f").mkString(", ")
+    nd.crossJoin(ty).crossJoin(nt).crossJoin(broadcast(mx))
+      .select(expr(s"stack(${HeapsDivisors.size}, $stackArgs) " +
+        "AS (divisor, id_cap, n_docs, n_tokens, n_types)"))
+  }
+
   /** Hard-EM rounds the convergence ladder prices. */
   val UnigramConvRounds = 3
 
@@ -1350,6 +1391,7 @@ object TextQueries {
     "q_oov_rate_bpe" -> (oovRateBpe _),
     "q_unigram_round" -> (unigramRound _),
     "q_unigram_round2" -> (unigramRound2 _),
+    "q_heaps_law" -> (heapsLaw _),
     "q_unigram_conv" -> (unigramConv _),
     "q_unigram_bylang" -> (unigramByLang _),
     "q_unigram_fertility_bylang" -> (unigramFertilityByLang _),
@@ -2173,6 +2215,27 @@ object TextQueries {
           SELECT p2.piece, p2.cost, p2.freq AS prev_freq,
                  coalesce(em2.em_freq, 0)::BIGINT AS em_freq
           FROM p2 LEFT JOIN em2 USING (piece)""",
+    // Heaps-law prefixes replayed: same id thresholds from the 1-row max,
+    // same first-occurrence type attribution, one arm per divisor
+    "q_heaps_law" -> {
+      val arms = HeapsDivisors.map { f =>
+        s"""SELECT CAST($f AS BIGINT) AS divisor,
+               (SELECT m // $f FROM mx) AS id_cap,
+               (SELECT count(*) FROM documents
+                WHERE doc_id <= (SELECT m // $f FROM mx))::BIGINT AS n_docs,
+               (SELECT count(*) FROM hw
+                WHERE doc_id <= (SELECT m // $f FROM mx))::BIGINT AS n_tokens,
+               (SELECT count(*) FROM hfo
+                WHERE first_doc <= (SELECT m // $f FROM mx))::BIGINT AS n_types"""
+      }.mkString(" UNION ALL ")
+      s"""WITH hw0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+          hw AS MATERIALIZED (SELECT doc_id, word FROM hw0 WHERE len(word) >= 1),
+          hfo AS MATERIALIZED (SELECT word, min(doc_id) AS first_doc
+                               FROM hw GROUP BY 1),
+          mx AS (SELECT max(doc_id) AS m FROM documents)
+          $arms"""
+    },
     // the EM convergence ladder: per-round stats generated from the same
     // round constant as the Spark chain (model r+1 = round r's used pieces
     // with re-derived bit-length costs)

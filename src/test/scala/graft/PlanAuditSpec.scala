@@ -243,6 +243,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_seq_pack_scan" -> Set("doc_id", "text"),
       "q_containment" -> Set("doc_id", "text"),
       "q_keyframes" -> Set("doc_id", "text"),
+      "q_heaps_law" -> Set("doc_id", "text"),
       "q_heavy_hitters" -> Set("text"),
       "q_dedup_report" -> Set("text"),
       "q_vocab_stats" -> Set("source", "text"),

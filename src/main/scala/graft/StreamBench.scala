@@ -233,6 +233,93 @@ object StreamBench {
     }
   }
 
+  /** Graph-ANN serving: query micro-batches answered from the PRE-BUILT
+    * NN-Descent graph via beam search
+    * ([[graft.operators.Embeddings.graphProbeSink]]) — the r15 serving tier
+    * measured at the same parameter lock as `q_graph_search`.
+    */
+  def runGraphServe(spark: SparkSession, sfDir: String, chunks: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Embeddings, Lineage}
+    import graft.queries.EmbeddingQueries.{GsBeam, GsRounds, K, NProbe, NnSeedAssign, NumCentroids}
+    val corpus = Lineage.cut(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding"))
+    val centroids = Lineage.cut(corpus.filter($"vec_id" < NumCentroids))
+    val graph = Lineage.cut(Embeddings.nnDescentRound(corpus,
+      Embeddings.knnGraphSeed(corpus, centroids, NnSeedAssign, K), K))
+
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val chunkSize = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
+    val in = MemoryStream[(Long, Array[Float])]
+    var rowsOut = 0L
+    val q = Embeddings.graphProbeSink(
+      in.toDF().toDF("vec_id", "embedding"), graph, corpus, centroids,
+      nProbe = NProbe, beam = GsBeam, rounds = GsRounds, k = K,
+      Files.createTempDirectory("graphserve-ck").toString) { res =>
+      rowsOut += res.count()
+      ()
+    }
+    measured(spark) {
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          in.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        (rows.length.toLong, rowsOut)
+      } finally q.stop()
+    }
+  }
+
+  /** Point-in-time feature serving: the events table re-keyed into the
+    * merged PIT feed (clicks/views = feature streams, purchases = training
+    * events) and streamed in event-time order through
+    * [[graft.streaming.PitStream.serveFeatures]] — per-purchase feature
+    * vectors finalize as the watermark advances, state bounded by the
+    * delay.
+    */
+  def runPitServe(spark: SparkSession, sfDir: String, chunks: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.PitStream
+    import org.apache.spark.sql.functions.{timestamp_micros, when => whenF}
+    val e = Tables(spark, sfDir, "events")
+    val feed = e
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("user_id"),
+        whenF(col("event_type") === "click", 0)
+          .when(col("event_type") === "view", 1).otherwise(2).as("kind"),
+        col("event_id"),
+        timestamp_micros(graft.sources.Events.tsMicros(e)).as("ts"),
+        col("value"))
+      .as[PitStream.PitEvent]
+      .collect()
+      .sortBy(r => (r.ts.getTime, r.event_id)) // event-time order: late rows
+                                               // beyond the watermark would
+                                               // (correctly) be dropped
+    val chunkSize = math.max(1, math.ceil(feed.length.toDouble / chunks).toInt)
+    val in = MemoryStream[PitStream.PitEvent]
+    val served = PitStream.serveFeatures(in.toDF(), "60 seconds",
+      graft.queries.AnalyticQueries.PitStalenessUs)
+    var rowsOut = 0L
+    val q = served.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("pitserve-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[PitStream.Served], _: Long) =>
+        rowsOut += b.count()
+        ()
+      }
+      .start()
+    measured(spark) {
+      try {
+        feed.grouped(chunkSize).foreach { chunk =>
+          in.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        (feed.length.toLong, rowsOut)
+      } finally q.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -261,6 +348,8 @@ object StreamBench {
     println(runCorpusClean(spark, sfDir, chunks).json("stream_clean_rows_per_sec", sfDir, backend))
     println(runNearPipeline(spark, sfDir, chunks).json("near_pipeline_rows_per_sec", sfDir, backend))
     println(runAnnServe(spark, sfDir, chunks).json("ann_serve_queries_per_sec", sfDir, backend))
+    println(runGraphServe(spark, sfDir, chunks).json("graph_serve_queries_per_sec", sfDir, backend))
+    println(runPitServe(spark, sfDir, chunks).json("pit_serve_rows_per_sec", sfDir, backend))
     spark.stop()
   }
 }

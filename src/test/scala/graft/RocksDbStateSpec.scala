@@ -69,4 +69,48 @@ class RocksDbStateSpec extends SparkSpec {
       }
     }
   }
+
+  /** The round-15 custom-state operator under the reference's backend: the
+    * PIT feature server's `flatMapGroupsWithState` must produce the same
+    * finalized rows on RocksDB as its batch twin — case-class state and
+    * event-time timeouts ride the provider unchanged.
+    */
+  test("PIT feature serving runs on the RocksDB state store with identical results") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.PitStream
+    import graft.streaming.PitStream.{PitEvent, Served}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val previous = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDb)
+    try {
+      val in = MemoryStream[PitEvent]
+      val served = PitStream.serveFeatures(in.toDF(), "5 seconds", 50000000L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Served]
+      val q = served.writeStream.outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("rdb-pit-ck").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Served], _: Long) =>
+          val rows = b.collect()
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .start()
+      in.addData(
+        PitEvent(1L, 0, 10L, ts(0), Some(1.5)),
+        PitEvent(1L, 1, 11L, ts(2), Some(2.5)))
+      q.processAllAvailable()
+      in.addData(PitEvent(1L, 2, 12L, ts(4), None))
+      q.processAllAvailable()
+      in.addData(PitEvent(9L, 0, 99L, ts(60), None)) // advance watermark
+      q.processAllAvailable()
+      q.stop()
+      assert(out.synchronized(out.toList)
+        === List(Served(12L, 1L, ts(4).getTime * 1000L, 1.5, 4000000L, 2.5, 2000000L)),
+        "PIT semantics must be identical under RocksDB")
+    } finally {
+      previous match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

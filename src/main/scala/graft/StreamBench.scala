@@ -13,7 +13,7 @@ import graft.sinks.BalanceUpsert
 import graft.sources.{SyntheticCdc, Tables}
 import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
 
-/** Streaming throughput bench — ONE JSON line per pipeline, three pipelines:
+/** Streaming throughput bench — ONE JSON line per pipeline, five pipelines:
   *
   *   1. `stream_clean_rows_per_sec` — the composed corpus cleaner
   *      ([[graft.streaming.CorpusCleanStream]]: language/quality gates,
@@ -27,9 +27,13 @@ import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
   *      the production multi-sink shape);
   *   3. `ann_serve_queries_per_sec` — the streamed ANN serving tier
   *      ([[graft.operators.Embeddings.rerankProbeSink]]: query micro-batches
-  *      answered from the pre-built IVF∘PQ index via retrieve-then-rerank).
+  *      answered from the pre-built IVF∘PQ index via retrieve-then-rerank);
+  *   4. `graph_serve_queries_per_sec` — graph-ANN serving (beam search over
+  *      the pre-built NN-Descent graph, [[runGraphServe]]);
+  *   5. `pit_serve_rows_per_sec` — point-in-time feature serving over the
+  *      events feed ([[runPitServe]]).
   *
-  * Both drive the SPARK_GRAFT_SF_DIR data via MemoryStream (the only offline
+  * All drive the SPARK_GRAFT_SF_DIR data via MemoryStream (the only offline
   * stream source) in fixed chunks, each one micro-batch, with monotone event
   * times so watermarks advance and state is actually evicted mid-run, and
   * both capture the per-trigger signal the reference exported over JMX
@@ -324,7 +328,7 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "10").toInt
-    // SPARK_GRAFT_ROCKSDB=1 runs the same three pipelines on the RocksDB
+    // SPARK_GRAFT_ROCKSDB=1 runs the same five pipelines on the RocksDB
     // state-store provider — the reference's actual state backend
     // (TokenBalance.java:89 uses a persistent RocksDB window store), so the
     // measured analogue exists beside the default in-memory/HDFS-backed

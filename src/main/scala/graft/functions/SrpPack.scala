@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -21,7 +22,9 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic contract (what makes the output hash-checkable): plane entries
   * are ±1 from the Carter-Wegman family shared with
-  * `Embeddings.srpPlane` (same formula — spec-asserted identical), and
+  * `Embeddings.srpPlane` (same formula — the spec asserts the packed bits
+  * against BOTH a sequential reference and the public `srpSignatures`
+  * band output, so the families cannot drift apart silently), and
   * multiplying by ±1 is EXACT in floating point, so accumulating
   * `s += neg ? -e : e` sequentially is bit-identical to the oracle's
   * `list_sum(list_transform(...))` of the ±1 products. Two-halves packing
@@ -69,7 +72,7 @@ object SrpPackExpression {
     a
   }
 
-  def compute(arr: ArrayData): AnyRef = {
+  def compute(arr: ArrayData): InternalRow = {
     val n = math.min(arr.numElements(), Dim)
     // pull the floats out of the columnar format ONCE, not once per plane
     val e = new Array[Double](n)

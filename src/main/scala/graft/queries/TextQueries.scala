@@ -660,16 +660,18 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
     val firstOcc = words.groupBy("word").agg(min(col("doc_id")).as("first_doc"))
-    def tiers(src: DataFrame, idCol: String, outPrefix: String,
-              agg: Int => Column): DataFrame =
+    // the prefix-membership column is named ONCE per input (review catch:
+    // a dead parameter beside a closure-captured column invites silent
+    // wrong-column counts)
+    def tiers(src: DataFrame, idCol: String, outPrefix: String): DataFrame = {
+      def cnt(f: Int): Column = count(when(col(idCol) <= expr(s"mx div $f"), 1))
       src.crossJoin(broadcast(mx)) // 1-row scalar attach (audit-exempt)
-        .agg(agg(HeapsDivisors.head).as(s"$outPrefix${HeapsDivisors.head}"),
-          HeapsDivisors.tail.map(f => agg(f).as(s"$outPrefix$f")): _*)
-    def cnt(idCol: String)(f: Int): Column =
-      count(when(col(idCol) <= expr(s"mx div $f"), 1))
-    val nd = tiers(d.select("doc_id"), "doc_id", "nd_", cnt("doc_id"))
-    val nt = tiers(words.select("doc_id"), "doc_id", "nt_", cnt("doc_id"))
-    val ty = tiers(firstOcc, "first_doc", "ty_", cnt("first_doc"))
+        .agg(cnt(HeapsDivisors.head).as(s"$outPrefix${HeapsDivisors.head}"),
+          HeapsDivisors.tail.map(f => cnt(f).as(s"$outPrefix$f")): _*)
+    }
+    val nd = tiers(d.select("doc_id"), "doc_id", "nd_")
+    val nt = tiers(words.select("doc_id"), "doc_id", "nt_")
+    val ty = tiers(firstOcc, "first_doc", "ty_")
     val stackArgs = HeapsDivisors
       .map(f => s"${f}L, mx div $f, nd_$f, nt_$f, ty_$f").mkString(", ")
     nd.crossJoin(ty).crossJoin(nt).crossJoin(broadcast(mx))
@@ -2233,7 +2235,7 @@ object TextQueries {
           hw AS MATERIALIZED (SELECT doc_id, word FROM hw0 WHERE len(word) >= 1),
           hfo AS MATERIALIZED (SELECT word, min(doc_id) AS first_doc
                                FROM hw GROUP BY 1),
-          mx AS (SELECT max(doc_id) AS m FROM documents)
+          mx AS MATERIALIZED (SELECT max(doc_id) AS m FROM documents)
           $arms"""
     },
     // the EM convergence ladder: per-round stats generated from the same

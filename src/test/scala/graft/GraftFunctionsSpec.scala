@@ -117,5 +117,22 @@ class GraftFunctionsSpec extends SparkSpec {
       }
       assert((lo, hi) === ((rLo, rHi)), s"vec $id bits drifted")
     }
+
+    // family coupling, through PUBLIC surfaces: the packed halves must
+    // decompose into exactly srpSignatures' 4-bit bands (same planes, same
+    // signs) — if Embeddings.srpPlane's constants ever moved, this breaks
+    // even though the gate and the sequential reference above stay green
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(64)
+    val packed = rows.map { case (id, lo, hi, _) => id -> ((lo, hi)) }.toMap
+    graft.operators.Embeddings.srpSignatures(vecs, nBits = 64)
+      .as[(Long, Int, Long)].collect()
+      .foreach { case (id, band, sig) =>
+        val (lo, hi) = packed(id)
+        val expect =
+          if (band < 8) (lo >>> (band * 4)) & 15L
+          else (hi >>> (band * 4 - 32)) & 15L
+        assert(sig === expect, s"vec $id band $band: srp_pack and srpSignatures disagree")
+      }
   }
 }

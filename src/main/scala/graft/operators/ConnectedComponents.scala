@@ -219,12 +219,17 @@ object ConnectedComponents {
         r
     }
     private def baseLabel(x: Long): Long = base(x).getOrElse(x)
-    /** Pure read — a lookup of an unseen vertex must not inflate the delta
-      * state or inject a spurious singleton into [[freshSnapshot]] (review
-      * catch); only [[union]] registers fresh vertices.
+    /** Logically read-only (path-compresses `parent` internally) — a lookup
+      * of an unseen vertex must not inflate the delta state or inject a
+      * spurious singleton into [[freshSnapshot]] (review catch); only
+      * [[union]] registers fresh vertices. Synchronized on the same monitor
+      * as every other accessor (review catch): path compression mutates the
+      * parent map, so an unsynchronized find racing [[relabels]] or a
+      * concurrent [[union]] would corrupt it — thread safety must not depend
+      * on callers wrapping their own `uf.synchronized` blocks.
       */
-    def find(x: Long): Long = resolve(baseLabel(x))
-    def union(a: Long, b: Long): Unit = {
+    def find(x: Long): Long = synchronized { resolve(baseLabel(x)) }
+    def union(a: Long, b: Long): Unit = synchronized {
       if (base(a).isEmpty) freshVerts += a
       if (base(b).isEmpty) freshVerts += b
       val (ra, rb) = (find(a), find(b))

@@ -58,12 +58,10 @@ object AsOfStream {
   final case class Match(purchase_id: Long, user_id: Long, purchase_us: Long,
                          last_click_us: Option[Long])
 
-  /** Full-microsecond conversion: `getTime` alone is millisecond-truncated,
-    * which would desync the stream from the batch twin's `unix_micros` on
-    * sub-millisecond timestamps — `getNanos` carries the fraction exactly.
+  /** Full-microsecond conversion — see [[EventMicros.us]] (floor-division
+    * seconds + exact nanos fraction, shared with the sibling stream).
     */
-  private def us(ts: Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  private def us(ts: Timestamp): Long = EventMicros.us(ts)
 
   /** Run the as-of operator over a merged (user_id, kind, event_id, ts)
     * stream; `delay` is the watermark (how late a click may arrive and still
@@ -88,7 +86,14 @@ object AsOfStream {
     val pending = st.pending ++ evs.filter(_.kind == 1).map(e => (e.event_id, us(e.ts)))
     val wmUs = state.getCurrentWatermarkMs() * 1000L
 
-    val (done, stillPending) = pending.partition(_._2 <= wmUs)
+    // STRICT finalize (review catch): Spark drops late input only when its
+    // event time is strictly BELOW the watermark, so an observation with
+    // ts == watermark == purchase time can still arrive in a later trigger —
+    // finalizing at equality would emit before that observation, diverging
+    // from the batch twin's inclusive at-or-before. A purchase at the
+    // watermark waits one trigger; the timeout wake-up is already strictly
+    // above it.
+    val (done, stillPending) = pending.partition(_._2 < wmUs)
     val out = done.map { case (pid, pus) =>
       val eligible = clicks.filter(_ <= pus)
       Match(pid, user, pus,

@@ -65,13 +65,10 @@ object PitStream {
 
   private val FeatureKinds = Seq(0, 1)
 
-  /** Full-microsecond conversion: `getTime` alone is millisecond-truncated,
-    * which would desync the stream from the batch twin's `unix_micros` on
-    * sub-millisecond timestamps (review catch) — `getNanos` carries the
-    * fractional second exactly.
+  /** Full-microsecond conversion — see [[EventMicros.us]] (floor-division
+    * seconds + exact nanos fraction, shared with the sibling stream).
     */
-  private def us(ts: Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  private def us(ts: Timestamp): Long = EventMicros.us(ts)
 
   /** Run the PIT feature server over a merged (user_id, kind, event_id, ts,
     * value) stream; `delay` = the watermark, `stalenessUs` = the serving
@@ -106,7 +103,14 @@ object PitStream {
     val pending = st.pending ++ evs.filter(_.kind == 2).map(e => (e.event_id, us(e.ts)))
     val wmUs = state.getCurrentWatermarkMs() * 1000L
 
-    val (done, stillPending) = pending.partition(_._2 <= wmUs)
+    // STRICT finalize (review catch): Spark drops late input only when its
+    // event time is strictly BELOW the watermark, so an observation with
+    // ts == watermark == purchase time can still arrive in a later trigger —
+    // finalizing at equality would emit before that observation, diverging
+    // from the batch twin's inclusive at-or-before. A purchase at the
+    // watermark waits one trigger; the timeout wake-up is already strictly
+    // above it.
+    val (done, stillPending) = pending.partition(_._2 < wmUs)
     def serve(kind: Int, pus: Long): (Double, Long) =
       latest(obs.filter(o => o.kind == kind && o.us <= pus)) match {
         case Some(o) if pus - o.us <= stalenessUs =>

@@ -240,7 +240,7 @@ object StreamBench {
   /** Graph-ANN serving: query micro-batches answered from the PRE-BUILT
     * NN-Descent graph via beam search
     * ([[graft.operators.Embeddings.graphProbeSink]]) — the r15 serving tier
-    * measured at the same parameter lock as `q_graph_search`.
+    * measured at the same parameter lock as `q_graph_search_indexed`.
     */
   def runGraphServe(spark: SparkSession, sfDir: String, chunks: Int): Result = {
     import spark.implicits._

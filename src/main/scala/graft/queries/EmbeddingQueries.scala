@@ -470,31 +470,67 @@ object EmbeddingQueries {
   }
 
   /** Beam width and expansion rounds for the graph-ANN SERVING search
-    * (`q_graph_search`): beam = [[K]] keeps the frontier the size of the
+    * (`q_graph_search_indexed`): beam = [[K]] keeps the frontier the size of the
     * answer, two waves match the built graph's descent depth.
     */
   val GsBeam = 10
   val GsRounds = 2
 
-  /** The search-time index: the round-1 NN-Descent graph (`q_nndescent_graph`'s
-    * exact construction), cut once — the search consumes the edge list once
-    * per wave, and serving economics assume a PRE-BUILT index anyway.
+  /** Filesystem root of the PERSISTED graph-ANN index artifact — the md5 of
+    * the sf dir (distinct dirs never share a path) plus the application id
+    * (concurrent sessions on the same dir get isolated paths), the
+    * `q_zorder_prune` tmp-path recipe.
     */
-  private def gsGraph(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Lineage.cut(
-      Embeddings.nnDescentRound(vectors(spark, dir),
-        graft.operators.Lineage.cut(nnSeed(spark, dir)), K))
+  private def gsIndexRoot(spark: SparkSession, dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_gsidx_" +
+      s"${spark.sparkContext.applicationId}_${md5.take(12)}"
+  }
 
-  /** `q_graph_search`: the graph-ANN SERVING query — IVF-probe-seeded beam
-    * search ([[Embeddings.graphSearch]]) over the NN-Descent graph, per-query
-    * top-[[K]] as (query_id, neighbor_id, rank). This is the rung that makes
-    * the `q_nndescent_*` index build pay off: queries are answered from the
-    * edge list + point lookups, never a corpus scan.
+  /** The search-time index as a PERSISTED ARTIFACT read back from parquet —
+    * the serving economics a production graph index actually has: the
+    * NN-Descent build (`q_nndescent_graph`'s exact construction) runs ONCE
+    * per (session, sf dir), writes the edge list plus the IVF entry-point
+    * vectors, and every serving gate reads the artifact back, so serving
+    * plans price SEARCH, never an index rebuild (the `ivfPqTopKFromIndex`
+    * serving seam, realized through the `q_zorder_prune` write→readback
+    * precedent). The build is eagerly ensured at query-construction time
+    * (the registry sweep pays the one-time jobs); `_SUCCESS` markers make
+    * the ensure idempotent without module-level lifecycle state. Returns
+    * (edge list as (query_id, neighbor_id), entry vectors as
+    * (vec_id, embedding)); float embeddings round-trip parquet bit-exactly,
+    * so read-back scores equal in-plan scores. At 100 TB the artifact would
+    * be written bucketed by node id so the per-wave frontier⋈edges join
+    * co-locates without a shuffle.
     */
-  def graphSearchQ(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    Embeddings.graphSearch(v, queryVectors(spark, dir), gsGraph(spark, dir),
-        v.filter(col("vec_id") < NumCentroids), NProbe, GsBeam, GsRounds, K)
+  private def gsIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val root = gsIndexRoot(spark, dir)
+    val built = new java.io.File(s"$root/edges/_SUCCESS").exists &&
+      new java.io.File(s"$root/entries/_SUCCESS").exists
+    if (!built) {
+      nnDescentGraph(spark, dir).write.mode("overwrite").parquet(s"$root/edges")
+      vectors(spark, dir).filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$root/entries")
+    }
+    (spark.read.parquet(s"$root/edges")
+       .select(col("node_id").as("query_id"), col("neighbor_id")),
+     spark.read.parquet(s"$root/entries"))
+  }
+
+  /** `q_graph_search_indexed`: the graph-ANN SERVING query — IVF-probe-seeded
+    * beam search ([[Embeddings.graphSearch]]) over the PERSISTED NN-Descent
+    * index ([[gsIndex]]), per-query top-[[K]] as (query_id, neighbor_id,
+    * rank). This is the rung that makes the `q_nndescent_*` index build pay
+    * off: queries are answered from the read-back edge list + point lookups,
+    * never a corpus scan and never an in-plan rebuild (PlanAudit-asserted —
+    * the registered plan's lineage contains no NN-Descent stage).
+    */
+  def graphSearchIndexedQ(spark: SparkSession, dir: String): DataFrame = {
+    val (graph, entries) = gsIndex(spark, dir)
+    Embeddings.graphSearch(vectors(spark, dir), queryVectors(spark, dir),
+        graph, entries, NProbe, GsBeam, GsRounds, K)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
   }
@@ -502,13 +538,14 @@ object EmbeddingQueries {
   /** `q_graph_search_recall`: the search ladder's payoff AND price — per-wave
     * top-[[K]] recall vs the exact baseline with the wave's exact-distance-
     * evaluation count beside it, as integer (stage, hits, total, n_scored)
-    * rows. Read next to `q_nndescent_recall`: that ladder prices the BUILD,
-    * this one prices each SERVE.
+    * rows, served from the persisted index ([[gsIndex]]). Read next to
+    * `q_nndescent_recall`: that ladder prices the BUILD, this one prices
+    * each SERVE.
     */
   def graphSearchRecallQ(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    Embeddings.graphSearchRecall(v, queryVectors(spark, dir), gsGraph(spark, dir),
-      v.filter(col("vec_id") < NumCentroids), NProbe, GsBeam, GsRounds, K)
+    val (graph, entries) = gsIndex(spark, dir)
+    Embeddings.graphSearchRecall(vectors(spark, dir), queryVectors(spark, dir),
+      graph, entries, NProbe, GsBeam, GsRounds, K)
   }
 
   /** Beam widths the serving sweep prices — bracketing the deployed
@@ -528,9 +565,9 @@ object EmbeddingQueries {
     * two knobs a graph-serving deployment actually turns.
     */
   def graphSweepQ(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    Embeddings.graphSearchSweep(v, queryVectors(spark, dir), gsGraph(spark, dir),
-      v.filter(col("vec_id") < NumCentroids), NProbe, GsSweepBeams, GsRounds, K)
+    val (graph, entries) = gsIndex(spark, dir)
+    Embeddings.graphSearchSweep(vectors(spark, dir), queryVectors(spark, dir),
+      graph, entries, NProbe, GsSweepBeams, GsRounds, K)
   }
 
   /** Candidate-pool depth of the binary-quantization serve (the full-dim
@@ -619,7 +656,7 @@ object EmbeddingQueries {
     "q_mrl_rerank_recall" -> (mrlRerankRecall _),
     "q_bq_rerank" -> (bqRerankQ _),
     "q_bq_recall" -> (bqRecallQ _),
-    "q_graph_search" -> (graphSearchQ _),
+    "q_graph_search_indexed" -> (graphSearchIndexedQ _),
     "q_graph_search_recall" -> (graphSearchRecallQ _),
     "q_graph_sweep" -> (graphSweepQ _),
     "q_nndescent_graph" -> (nnDescentGraph _),
@@ -1310,7 +1347,7 @@ object EmbeddingQueries {
   /** The per-beam wave chain (beam cut, frontier expansion with the
     * NOT-EXISTS visited guard, scored union — [[GsRounds]] waves), CTE
     * names suffixed so several widths coexist in one sweep oracle. The
-    * default-width instance uses the empty suffix, so `q_graph_search`'s
+    * default-width instance uses the empty suffix, so `q_graph_search_indexed`'s
     * oracle text is exactly the pre-sweep form.
     */
   private def gsWaveCtes(beam: Int, sfx: String): String =
@@ -1461,7 +1498,7 @@ object EmbeddingQueries {
            FROM exact e LEFT JOIN top_b$b t
              ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id"""
       }.mkString(" UNION ALL ")),
-    "q_graph_search" -> (base + nnGraphCtes + gsCtes +
+    "q_graph_search_indexed" -> (base + nnGraphCtes + gsCtes +
       s""", ${gsTopCte("gsfinal", "vis2", K.toString)}
          SELECT query_id, neighbor_id, rn::BIGINT AS rank FROM gsfinal"""),
     "q_graph_search_recall" -> (base + nnGraphCtes + gsCtes +

@@ -80,12 +80,13 @@ class PlanAuditSpec extends SparkSpec {
     // the knnExact broadcast-sample probe. The descent round itself is
     // pure equi-joins (see Embeddings.nnDescentRound).
     "q_nndescent_graph", "q_nndescent_recall",
-    // Graph-ANN SERVING: the lineage starts at the same seed-graph build
-    // (O(n·C) broadcast-centroid probe) plus the query-side IVF entry probe
-    // (queries × C broadcast centroids); the recall twin adds the knnExact
-    // broadcast-query baseline. The search waves themselves are pure
-    // equi-joins + bounded heaps (see Embeddings.graphSearchStages).
-    "q_graph_search", "q_graph_search_recall", "q_graph_sweep",
+    // Graph-ANN SERVING: the graph comes from the persisted index artifact
+    // (no in-plan rebuild — asserted below), but the query-side IVF entry
+    // probe (queries × C broadcast entry vectors) is the documented O(q·C)
+    // design; the recall/sweep twins add the knnExact broadcast-query
+    // baseline. The search waves themselves are pure equi-joins + bounded
+    // heaps (see Embeddings.graphSearchStages).
+    "q_graph_search_indexed", "q_graph_search_recall", "q_graph_sweep",
     // Binary-quantization serving: the Hamming scan is the documented
     // broadcast-query probe over packed integer signatures (n × queries,
     // no join key by design); the recall twin adds the knnExact baseline.
@@ -317,6 +318,30 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(exposed.nonEmpty,
       "withoutCuts failed to expose the nested-loop stage behind the cut")
+  }
+
+  /** The graph-ANN serving gates price SEARCH, not index construction: each
+    * must read the PERSISTED index artifact (`graft_gsidx_*` parquet — the
+    * write→readback contract), and none may rebuild the NN-Descent graph
+    * in-plan. The rebuild's structural signature is the IVF cell assignment
+    * (`knnGraphSeed`'s `cent_id` attribute — the seed's within-cell
+    * self-join key); the serving path probes entry VECTORS directly and
+    * never materializes an assignment, so any `cent_id` in the full lineage
+    * means a build stage crept back into a serving plan.
+    */
+  test("graph serving gates read the persisted index, never rebuild it in-plan") {
+    Seq("q_graph_search_indexed", "q_graph_search_recall", "q_graph_sweep")
+      .foreach { name =>
+        val idxScans = scansOf(name).filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("graft_gsidx")))
+        assert(idxScans.nonEmpty,
+          s"$name does not scan the persisted graft_gsidx index artifact")
+        val rebuild = fullPlan(name)
+          .filter(_.output.exists(_.name == "cent_id"))
+        assert(rebuild.isEmpty,
+          s"$name's lineage carries a cent_id assignment — an NN-Descent " +
+            s"build stage is back in a serving plan: ${rebuild.map(_.nodeName)}")
+      }
   }
 
   /** The media metadata query prunes the opaque payload blob: its stats come

@@ -765,6 +765,23 @@ object Embeddings {
     * the recall gate can price each wave: n_scored = |freshlyScored| is the
     * number of exact distance evaluations the wave paid — the serving-cost
     * axis of the ladder.
+    *
+    * ENTRY-PATH TRADEOFF (NSW + IVF seed vs HNSW's layer hierarchy): this
+    * graph is single-layer, entered through the IVF centroid probe — the
+    * probe does the same job as HNSW's upper layers (land the search near
+    * the target before local expansion) at cost O(C) per query against C
+    * broadcast centroids. That substitution holds while C stays
+    * broadcast-small and cells stay balanced: probe cost grows linearly in
+    * C, and keeping cells at a fixed size under corpus growth n forces
+    * C ∝ n. HNSW's log-layer stack replaces that linear entry scan with
+    * O(log n) hops, so the crossover is where C(n) stops fitting a
+    * broadcast / the per-query centroid scan dominates the beam waves —
+    * around C in the hundreds of thousands. Below that (any harness scale,
+    * and most single-tenant corpora), the flat probe is simpler, trains
+    * nothing extra, and its cost is priced by `q_graph_search_recall`'s
+    * seed row; past it, add layers (each layer is this same operator over a
+    * sampled node subset, entered from the layer above — the recursion HNSW
+    * hard-codes).
     */
   def graphSearchStages(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
                         centroids: DataFrame, nProbe: Int, beam: Int,

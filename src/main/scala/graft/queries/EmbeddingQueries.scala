@@ -570,6 +570,58 @@ object EmbeddingQueries {
       graph, entries, NProbe, GsSweepBeams, GsRounds, K)
   }
 
+  /** Batch size of the index-MAINTENANCE gate: the most-recent [[GsInsertN]]
+    * vectors (by id — the arrival order of the harness data) are held out of
+    * the store and inserted. 25 = 5% of the sf0.001/sf0.01 corpus, nonempty
+    * and disjoint from the query/centroid prefixes at every sf.
+    */
+  val GsInsertN = 25
+
+  /** `q_graph_insert_recall`: the index-FRESHNESS story priced — the r15
+    * `graphInsert` maintenance operator (spec-only until now) as a gated
+    * query. The store is the corpus minus its last [[GsInsertN]] vectors; a
+    * round-1 NN-Descent index is built over the store, the held-out batch is
+    * inserted with [[Embeddings.graphInsert]] (search-then-reprune, no
+    * rebuild), and the gate emits per stage the inserted nodes' out-edge
+    * recall vs their exact top-[[K]] over the FULL corpus plus the graph's
+    * edge count: (stage, hits, total, n_edges) for `insert` (the maintained
+    * graph) and `rebuild` (the persisted full-corpus index [[gsIndex]] — what
+    * a from-scratch rebuild would serve). The recall gap is exactly what
+    * incremental maintenance gives up (same-batch neighbors are invisible to
+    * a search over the pre-insert store); the matching edge counts show
+    * degree stays bounded without the rebuild.
+    */
+  def graphInsertRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    // bounded 1-row argmax collect (the documented collect class): the batch
+    // boundary must be a literal so the store/batch filters push down
+    val cutoff = v.agg(max(col("vec_id"))).head.getLong(0) - GsInsertN
+    val store = v.filter(col("vec_id") <= cutoff)
+    val batch = v.filter(col("vec_id") > cutoff)
+    val cents = v.filter(col("vec_id") < NumCentroids)
+    // pre-insert index over the store (the persisted index's exact recipe,
+    // seeded within the store); cut per stage — the nnDescentRecall pattern
+    val graph0 = graft.operators.Lineage.cut(
+      Embeddings.nnDescentRound(store,
+        graft.operators.Lineage.cut(
+          Embeddings.knnGraphSeed(store, cents, NnSeedAssign, K)), K))
+    val updated = graft.operators.Lineage.cut(
+      Embeddings.graphInsert(store, graph0, batch, cents,
+        NProbe, GsBeam, GsRounds, K))
+    val (rebuilt, _) = gsIndex(spark, dir)
+    val exact = graft.operators.Lineage.cut(
+      Embeddings.knnExact(v, batch, K)
+        .select(col("query_id"), col("neighbor_id")))
+    def stageRow(label: String, g: DataFrame): DataFrame =
+      Embeddings.knnRecallTotals(exact,
+          g.filter(col("query_id") > cutoff)
+            .select(col("query_id"), col("neighbor_id")))
+        .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(label).as("stage"), col("hits"), col("total"),
+          col("n_edges"))
+    stageRow("insert", updated).unionByName(stageRow("rebuild", rebuilt))
+  }
+
   /** Candidate-pool depth of the binary-quantization serve (the full-dim
     * rerank then cuts to [[K]] — [[MrlServeR]]'s economics at 1 bit/dim).
     */
@@ -659,6 +711,7 @@ object EmbeddingQueries {
     "q_graph_search_indexed" -> (graphSearchIndexedQ _),
     "q_graph_search_recall" -> (graphSearchRecallQ _),
     "q_graph_sweep" -> (graphSweepQ _),
+    "q_graph_insert_recall" -> (graphInsertRecallQ _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1295,18 +1348,117 @@ object EmbeddingQueries {
 
   private val nnCtes = nnGraphCtes + nnLadderCtes
 
+  /** The insert-gate oracle's store-side chain: the [[nnGraphCtes]] build
+    * replayed over the corpus MINUS its last [[GsInsertN]] vectors (suffix
+    * `_i`), the held-out batch as the query set `qb`, the beam search over
+    * the store graph (the parameterized [[gsProbeCtesOver]]/[[gsWaveCtes]]
+    * instances), then [[Embeddings.graphInsert]]'s exact replay: back-edge
+    * candidates, affected-node re-prune to top-[[K]] by the shared cosine,
+    * and the updated edge set (untouched ∪ repruned ∪ inserted). `nbx` is
+    * the inserted nodes' exact top-[[K]] over the FULL corpus — the recall
+    * baseline both stages are scored against.
+    */
+  private val gsInsertCtes =
+    s""", icut AS (SELECT max(vec_id) - $GsInsertN AS cut FROM v),
+        sv AS MATERIALIZED (SELECT vec_id, e FROM v
+              WHERE vec_id <= (SELECT cut FROM icut)),
+        qb AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v
+              WHERE vec_id > (SELECT cut FROM icut)),
+        massign_i AS MATERIALIZED (
+          SELECT vec_id, cent_id FROM (
+            SELECT sv.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> sv.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM sv CROSS JOIN c
+            JOIN nrm nv ON nv.vec_id = sv.vec_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn <= $NnSeedAssign),
+        scand_i AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS node_id, b.vec_id AS neighbor_id
+          FROM massign_i a JOIN massign_i b
+            ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        seed_i AS MATERIALIZED (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT sc.node_id, sc.neighbor_id,
+              row_number() OVER (PARTITION BY sc.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, sc.neighbor_id ASC) AS rank
+            FROM scand_i sc
+            JOIN v va ON va.vec_id = sc.node_id
+            JOIN v vb ON vb.vec_id = sc.neighbor_id
+            JOIN nrm na ON na.vec_id = sc.node_id
+            JOIN nrm nb ON nb.vec_id = sc.neighbor_id)
+          WHERE rank <= $K),
+        und_i AS MATERIALIZED (SELECT node_id AS u, neighbor_id AS w FROM seed_i
+                 UNION ALL SELECT neighbor_id, node_id FROM seed_i),
+        cand_i AS MATERIALIZED (SELECT node_id, neighbor_id FROM seed_i
+                  UNION
+                  SELECT x.u AS node_id, y.w AS neighbor_id
+                  FROM und_i x JOIN und_i y ON x.w = y.u WHERE x.u <> y.w),
+        round1_i AS MATERIALIZED (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT cd.node_id, cd.neighbor_id,
+              row_number() OVER (PARTITION BY cd.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, cd.neighbor_id ASC) AS rank
+            FROM cand_i cd
+            JOIN v va ON va.vec_id = cd.node_id
+            JOIN v vb ON vb.vec_id = cd.neighbor_id
+            JOIN nrm na ON na.vec_id = cd.node_id
+            JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
+          WHERE rank <= $K)
+        ${gsProbeCtesOver("qb", "_i")}
+        ${gsWaveCtes(GsBeam, "_i", "round1_i", "gs0_i", "qb")},
+        ${gsTopCte("out_i", "vis2_i", K.toString)},
+        backc AS MATERIALIZED (SELECT neighbor_id AS node_id,
+                 query_id AS cand FROM out_i),
+        affected AS MATERIALIZED (SELECT DISTINCT node_id FROM backc),
+        resc AS (SELECT g.node_id, g.neighbor_id
+                 FROM round1_i g JOIN affected a USING (node_id)
+                 UNION
+                 SELECT node_id, cand AS neighbor_id FROM backc),
+        reprune AS MATERIALIZED (
+          SELECT node_id, neighbor_id FROM (
+            SELECT rc.node_id, rc.neighbor_id,
+              row_number() OVER (PARTITION BY rc.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, rc.neighbor_id ASC) AS rank
+            FROM resc rc
+            JOIN v va ON va.vec_id = rc.node_id
+            JOIN v vb ON vb.vec_id = rc.neighbor_id
+            JOIN nrm na ON na.vec_id = rc.node_id
+            JOIN nrm nb ON nb.vec_id = rc.neighbor_id)
+          WHERE rank <= $K),
+        upedges AS MATERIALIZED (
+          SELECT node_id, neighbor_id FROM round1_i
+          WHERE node_id NOT IN (SELECT node_id FROM affected)
+          UNION ALL SELECT node_id, neighbor_id FROM reprune
+          UNION ALL SELECT query_id AS node_id, neighbor_id FROM out_i),
+        nbx AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qq.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY qq.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> qq.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+            FROM qb qq JOIN v ON v.vec_id <> qq.query_id
+            JOIN nrm nq ON nq.vec_id = qq.query_id
+            JOIN nrm nv ON nv.vec_id = v.vec_id)
+          WHERE rank <= $K)"""
+
   /** One scored-expansion block of the beam-search oracle: score `src`'s
     * (query_id, neighbor_id) pairs with the shared sequential-double cosine
     * (the exact arithmetic [[Embeddings.graphSearchStages]]' score join
     * runs, so stored scores are bit-identical across engines).
     */
-  private def gsScoreCte(name: String, src: String): String =
+  private def gsScoreCte(name: String, src: String,
+                         qtab: String = "q"): String =
     s"""$name AS MATERIALIZED (
           SELECT p.query_id, p.neighbor_id,
-            (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+            (list_sum(list_transform(range(1, 65), i -> qq.qe[i]*v.e[i]))
               / (nq.nm * nv.nm)) AS score
           FROM $src p
-          JOIN q ON q.query_id = p.query_id
+          JOIN $qtab qq ON qq.query_id = p.query_id
           JOIN v ON v.vec_id = p.neighbor_id
           JOIN nrm nq ON nq.vec_id = p.query_id
           JOIN nrm nv ON nv.vec_id = p.neighbor_id)"""
@@ -1331,18 +1483,20 @@ object EmbeddingQueries {
     * [[NProbe]] nearest centroids (self excluded before ranking) and their
     * exact scores — shared by every beam width in the sweep.
     */
-  private val gsProbeCtes =
-    s""", gprobe AS (
+  private def gsProbeCtesOver(qtab: String, sfx: String): String =
+    s""", gprobe$sfx AS (
           SELECT query_id, neighbor_id FROM (
-            SELECT q.query_id, c.cent_id AS neighbor_id,
-              row_number() OVER (PARTITION BY q.query_id ORDER BY
-                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i]))
+            SELECT qq.query_id, c.cent_id AS neighbor_id,
+              row_number() OVER (PARTITION BY qq.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> qq.qe[i]*c.ce[i]))
                   / (nq.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
-            FROM q JOIN c ON c.cent_id <> q.query_id
-            JOIN nrm nq ON nq.vec_id = q.query_id
+            FROM $qtab qq JOIN c ON c.cent_id <> qq.query_id
+            JOIN nrm nq ON nq.vec_id = qq.query_id
             JOIN nrm nc ON nc.vec_id = c.cent_id)
           WHERE rn <= $NProbe),
-        ${gsScoreCte("gs0", "gprobe")}"""
+        ${gsScoreCte(s"gs0$sfx", s"gprobe$sfx", qtab)}"""
+
+  private val gsProbeCtes = gsProbeCtesOver("q", "")
 
   /** The per-beam wave chain (beam cut, frontier expansion with the
     * NOT-EXISTS visited guard, scored union — [[GsRounds]] waves), CTE
@@ -1350,28 +1504,29 @@ object EmbeddingQueries {
     * default-width instance uses the empty suffix, so `q_graph_search_indexed`'s
     * oracle text is exactly the pre-sweep form.
     */
-  private def gsWaveCtes(beam: Int, sfx: String): String =
-    s""", ${gsTopCte(s"beam0$sfx", "gs0", beam.toString)},
+  private def gsWaveCtes(beam: Int, sfx: String, graph: String = "round1",
+                         seed: String = "gs0", qtab: String = "q"): String =
+    s""", ${gsTopCte(s"beam0$sfx", seed, beam.toString)},
         exp1$sfx AS MATERIALIZED (
           SELECT DISTINCT b.query_id, g.neighbor_id
-          FROM beam0$sfx b JOIN round1 g ON g.node_id = b.neighbor_id
+          FROM beam0$sfx b JOIN $graph g ON g.node_id = b.neighbor_id
           WHERE g.neighbor_id <> b.query_id
-            AND NOT EXISTS (SELECT 1 FROM gs0 s
+            AND NOT EXISTS (SELECT 1 FROM $seed s
                             WHERE s.query_id = b.query_id
                               AND s.neighbor_id = g.neighbor_id)),
-        ${gsScoreCte(s"sc1$sfx", s"exp1$sfx")},
+        ${gsScoreCte(s"sc1$sfx", s"exp1$sfx", qtab)},
         vis1$sfx AS MATERIALIZED (
-          SELECT query_id, neighbor_id, score FROM gs0
+          SELECT query_id, neighbor_id, score FROM $seed
           UNION ALL SELECT query_id, neighbor_id, score FROM sc1$sfx),
         ${gsTopCte(s"beam1$sfx", s"vis1$sfx", beam.toString)},
         exp2$sfx AS MATERIALIZED (
           SELECT DISTINCT b.query_id, g.neighbor_id
-          FROM beam1$sfx b JOIN round1 g ON g.node_id = b.neighbor_id
+          FROM beam1$sfx b JOIN $graph g ON g.node_id = b.neighbor_id
           WHERE g.neighbor_id <> b.query_id
             AND NOT EXISTS (SELECT 1 FROM vis1$sfx s
                             WHERE s.query_id = b.query_id
                               AND s.neighbor_id = g.neighbor_id)),
-        ${gsScoreCte(s"sc2$sfx", s"exp2$sfx")},
+        ${gsScoreCte(s"sc2$sfx", s"exp2$sfx", qtab)},
         vis2$sfx AS MATERIALIZED (
           SELECT query_id, neighbor_id, score FROM vis1$sfx
           UNION ALL SELECT query_id, neighbor_id, score FROM sc2$sfx)"""
@@ -1498,6 +1653,20 @@ object EmbeddingQueries {
            FROM exact e LEFT JOIN top_b$b t
              ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id"""
       }.mkString(" UNION ALL ")),
+    "q_graph_insert_recall" -> (base + nnGraphCtes + gsInsertCtes +
+      s""" SELECT 'insert' AS stage, count(m.neighbor_id)::BIGINT AS hits,
+                  count(*)::BIGINT AS total,
+                  (SELECT count(*) FROM upedges)::BIGINT AS n_edges
+          FROM nbx e LEFT JOIN (SELECT node_id, neighbor_id FROM upedges
+                                WHERE node_id > (SELECT cut FROM icut)) m
+            ON m.node_id = e.query_id AND m.neighbor_id = e.neighbor_id
+          UNION ALL
+          SELECT 'rebuild' AS stage, count(m.neighbor_id)::BIGINT AS hits,
+                 count(*)::BIGINT AS total,
+                 (SELECT count(*) FROM round1)::BIGINT AS n_edges
+          FROM nbx e LEFT JOIN (SELECT node_id, neighbor_id FROM round1
+                                WHERE node_id > (SELECT cut FROM icut)) m
+            ON m.node_id = e.query_id AND m.neighbor_id = e.neighbor_id"""),
     "q_graph_search_indexed" -> (base + nnGraphCtes + gsCtes +
       s""", ${gsTopCte("gsfinal", "vis2", K.toString)}
          SELECT query_id, neighbor_id, rn::BIGINT AS rank FROM gsfinal"""),

@@ -1205,20 +1205,24 @@ object AnalyticQueries {
           .cast("long").as("touched"): _*)
   }
 
-  /** `q_table_profile`: the generic per-column profile
+  /** The generic per-column EXACT profile
     * ([[graft.operators.Profile.tableProfile]]) over lineitem — null counts,
-    * exact distinct cardinalities, row count; the source acceptance sweep as
-    * gated integers. The operator derives everything from `df.columns`, so
-    * the same call profiles ANY table; the oracle enumerates lineitem's
-    * columns literally.
+    * exact distinct cardinalities, row count. No longer registered on its
+    * own: its full output rides inside `q_table_profile_hll` (the
+    * exact_distinct column), so a standalone gate only re-ran the
+    * (#columns+1)-way Expand a second time for rows the folded gate already
+    * hash-checks — one green row replaces two at half the cost (round-15
+    * review item). The operator stays public (it profiles ANY table and is
+    * spec-covered); at 100 TB the estimator form is the one to run.
     */
   def qTableProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.tableProfile(t(s, dir, "lineitem"))
 
-  /** `q_table_profile_hll`: the profiler's PRODUCTION form gated beside the
-    * exact one — [[graft.operators.Profile.tableProfileHll]]'s fixed-state
-    * HLL estimates (no Expand, 2 KiB/column) joined to the exact profile's
-    * counts with the per-column e4 relative error as data (the `q_ams_*` /
+  /** `q_table_profile_hll`: the table profiler, exact and estimated side by
+    * side in ONE gate — [[graft.operators.Profile.tableProfileHll]]'s
+    * fixed-state HLL estimates (no Expand, 2 KiB/column) joined to the
+    * exact profile's counts ([[qTableProfile]], its only registered rider)
+    * with the per-column e4 relative error as data (the `q_ams_*` /
     * `q_kmv_setops` estimator-accuracy pattern). The exact Expand runs here
     * only as the BASELINE the estimator is priced against; at 100 TB the
     * estimator runs alone.
@@ -1244,7 +1248,6 @@ object AnalyticQueries {
   // -------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_table_profile" -> (qTableProfile _),
     "q_table_profile_hll" -> (qTableProfileHll _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zorder3_layout" -> (qZorder3Layout _),
@@ -1391,16 +1394,6 @@ object AnalyticQueries {
        FROM s"""
 
   val oracleSql: Map[String, String] = Map(
-    // one global-aggregate block per column, unioned — the literal twin of
-    // the operator's single Expand aggregation + stack unpivot
-    "q_table_profile" ->
-      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-        "l_linestatus", "l_shipdate").map(c =>
-        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
-              sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-              count(DISTINCT $c)::BIGINT AS n_distinct FROM lineitem""")
-        .mkString(" UNION ALL "),
     "q_table_profile_hll" -> profileHllOracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

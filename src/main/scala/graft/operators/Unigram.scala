@@ -215,6 +215,79 @@ object Unigram {
         .select(col("piece"), col("em_freq").as("freq")))
       .withColumnRenamed("in_freq", "prev_freq")
 
+  /** Best ALTERNATIVE segmentation cost of `piece`'s own string under the
+    * model with the single-piece path (the piece itself) banned — the
+    * first-order surrogate SentencePiece's pruner uses: if the piece were
+    * dropped, each of its occurrences would re-segment as this alternative,
+    * so the corpus objective rises by em_freq × (altCost − cost). Minimum
+    * cost only (no path tie-break needed — cost is the sole output). None
+    * when no multi-step path exists, which cannot happen while every single
+    * character stays in the model (the [[pruneToTargetNext]] contract).
+    */
+  def altCost(piece: String,
+              pieceCost: collection.Map[String, Long]): Option[Long] = {
+    val cps = Bpe.codePoints(piece)
+    val n = cps.length
+    val NoPath = Long.MaxValue
+    val best = Array.fill(n + 1)(NoPath)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(MaxPieceLen, i)
+      while (l <= lMax) {
+        // the full-span transition IS the piece being priced — ban it
+        if (!(i == n && l == n) && best(i - l) != NoPath) {
+          pieceCost.get(cps.slice(i - l, i).mkString) match {
+            case Some(pc) if best(i - l) + pc < best(i) =>
+              best(i) = best(i - l) + pc
+            case _ => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(n) == NoPath) None else Some(best(n))
+  }
+
+  /** Per-multi-piece PRUNE LOSS under a model: em_freq × (altCost − cost),
+    * all integers (costs are bit-length quantized, counts are exact), so
+    * the prune ranking is hash-stable across engines. Single-character
+    * pieces are never priced — they are the coverage floor the pruner must
+    * keep (SentencePiece's required-character contract).
+    */
+  def pruneLosses(model: Map[String, Long],
+                  emFreq: Map[String, Long]): Map[String, Long] =
+    model.keysIterator.filter(p => Bpe.codePoints(p).length >= 2).map { p =>
+      val alt = altCost(p, model).getOrElse(throw new IllegalStateException(
+        s"piece '$p' has no alternative segmentation — a character left the model"))
+      p -> emFreq.getOrElse(p, 0L) * (alt - model(p))
+    }.toMap
+
+  /** One vocabulary-size-targeted PRUNE step (Kudo's shrinking with a hard
+    * size target — the SentencePiece contract BPE's `vocabSize` dispatch
+    * has in [[Bpe.train]]): rank the model's multi-character pieces by
+    * [[pruneLosses]] (loss DESC — drop the LOWEST-loss pieces — ties by
+    * piece ascending in UTF-8 byte order, [[Bpe.utf8Lt]]: the driver-side
+    * ranking must agree with the oracle's binary `ORDER BY`), keep the top
+    * `keepMulti` plus EVERY single character, and re-estimate each kept
+    * piece's frequency from its EM recount. Returns the next model's
+    * (piece, freq) rows, ready for [[emStep]] to re-derive costs.
+    */
+  def pruneToTargetNext(rows: Seq[(String, Long, Long)],
+                        keepMulti: Int): Seq[(String, Long)] = {
+    val model = rows.map(x => x._1 -> x._2).toMap
+    val em = rows.map(x => x._1 -> x._3).toMap
+    val kept = pruneLosses(model, em).toSeq
+      .sortWith { case ((pa, la), (pb, lb)) =>
+        la > lb || (la == lb && Bpe.utf8Lt(pa, pb))
+      }
+      .take(keepMulti).map(_._1).toSet
+    rows.filter(x => Bpe.codePoints(x._1).length == 1 || kept(x._1))
+      .map(x => (x._1, x._3))
+  }
+
   /** One-row CORPUS segmentation stats under a piece→cost model — the
     * per-round axis of the EM convergence ladder (`q_unigram_conv`):
     * Σ wfreq (words), Σ wfreq · best-path-cost (the hard-EM objective the

@@ -717,6 +717,114 @@ object TextQueries {
     }.reduce(_.unionByName(_))
   }
 
+  /** Multi-piece size schedule of the prune-to-target ladder: round r+1's
+    * model keeps the top sched(r) multi-character pieces by prune loss, so
+    * the ladder lands EXACTLY on [[UnigramTargetMulti]] — a fixed,
+    * data-independent schedule (the unrolled oracle needs a constant round
+    * count, and SentencePiece's drop-a-fraction-until-target loop has a
+    * data-dependent length).
+    */
+  val UnigramTargetSched: Seq[Int] = Seq(9, 6)
+
+  /** The target the ladder prunes to — both tokenizer families learn exactly
+    * this many multi-character units in the equal-size bake-off
+    * (`q_tokenizer_fertility_eq`).
+    */
+  val UnigramTargetMulti: Int = UnigramTargetSched.last
+
+  /** Drive the prune ladder once, driver-side: element i = round i+1's
+    * model as (piece→cost map, model size, multi-piece count). Each round is
+    * one [[graft.operators.Unigram.emStep]] (vocabulary-sized Viterbi under
+    * the broadcast map) plus a bounded model collect (alphabet + ≤
+    * [[UnigramSeedK]] rows — the BPE merge-list precedent); pruning keeps
+    * every single character (coverage) plus the top-scheduled multi pieces
+    * by first-order loss ([[graft.operators.Unigram.pruneToTargetNext]]).
+    */
+  private def unigramTargetLadder(spark: SparkSession,
+                                  vocab: DataFrame): Seq[(Map[String, Long], Int, Int)] = {
+    import spark.implicits._
+    var pieces = graft.operators.Unigram.seedPieces(vocab, UnigramSeedK)
+      .select("piece", "freq")
+    (0 to UnigramTargetSched.length).map { idx =>
+      val out = graft.operators.Lineage.cut(
+        graft.operators.Unigram.emStep(vocab, pieces))
+      val rows = out.select("piece", "cost", "em_freq").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+      val costMap = rows.map(x => x._1 -> x._2).toMap
+      val nMulti = rows.count(x =>
+        graft.operators.Bpe.codePoints(x._1).length >= 2)
+      if (idx < UnigramTargetSched.length)
+        pieces = graft.operators.Unigram
+          .pruneToTargetNext(rows, UnigramTargetSched(idx))
+          .toDF("piece", "freq")
+      (costMap, rows.length, nMulti)
+    }
+  }
+
+  /** `q_unigram_target`: vocabulary-size-TARGETED pruning — the production
+    * knob `q_unigram_conv`'s free-shrinking ladder does not price
+    * (SentencePiece's contract: prune lowest-loss pieces until |V| hits the
+    * target; the unigram counterpart of BPE's `vocabSize` dispatch). Per
+    * round: the model size, its multi-piece count (12 → 9 → 6 by the fixed
+    * [[UnigramTargetSched]]), and the corpus objective Σ wfreq·cost with the
+    * token count beside it — so what each forced shrink COSTS in
+    * segmentation quality is gated data. A piece's prune loss is the exact
+    * first-order integer em_freq × (altCost − cost) with altCost its own
+    * best non-self segmentation ([[graft.operators.Unigram.altCost]]);
+    * single characters are never pruned (coverage). All integers.
+    */
+  def unigramTarget(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.operators.Lineage.cut(
+      graft.operators.Bpe.wordVocab(docs(spark, dir), "text"))
+    unigramTargetLadder(spark, vocab).zipWithIndex.map {
+      case ((costMap, nModel, nMulti), idx) =>
+        graft.operators.Unigram.corpusStats(vocab, costMap)
+          .select(lit((idx + 1).toLong).as("round"),
+            lit(nModel.toLong).as("n_pieces_model"),
+            lit(nMulti.toLong).as("n_multi"),
+            col("n_words"), col("total_cost"), col("n_tokens"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** `q_tokenizer_fertility_eq`: the bake-off at EQUAL learned-vocabulary
+    * size — `q_tokenizer_fertility` compares BPE's top-[[BpeTopK]] merge
+    * table against the unigram seed model (unequal units); this gate gives
+    * both families exactly [[UnigramTargetMulti]] learned multi-character
+    * units over the SAME corpus vocabulary (BPE: that many ranked merges;
+    * unigram: the prune ladder's terminal model) and reports each family's
+    * tokens-per-word in e6 fixed point — the comparison a tokenizer choice
+    * at a fixed vocab budget actually reads.
+    */
+  def tokenizerFertilityEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = graft.operators.Lineage.cut(
+      graft.operators.Bpe.wordVocab(docs(spark, dir), "text"))
+    val bpeToks = graft.operators.Bpe.encodeVocab(vocab,
+        graft.operators.Bpe.rankedPairMergesOfVocab(vocab, UnigramTargetMulti))
+      .toDF()
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    val b = vocab.join(bpeToks, "word")
+      .agg(sum(col("wfreq")).as("n_words"),
+        sum(col("wfreq") * col("n_toks")).as("n_tokens"))
+      .select(lit("bpe").as("tokenizer"), col("n_words"), col("n_tokens"))
+    val finalCost = unigramTargetLadder(spark, vocab).last._1
+    val bc = spark.sparkContext.broadcast(finalCost)
+    val u = vocab.select(col("word"), col("wfreq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val cm = bc.value
+        it.map { case (w, f) =>
+          (f, graft.operators.Unigram.viterbi(w, cm).size.toLong)
+        }
+      }
+      .toDF("wfreq", "np")
+      .agg(sum(col("wfreq")).as("n_words"),
+        sum(col("wfreq") * col("np")).as("n_tokens"))
+      .select(lit("unigram").as("tokenizer"), col("n_words"), col("n_tokens"))
+    b.unionByName(u)
+      .select(col("tokenizer"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div n_words").as("toks_per_word_e6"))
+  }
+
   /** `q_unigram_bylang`: per-language unigram-LM round-1 models — the
     * multilingual parity the BPE family has (`q_bpe_bylang`): each language
     * seeds, costs, segments, and recounts over its OWN vocabulary, so
@@ -1395,6 +1503,8 @@ object TextQueries {
     "q_unigram_round2" -> (unigramRound2 _),
     "q_heaps_law" -> (heapsLaw _),
     "q_unigram_conv" -> (unigramConv _),
+    "q_unigram_target" -> (unigramTarget _),
+    "q_tokenizer_fertility_eq" -> (tokenizerFertilityEq _),
     "q_unigram_bylang" -> (unigramByLang _),
     "q_unigram_fertility_bylang" -> (unigramFertilityByLang _),
     "q_tokenizer_fertility" -> (tokenizerFertility _),
@@ -1490,7 +1600,7 @@ object TextQueries {
     * loop — no regex — so both engines agree bit-for-bit on every input).
     * Terminal rows are `enc WHERE done`.
     */
-  private[queries] val bpeEncRecursion: String =
+  private[queries] def bpeEncRecursionK(k: Int): String =
     s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
           v AS (SELECT word, count(*)::BIGINT AS wfreq
                 FROM w WHERE len(word) >= 1 GROUP BY 1),
@@ -1504,7 +1614,7 @@ object TextQueries {
                            || substring(pair, 2, 1) || ' ' AS pat,
                        ' ' || pair || ' ' AS rep
                 FROM (SELECT pair, freq FROM p
-                      ORDER BY freq DESC, pair ASC LIMIT $BpeTopK)),
+                      ORDER BY freq DESC, pair ASC LIMIT $k)),
           enc AS (
             SELECT word, wfreq,
                    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
@@ -1520,6 +1630,8 @@ object TextQueries {
             LEFT JOIN m mm
               ON mm.r = (SELECT min(m2.r) FROM m m2 WHERE strpos(e.s, m2.pat) > 0)
             WHERE NOT e.done)"""
+
+  private[queries] val bpeEncRecursion: String = bpeEncRecursionK(BpeTopK)
 
   /** The (word stream, vocabulary) CTE pair the standalone unigram oracles
     * prepend — textually identical to [[bpeEncRecursion]]'s first two CTEs,
@@ -1629,6 +1741,122 @@ object TextQueries {
                      sum(wfreq * cost)::BIGINT AS total_cost,
                      sum(wfreq * np)::BIGINT AS n_tokens
                    FROM best_c$r)"""
+  }
+
+  /** One generated round of the prune-to-TARGET ladder oracle (expects `v`
+    * and [[unigramSeedCtes]]' `pcost` in scope; round 1's model is `pcost`,
+    * round r+1's is the pruned `m_t{r+1}`): the [[unigramConvRoundCtes]]
+    * enumeration/argmin/recount, plus — for pruning rounds — each multi
+    * piece's best NON-SELF segmentation cost (`ppaths_t\$r`: the same
+    * recursion over the piece strings themselves, `np >= 2` banning the
+    * single-piece path), the first-order loss em_freq × (altc − cost), and
+    * the next model = every single character ∪ the top-scheduled multi
+    * pieces by (loss DESC, piece ASC — binary collation, the driver's
+    * `utf8Lt` twin), with costs re-derived from the EM recount.
+    */
+  private def unigramTargetRoundCtes(r: Int, withStats: Boolean): String = {
+    val model = if (r == 1) "pcost" else s"m_t$r"
+    val prune = r <= UnigramTargetSched.length
+    val stats = if (!withStats) "" else s""",
+        stat_t$r AS (SELECT $r::BIGINT AS round,
+            (SELECT count(*) FROM $model)::BIGINT AS n_pieces_model,
+            (SELECT count(*) FROM $model WHERE len(piece) >= 2)::BIGINT AS n_multi,
+            sum(wfreq)::BIGINT AS n_words,
+            sum(wfreq * cost)::BIGINT AS total_cost,
+            sum(wfreq * np)::BIGINT AS n_tokens
+          FROM best_t$r)"""
+    val pruneCtes = if (!prune) "" else s""",
+        pw_t$r AS (SELECT piece AS word FROM $model WHERE len(piece) >= 2),
+        ppaths_t$r AS (
+          SELECT word, 0::BIGINT AS pos, 0::BIGINT AS cost, 0::BIGINT AS np
+          FROM pw_t$r
+          UNION ALL
+          SELECT p.word, p.pos + len(c.piece), p.cost + c.cost, p.np + 1
+          FROM ppaths_t$r p JOIN $model c
+            ON substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
+          WHERE p.pos < len(p.word)),
+        palt_t$r AS MATERIALIZED (
+          SELECT word AS piece, min(cost) AS altc
+          FROM ppaths_t$r WHERE pos = len(word) AND np >= 2 GROUP BY 1),
+        loss_t$r AS MATERIALIZED (
+          SELECT mo.piece,
+                 coalesce(em.em_freq, 0) * (pa.altc - mo.cost) AS loss,
+                 coalesce(em.em_freq, 0)::BIGINT AS em_freq
+          FROM $model mo JOIN palt_t$r pa USING (piece)
+          LEFT JOIN em_t$r em USING (piece)
+          WHERE len(mo.piece) >= 2),
+        m_t${r + 1} AS MATERIALIZED (
+          SELECT mo.piece, coalesce(em.em_freq, 0)::BIGINT AS freq,
+                 (64 - length(bin(coalesce(em.em_freq, 0))))::BIGINT AS cost
+          FROM $model mo LEFT JOIN em_t$r em USING (piece)
+          WHERE len(mo.piece) = 1
+          UNION ALL
+          SELECT piece, em_freq AS freq,
+                 (64 - length(bin(em_freq)))::BIGINT AS cost
+          FROM (SELECT piece, em_freq FROM loss_t$r
+                ORDER BY loss DESC, piece ASC
+                LIMIT ${UnigramTargetSched(r - 1)}))"""
+    s"""paths_t$r AS (
+          SELECT word, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
+                 0::BIGINT AS np, '' AS path
+          FROM v
+          UNION ALL
+          SELECT p.word, p.wfreq, p.pos + len(c.piece), p.cost + c.cost,
+                 p.np + 1,
+                 CASE WHEN p.path = '' THEN c.piece
+                      ELSE p.path || ' ' || c.piece END
+          FROM paths_t$r p JOIN $model c
+            ON substring(p.word, (p.pos + 1)::INT, len(c.piece)) = c.piece
+          WHERE p.pos < len(p.word)),
+        best_t$r AS MATERIALIZED (
+          SELECT word, wfreq, cost, np, path FROM (
+            SELECT word, wfreq, cost, np, path,
+              row_number() OVER (PARTITION BY word
+                ORDER BY cost ASC, np ASC, path ASC) AS rn
+            FROM paths_t$r WHERE pos = len(word)) WHERE rn = 1),
+        em_t$r AS MATERIALIZED (
+          SELECT sp.piece, sum(b.wfreq)::BIGINT AS em_freq
+          FROM best_t$r b, unnest(string_split(b.path, ' ')) AS sp(piece)
+          GROUP BY 1)$stats$pruneCtes"""
+  }
+
+  private def unigramTargetOracle: String = {
+    val n = UnigramTargetSched.length + 1
+    val rounds = (1 to n)
+      .map(unigramTargetRoundCtes(_, withStats = true)).mkString(",\n")
+    val fan = (1 to n).map(r => s"SELECT * FROM stat_t$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+        $unigramVocabCtes,
+        $unigramSeedCtes,
+        $rounds
+        $fan"""
+  }
+
+  /** Equal-vocab bake-off replay: BPE's recursion at [[UnigramTargetMulti]]
+    * merges and the unigram TARGET ladder's terminal model share one `v`
+    * (the `q_tokenizer_fertility` composition with the pruned model swapped
+    * in for the seed).
+    */
+  private def tokenizerFertilityEqOracle: String = {
+    val n = UnigramTargetSched.length + 1
+    val rounds = (1 to n)
+      .map(unigramTargetRoundCtes(_, withStats = false)).mkString(",\n")
+    s"""WITH RECURSIVE
+        ${bpeEncRecursionK(UnigramTargetMulti)},
+        wn AS (SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_toks
+               FROM enc WHERE done),
+        $unigramSeedCtes,
+        $rounds,
+        bstat AS (SELECT 'bpe' AS tokenizer, sum(wfreq)::BIGINT AS n_words,
+                    sum(wfreq * n_toks)::BIGINT AS n_tokens
+                  FROM v JOIN wn USING (word)),
+        ustat AS (SELECT 'unigram' AS tokenizer, sum(wfreq)::BIGINT AS n_words,
+                    sum(wfreq * np)::BIGINT AS n_tokens
+                  FROM best_t$n),
+        u AS (SELECT * FROM bstat UNION ALL SELECT * FROM ustat)
+        SELECT tokenizer, n_words, n_tokens,
+               (n_tokens * 1000000) // n_words AS toks_per_word_e6
+        FROM u"""
   }
 
   private def unigramConvOracle: String = {
@@ -2242,6 +2470,8 @@ object TextQueries {
     // round constant as the Spark chain (model r+1 = round r's used pieces
     // with re-derived bit-length costs)
     "q_unigram_conv" -> unigramConvOracle,
+    "q_unigram_target" -> unigramTargetOracle,
+    "q_tokenizer_fertility_eq" -> tokenizerFertilityEqOracle,
     // per-language round-1 models: the round-1 replay LANG-KEYED (seed
     // window partitioned by language, enumeration joined on (lang_id, piece))
     "q_unigram_bylang" ->

@@ -229,6 +229,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_unigram_round" -> Set("text"),
       "q_unigram_round2" -> Set("text"),
       "q_unigram_conv" -> Set("text"),
+      "q_unigram_target" -> Set("text"),
+      "q_tokenizer_fertility_eq" -> Set("text"),
       "q_unigram_bylang" -> Set("text"),
       "q_unigram_fertility_bylang" -> Set("text"),
       "q_tokenizer_fertility" -> Set("text"),

@@ -138,4 +138,45 @@ class UnigramSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("altCost equals exhaustive non-self enumeration on every multi piece") {
+    val multi = pieceCost.keys.filter(Bpe.codePoints(_).length >= 2)
+    assert(multi.nonEmpty)
+    multi.foreach { p =>
+      val cps = Bpe.codePoints(p)
+      // exhaustive: every segmentation of p over the model, self excluded
+      def all(from: Int): Seq[List[String]] =
+        if (from == cps.length) Seq(Nil)
+        else (1 to math.min(Unigram.MaxPieceLen, cps.length - from)).flatMap { l =>
+          val pc = cps.slice(from, from + l).mkString
+          if (pieceCost.contains(pc)) all(from + l).map(pc :: _) else Seq.empty
+        }
+      val ref = all(0).filter(_.length >= 2).map(_.map(pieceCost).sum)
+      val got = Unigram.altCost(p, pieceCost)
+      assert(got === ref.minOption, s"altCost mismatch for '$p'")
+      // the first-order loss surrogate is nonnegative: dropping a piece can
+      // never make its own occurrences CHEAPER to segment
+      got.foreach(a => assert(a >= pieceCost(p), s"alt path beat '$p' itself"))
+    }
+  }
+
+  test("prune-to-target keeps every character, hits the size exactly, and drops the lowest losses") {
+    val out = Unigram.emRound(vocab, 12)
+      .select(col("piece"), col("cost"), col("em_freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val model = out.map(x => x._1 -> x._2).toMap
+    val em = out.map(x => x._1 -> x._3).toMap
+    val chars = out.map(_._1).filter(Bpe.codePoints(_).length == 1).toSet
+    val next = Unigram.pruneToTargetNext(out, 7)
+    val nextSet = next.map(_._1).toSet
+    assert(chars.subsetOf(nextSet), "a single character was pruned")
+    assert(nextSet.count(Bpe.codePoints(_).length >= 2) === 7)
+    // every kept multi piece's loss >= every dropped piece's loss
+    val losses = Unigram.pruneLosses(model, em)
+    val (keptL, dropL) = losses.partition { case (p, _) => nextSet(p) }
+    if (keptL.nonEmpty && dropL.nonEmpty)
+      assert(keptL.values.min >= dropL.values.max)
+    // re-estimated frequencies ride along
+    next.foreach { case (p, f) => assert(f === em(p)) }
+  }
 }

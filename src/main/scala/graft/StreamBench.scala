@@ -13,7 +13,7 @@ import graft.sinks.BalanceUpsert
 import graft.sources.{SyntheticCdc, Tables}
 import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
 
-/** Streaming throughput bench — ONE JSON line per pipeline, five pipelines:
+/** Streaming throughput bench — ONE JSON line per pipeline, six pipelines:
   *
   *   1. `stream_clean_rows_per_sec` — the composed corpus cleaner
   *      ([[graft.streaming.CorpusCleanStream]]: language/quality gates,
@@ -30,7 +30,9 @@ import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
   *      answered from the pre-built IVF∘PQ index via retrieve-then-rerank);
   *   4. `graph_serve_queries_per_sec` — graph-ANN serving (beam search over
   *      the pre-built NN-Descent graph, [[runGraphServe]]);
-  *   5. `pit_serve_rows_per_sec` — point-in-time feature serving over the
+  *   5. `graph_ingest_rows_per_sec` — graph-index MAINTENANCE (streamed
+  *      insertion into the pre-built graph, [[runGraphIngest]]);
+  *   6. `pit_serve_rows_per_sec` — point-in-time feature serving over the
   *      events feed ([[runPitServe]]).
   *
   * All drive the SPARK_GRAFT_SF_DIR data via MemoryStream (the only offline
@@ -275,6 +277,50 @@ object StreamBench {
     }
   }
 
+  /** Graph-index MAINTENANCE throughput: the corpus minus its last quarter
+    * is the pre-built (store, graph); the held-out vectors stream in as
+    * micro-batches through [[graft.operators.Embeddings.graphIngestSink]]
+    * (search-then-reprune insertion, no rebuild — the operator
+    * `q_graph_insert_recall` prices for quality), each batch swapping the
+    * maintained (store, graph) pair. rows/sec = inserted vectors per
+    * second; rows_out = the final maintained graph's edge count (degree
+    * stays bounded — it lands at |corpus|×k, the rebuilt size).
+    */
+  def runGraphIngest(spark: SparkSession, sfDir: String, chunks: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Embeddings, Lineage}
+    import graft.queries.EmbeddingQueries.{GsBeam, GsRounds, K, NProbe, NnSeedAssign, NumCentroids}
+    val all = Lineage.cut(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding"))
+    val centroids = Lineage.cut(all.filter($"vec_id" < NumCentroids))
+    val rows = all.as[(Long, Array[Float])].collect()
+    val cutoff = rows.map(_._1).max - rows.length / 4
+    val fresh = rows.filter(_._1 > cutoff).sortBy(_._1)
+    var store = Lineage.cut(all.filter($"vec_id" <= cutoff))
+    var graph = Lineage.cut(Embeddings.nnDescentRound(store,
+      Embeddings.knnGraphSeed(store, centroids, NnSeedAssign, K), K))
+    val chunkSize = math.max(1, math.ceil(fresh.length.toDouble / chunks).toInt)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Embeddings.graphIngestSink(in.toDF().toDF("vec_id", "embedding"),
+      centroids, nProbe = NProbe, beam = GsBeam, rounds = GsRounds, k = K,
+      Files.createTempDirectory("graphingest-ck").toString)(
+      () => (store, graph)) { (newStore, newGraph) =>
+      store = newStore
+      graph = newGraph
+      ()
+    }
+    measured(spark) {
+      try {
+        fresh.grouped(chunkSize).foreach { chunk =>
+          in.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        (fresh.length.toLong, graph.count())
+      } finally q.stop()
+    }
+  }
+
   /** Point-in-time feature serving: the events table re-keyed into the
     * merged PIT feed (clicks/views = feature streams, purchases = training
     * events) and streamed in event-time order through
@@ -353,6 +399,7 @@ object StreamBench {
     println(runNearPipeline(spark, sfDir, chunks).json("near_pipeline_rows_per_sec", sfDir, backend))
     println(runAnnServe(spark, sfDir, chunks).json("ann_serve_queries_per_sec", sfDir, backend))
     println(runGraphServe(spark, sfDir, chunks).json("graph_serve_queries_per_sec", sfDir, backend))
+    println(runGraphIngest(spark, sfDir, chunks).json("graph_ingest_rows_per_sec", sfDir, backend))
     println(runPitServe(spark, sfDir, chunks).json("pit_serve_rows_per_sec", sfDir, backend))
     spark.stop()
   }

@@ -163,21 +163,28 @@ object ConnectedComponents {
     */
   final class IncrementalUnionFind {
     private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def add(x: Long): Unit = { parent.getOrElseUpdate(x, x); () }
-    def find(x: Long): Long = {
+    def add(x: Long): Unit = synchronized { parent.getOrElseUpdate(x, x); () }
+    /** Logically read-only but path-compresses `parent` internally —
+      * synchronized on the same monitor as every other accessor, so a
+      * driver thread serving lookups never races the foreachBatch thread's
+      * unions (the [[CompactedUnionFind]] review catch, applied to the
+      * sibling it was copied from).
+      */
+    def find(x: Long): Long = synchronized { findLocked(x) }
+    private def findLocked(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
       if (p == x) x
       else {
-        val r = find(p)
+        val r = findLocked(p)
         parent(x) = r
         r
       }
     }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
+    def union(a: Long, b: Long): Unit = synchronized {
+      val (ra, rb) = (findLocked(a), findLocked(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    def size: Int = parent.size
+    def size: Int = synchronized { parent.size }
     /** (vertex → min-label component) for every vertex seen so far. */
     def snapshot: Map[Long, Long] = synchronized {
       parent.keys.toSeq.map(v => v -> find(v)).toMap

@@ -513,6 +513,19 @@ object EmbeddingQueries {
       vectors(spark, dir).filter(col("vec_id") < NumCentroids)
         .select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$root/entries")
+      // the artifact is session-scoped scratch (the appId in the path is
+      // what isolates concurrent sessions), so delete it on JVM exit —
+      // repeated runMain invocations must not accumulate orphan parquet
+      // trees in tmp (review catch). Registered once per (session, dir):
+      // exactly when this session performs the write.
+      val rootDir = new java.io.File(root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(rootDir)
+      }))
     }
     (spark.read.parquet(s"$root/edges")
        .select(col("node_id").as("query_id"), col("neighbor_id")),

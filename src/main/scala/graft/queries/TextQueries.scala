@@ -761,6 +761,24 @@ object TextQueries {
     }
   }
 
+  /** Ladder memo keyed by (applicationId, sf dir): `q_unigram_target` and
+    * `q_tokenizer_fertility_eq` consume the SAME prune ladder — without the
+    * memo every registry sweep paid the three EM jobs twice (review catch).
+    * Values are tiny immutable integer maps (alphabet + ≤ [[UnigramSeedK]]
+    * pieces per round), never Spark lifecycle objects (the r4 lesson), and
+    * testdata is immutable within a session, so entries cannot go stale —
+    * the `gsIndex` ensure-once pattern, driver-side.
+    */
+  private val targetLadderMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Map[String, Long], Int, Int)]]()
+
+  private def unigramTargetLadderFor(spark: SparkSession,
+                                     dir: String): Seq[(Map[String, Long], Int, Int)] =
+    targetLadderMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => unigramTargetLadder(spark, graft.operators.Lineage.cut(
+        graft.operators.Bpe.wordVocab(docs(spark, dir), "text"))))
+
   /** `q_unigram_target`: vocabulary-size-TARGETED pruning — the production
     * knob `q_unigram_conv`'s free-shrinking ladder does not price
     * (SentencePiece's contract: prune lowest-loss pieces until |V| hits the
@@ -776,7 +794,7 @@ object TextQueries {
   def unigramTarget(spark: SparkSession, dir: String): DataFrame = {
     val vocab = graft.operators.Lineage.cut(
       graft.operators.Bpe.wordVocab(docs(spark, dir), "text"))
-    unigramTargetLadder(spark, vocab).zipWithIndex.map {
+    unigramTargetLadderFor(spark, dir).zipWithIndex.map {
       case ((costMap, nModel, nMulti), idx) =>
         graft.operators.Unigram.corpusStats(vocab, costMap)
           .select(lit((idx + 1).toLong).as("round"),
@@ -807,7 +825,7 @@ object TextQueries {
       .agg(sum(col("wfreq")).as("n_words"),
         sum(col("wfreq") * col("n_toks")).as("n_tokens"))
       .select(lit("bpe").as("tokenizer"), col("n_words"), col("n_tokens"))
-    val finalCost = unigramTargetLadder(spark, vocab).last._1
+    val finalCost = unigramTargetLadderFor(spark, dir).last._1
     val bc = spark.sparkContext.broadcast(finalCost)
     val u = vocab.select(col("word"), col("wfreq")).as[(String, Long)]
       .mapPartitions { it =>

@@ -92,7 +92,11 @@ object AsOfStream {
     // finalizing at equality would emit before that observation, diverging
     // from the batch twin's inclusive at-or-before. A purchase at the
     // watermark waits one trigger; the timeout wake-up is already strictly
-    // above it.
+    // above it. Accepted liveness edge (the same one Spark's own append-mode
+    // window finalize has — emission requires the watermark to STRICTLY
+    // pass): on a stream that goes quiescent with a purchase exactly AT the
+    // final watermark, the row stays pending until any further input
+    // advances the watermark; it is held, never lost (review catch).
     val (done, stillPending) = pending.partition(_._2 < wmUs)
     val out = done.map { case (pid, pus) =>
       val eligible = clicks.filter(_ <= pus)

@@ -488,6 +488,27 @@ object EmbeddingQueries {
       s"${spark.sparkContext.applicationId}_${md5.take(12)}"
   }
 
+  /** Ensure-once body shared by the persisted-index builders: run `write`
+    * unless every part's `_SUCCESS` marker is already present under `root`,
+    * and register the JVM-exit cleanup exactly when this session performed
+    * the write (session-scoped scratch must not accumulate orphan parquet
+    * trees in tmp — review catch).
+    */
+  private def ensureArtifact(root: String, parts: Seq[String])(write: => Unit): Unit = {
+    val built = parts.forall(p => new java.io.File(s"$root/$p/_SUCCESS").exists)
+    if (!built) {
+      write
+      val rootDir = new java.io.File(root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(rootDir)
+      }))
+    }
+  }
+
   /** The search-time index as a PERSISTED ARTIFACT read back from parquet —
     * the serving economics a production graph index actually has: the
     * NN-Descent build (`q_nndescent_graph`'s exact construction) runs ONCE
@@ -506,30 +527,64 @@ object EmbeddingQueries {
     */
   private def gsIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val root = gsIndexRoot(spark, dir)
-    val built = new java.io.File(s"$root/edges/_SUCCESS").exists &&
-      new java.io.File(s"$root/entries/_SUCCESS").exists
-    if (!built) {
+    ensureArtifact(root, Seq("edges", "entries")) {
       nnDescentGraph(spark, dir).write.mode("overwrite").parquet(s"$root/edges")
       vectors(spark, dir).filter(col("vec_id") < NumCentroids)
         .select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$root/entries")
-      // the artifact is session-scoped scratch (the appId in the path is
-      // what isolates concurrent sessions), so delete it on JVM exit —
-      // repeated runMain invocations must not accumulate orphan parquet
-      // trees in tmp (review catch). Registered once per (session, dir):
-      // exactly when this session performs the write.
-      val rootDir = new java.io.File(root)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(rootDir)
-      }))
     }
     (spark.read.parquet(s"$root/edges")
        .select(col("node_id").as("query_id"), col("neighbor_id")),
      spark.read.parquet(s"$root/entries"))
+  }
+
+  /** The IVF∘PQ index as a PERSISTED ARTIFACT — the [[gsIndex]] treatment
+    * applied to the second index family: codes ((neighbor_id, m, code) — 8
+    * bytes/vector), the inverted-file assignment ((neighbor_id, cent_id)),
+    * the centroid vectors, and the PQ codebook, each written once per
+    * (session, sf dir) and read back for serving, so the serving plan's
+    * working set is EXACTLY the index parts — the float corpus appears
+    * nowhere (PlanAudit-asserted: no unfiltered embeddings scan). Integer
+    * codes and float codewords both round-trip parquet bit-exactly.
+    */
+  private def pqIndex(spark: SparkSession,
+                      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
+      s"${spark.sparkContext.applicationId}_${md5.take(12)}"
+    ensureArtifact(root, Seq("codes", "assigned", "centroids", "codebook")) {
+      val v = vectors(spark, dir)
+      val cents = v.filter(col("vec_id") < NumCentroids)
+      val cb = Embeddings.pqCodebook(v)
+      Embeddings.pqEncode(v, cb)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+        .write.mode("overwrite").parquet(s"$root/codes")
+      Embeddings.ivfAssign(v, cents)
+        .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+        .write.mode("overwrite").parquet(s"$root/assigned")
+      cents.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      cb.write.mode("overwrite").parquet(s"$root/codebook")
+    }
+    (spark.read.parquet(s"$root/codes"),
+     spark.read.parquet(s"$root/assigned"),
+     spark.read.parquet(s"$root/centroids"),
+     spark.read.parquet(s"$root/codebook"))
+  }
+
+  /** `q_ivfpq_topk_indexed`: IVF∘PQ serving from the persisted index — the
+    * same answer contract as `q_ivfpq_topk` (identical oracle), but the
+    * registered plan reads ONLY the written index parts: codes, assignment,
+    * centroids, codebook ([[Embeddings.ivfPqTopKFromIndex]]). Beside the
+    * graph family's `q_graph_search_indexed`, both serving index families
+    * now gate their true production read path: build once, serve from the
+    * artifact.
+    */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, assigned, cents, cb) = pqIndex(spark, dir)
+    Embeddings.ivfPqTopKFromIndex(codes, assigned, queryVectors(spark, dir),
+      cents, cb, NProbe, K)
   }
 
   /** `q_graph_search_indexed`: the graph-ANN SERVING query — IVF-probe-seeded
@@ -725,6 +780,7 @@ object EmbeddingQueries {
     "q_graph_search_recall" -> (graphSearchRecallQ _),
     "q_graph_sweep" -> (graphSweepQ _),
     "q_graph_insert_recall" -> (graphInsertRecallQ _),
+    "q_ivfpq_topk_indexed" -> (ivfPqTopKIndexed _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1940,6 +1996,9 @@ object EmbeddingQueries {
     // IVF probe pruning (base's assign/probes) composed with PQ ADC scoring
     // (pqCtes) — candidates from the probed buckets, scored from codes alone
     "q_ivfpq_topk" -> (base + pqCtes + ivfPqCte +
+      "SELECT query_id, neighbor_id, rank FROM ivfpq"),
+    // identical contract served from the persisted index artifact
+    "q_ivfpq_topk_indexed" -> (base + pqCtes + ivfPqCte +
       "SELECT query_id, neighbor_id, rank FROM ivfpq"),
     "q_ivfpq_recall" -> (base + pqCtes + ivfPqCte +
       """SELECT e.query_id, count(a.neighbor_id) AS hits, count(*) AS k

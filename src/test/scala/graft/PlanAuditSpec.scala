@@ -51,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_topk", "q_hard_negatives",
     "q_ann_topk", "q_ann_recall", "q_ivf_sweep", "q_ivf_stats", "q_ivf_quality", "q_hybrid_rrf",
     "q_sq8_topk", "q_sq8_recall", "q_pq_topk", "q_pq_recall",
-    "q_ivfpq_topk", "q_ivfpq_recall",
+    "q_ivfpq_topk", "q_ivfpq_recall", "q_ivfpq_topk_indexed",
     "q_ivfpq_rerank", "q_ivfpq_rerank_recall", "q_mmr_topk", "q_mmr_diversity",
     "q_ivfpq_res_topk", "q_ivfpq_res_recall",
     "q_srp_recall", "q_srp_mp_recall",
@@ -347,6 +347,26 @@ class PlanAuditSpec extends SparkSpec {
         assert(rebuild.isEmpty,
           s"$name's lineage carries a cent_id assignment — an NN-Descent " +
             s"build stage is back in a serving plan: ${rebuild.map(_.nodeName)}")
+      }
+  }
+
+  /** The IVF∘PQ indexed serve's working set is EXACTLY the persisted index:
+    * it must scan the `graft_pqidx_*` artifact, and the only embeddings
+    * scans allowed are the QUERY set (vec_id-filtered at the reader) — an
+    * unfiltered corpus scan means a build stage (pqEncode/ivfAssign over the
+    * floats) crept back into the serving plan.
+    */
+  test("q_ivfpq_topk_indexed serves from the persisted index, never the float corpus") {
+    val scans = scansOf("q_ivfpq_topk_indexed")
+    assert(scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft_pqidx"))),
+      "q_ivfpq_topk_indexed does not scan the persisted graft_pqidx artifact")
+    scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("embeddings")))
+      .foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("vec_id"),
+          s"unfiltered embeddings corpus scan in the indexed serve: $pushed")
       }
   }
 

@@ -481,23 +481,33 @@ object EmbeddingQueries {
     * (concurrent sessions on the same dir get isolated paths), the
     * `q_zorder_prune` tmp-path recipe.
     */
-  private def gsIndexRoot(spark: SparkSession, dir: String): String = {
+  /** Shared tmp-path recipe of the persisted-index artifacts: md5 of the sf
+    * dir (distinct dirs never share a path) plus the application id
+    * (concurrent sessions on the same dir get isolated paths) — single-
+    * sourced so the isolation invariants live in one place (review catch).
+    */
+  private def artifactRoot(spark: SparkSession, dir: String,
+                           prefix: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_gsidx_" +
+    s"${System.getProperty("java.io.tmpdir")}/$prefix" +
       s"${spark.sparkContext.applicationId}_${md5.take(12)}"
   }
 
+  private def gsIndexRoot(spark: SparkSession, dir: String): String =
+    artifactRoot(spark, dir, "graft_gsidx_")
+
   /** Ensure-once body shared by the persisted-index builders: run `write`
     * unless every part's `_SUCCESS` marker is already present under `root`,
-    * and register the JVM-exit cleanup exactly when this session performed
+    * and register the JVM-exit cleanup exactly when this session attempts
     * the write (session-scoped scratch must not accumulate orphan parquet
-    * trees in tmp — review catch).
+    * trees in tmp — review catch). The hook is registered BEFORE the write
+    * so a failed or interrupted build's partial tree is cleaned too
+    * (review catch); deleting an absent dir at exit is a no-op.
     */
   private def ensureArtifact(root: String, parts: Seq[String])(write: => Unit): Unit = {
     val built = parts.forall(p => new java.io.File(s"$root/$p/_SUCCESS").exists)
     if (!built) {
-      write
       val rootDir = new java.io.File(root)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -506,6 +516,7 @@ object EmbeddingQueries {
         }
         rm(rootDir)
       }))
+      write
     }
   }
 
@@ -549,10 +560,7 @@ object EmbeddingQueries {
     */
   private def pqIndex(spark: SparkSession,
                       dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
-      s"${spark.sparkContext.applicationId}_${md5.take(12)}"
+    val root = artifactRoot(spark, dir, "graft_pqidx_")
     ensureArtifact(root, Seq("codes", "assigned", "centroids", "codebook")) {
       val v = vectors(spark, dir)
       val cents = v.filter(col("vec_id") < NumCentroids)

@@ -364,9 +364,15 @@ class PlanAuditSpec extends SparkSpec {
     scans.filter(_.relation.location.rootPaths
         .exists(_.toString.contains("embeddings")))
       .foreach { s =>
+        // a BOUNDING predicate, not merely any mention of vec_id: an
+        // in-plan rebuild's full-corpus scan still gets IsNotNull(vec_id)
+        // pushed via the downstream equi-join, so "contains(vec_id)" alone
+        // cannot catch the regression this test exists for (review catch) —
+        // the query set's vec_id < NumQueries range filter is the signature
         val pushed = s.metadata.getOrElse("PushedFilters", "")
-        assert(pushed.contains("vec_id"),
-          s"unfiltered embeddings corpus scan in the indexed serve: $pushed")
+        assert(pushed.contains("LessThan(vec_id"),
+          s"embeddings scan without a bounding vec_id predicate " +
+            s"(an index build crept into the indexed serve?): $pushed")
       }
   }
 

@@ -666,6 +666,15 @@ object EmbeddingQueries {
     * incremental maintenance gives up (same-batch neighbors are invisible to
     * a search over the pre-insert store); the matching edge counts show
     * degree stays bounded without the rebuild.
+    *
+    * A third row, `serve`, closes the question maintenance actually exists
+    * to answer: the STANDARD query set's beam-search recall when served
+    * over the MAINTAINED graph (total = queries×K, so it reads directly
+    * against `q_graph_search_recall`'s terminal row — the same search over
+    * the rebuilt index, deliberately NOT re-run here per the
+    * [[GsSweepBeams]] no-duplicate-gated-rows convention). If `serve`
+    * matches that row, the rebuild can be skipped; the gap, if any, is the
+    * serving cost of freshness-by-insertion, as data.
     */
   def graphInsertRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
@@ -695,7 +704,17 @@ object EmbeddingQueries {
         .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
         .select(lit(label).as("stage"), col("hits"), col("total"),
           col("n_edges"))
+    val q = queryVectors(spark, dir)
+    val exactQ = graft.operators.Lineage.cut(
+      Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id")))
+    val served = Embeddings.knnRecallTotals(exactQ,
+        Embeddings.graphSearch(v, q, updated, cents, NProbe, GsBeam,
+          GsRounds, K).select(col("query_id"), col("neighbor_id")))
+      .crossJoin(broadcast(updated.agg(count(lit(1)).as("n_edges"))))
+      .select(lit("serve").as("stage"), col("hits"), col("total"),
+        col("n_edges"))
     stageRow("insert", updated).unionByName(stageRow("rebuild", rebuilt))
+      .unionByName(served)
   }
 
   /** Candidate-pool depth of the binary-quantization serve (the full-dim
@@ -1521,7 +1540,10 @@ object EmbeddingQueries {
             FROM qb qq JOIN v ON v.vec_id <> qq.query_id
             JOIN nrm nq ON nq.vec_id = qq.query_id
             JOIN nrm nv ON nv.vec_id = v.vec_id)
-          WHERE rank <= $K)"""
+          WHERE rank <= $K)
+        ${gsProbeCtesOver("q", "_m")}
+        ${gsWaveCtes(GsBeam, "_m", "upedges", "gs0_m", "q")},
+        ${gsTopCte("serve_m", "vis2_m", K.toString)}"""
 
   /** One scored-expansion block of the beam-search oracle: score `src`'s
     * (query_id, neighbor_id) pairs with the shared sequential-double cosine
@@ -1743,7 +1765,13 @@ object EmbeddingQueries {
                  (SELECT count(*) FROM round1)::BIGINT AS n_edges
           FROM nbx e LEFT JOIN (SELECT node_id, neighbor_id FROM round1
                                 WHERE node_id > (SELECT cut FROM icut)) m
-            ON m.node_id = e.query_id AND m.neighbor_id = e.neighbor_id"""),
+            ON m.node_id = e.query_id AND m.neighbor_id = e.neighbor_id
+          UNION ALL
+          SELECT 'serve' AS stage, count(m.neighbor_id)::BIGINT AS hits,
+                 count(*)::BIGINT AS total,
+                 (SELECT count(*) FROM upedges)::BIGINT AS n_edges
+          FROM exact e LEFT JOIN serve_m m
+            ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id"""),
     "q_graph_search_indexed" -> (base + nnGraphCtes + gsCtes +
       s""", ${gsTopCte("gsfinal", "vis2", K.toString)}
          SELECT query_id, neighbor_id, rn::BIGINT AS rank FROM gsfinal"""),

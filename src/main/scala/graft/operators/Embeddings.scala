@@ -359,9 +359,16 @@ object Embeddings {
     * a candidate at bucket rank r serves every probe depth ≥ r.
     */
   private def probedCandidates(vectors: DataFrame, queries: DataFrame,
-                               centroids: DataFrame, depth: Int): DataFrame = {
+                               centroids: DataFrame, depth: Int,
+                               memberPred: Column = lit(true)): DataFrame = {
+    // the assignment (the INDEX) always covers the full corpus; a metadata
+    // predicate prunes the member stream at serve time — post-filtering,
+    // the production filtered-search shape (the predicate column lives
+    // beside the index entries, so the drop is a cheap columnar check
+    // BEFORE the expensive exact scoring)
     val assigned = ivfAssign(vectors, centroids)
-    val members = vectors.select(col("vec_id").as("neighbor_id"),
+    val members = vectors.filter(memberPred)
+      .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v_emb"), l2Norm(col("embedding")).as("v_norm"))
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
@@ -398,10 +405,46 @@ object Embeddings {
     * result is hash-stable at any parallelism.
     */
   def ivfProbeSweep(vectors: DataFrame, queries: DataFrame, numCentroids: Int,
-                    probes: Seq[Int], k: Int): DataFrame = {
-    import vectors.sparkSession.implicits._
-    val centroids = firstCentroids(vectors, numCentroids)
-    val cand = probedCandidates(vectors, queries, centroids, probes.max)
+                    probes: Seq[Int], k: Int): DataFrame =
+    probeSweepOver(
+      probedCandidates(vectors, queries, firstCentroids(vectors, numCentroids),
+        probes.max),
+      knnExact(vectors, queries, k), probes, k)
+
+  /** FILTERED vector search priced — the metadata-predicate top-k every
+    * production vector store serves ("top-k WHERE label = x"): the index
+    * (assignment) covers the FULL corpus, the probe walks the query's
+    * nearest buckets, and candidates failing the predicate are dropped
+    * BEFORE the expensive exact scoring (post-filtering — see
+    * [[probedCandidates]]' memberPred). The classic filtered-search failure
+    * mode is exactly what the sweep prices: a selective predicate starves
+    * the probed buckets of matching candidates, so recall at a given probe
+    * depth drops below the UNFILTERED sweep's ([[ivfProbeSweep]], read side
+    * by side) and the production knob is probing deeper — at depth =
+    * numCentroids the candidate set is the whole filtered corpus and the
+    * answer is exact by construction, so the gated curve shows the
+    * saturation point. Baseline = exact top-k over the predicate-filtered
+    * corpus; one (nprobe, hits, total, n_candidates) integer row per depth,
+    * n_candidates counting the rows actually scored (the serving cost the
+    * predicate saves).
+    */
+  def ivfFilteredProbeSweep(vectors: DataFrame, queries: DataFrame,
+                            numCentroids: Int, probes: Seq[Int], k: Int,
+                            pred: Column): DataFrame =
+    probeSweepOver(
+      probedCandidates(vectors, queries, firstCentroids(vectors, numCentroids),
+        probes.max, pred),
+      knnExact(vectors.filter(pred), queries, k), probes, k)
+
+  /** The shared sweep tail: fan scored candidates across the probe depths
+    * (a candidate at bucket rank r serves every depth ≥ r), bounded TopK
+    * per (depth, query), recall vs the given exact baseline, and the
+    * per-depth scored-candidate count.
+    */
+  private def probeSweepOver(cand0: DataFrame, exact0: DataFrame,
+                             probes: Seq[Int], k: Int): DataFrame = {
+    import cand0.sparkSession.implicits._
+    val cand = cand0
       .select(col("query_id"), col("c_rank"), col("score"), col("neighbor_id"),
         explode(lit(probes.toArray)).as("nprobe"))
       .filter(col("c_rank") <= col("nprobe"))
@@ -416,7 +459,7 @@ object Embeddings {
       .select(col("key._1").as("nprobe"), col("key._2").as("query_id"),
         explode(col("topk")).as("e"))
       .select(col("nprobe"), col("query_id"), col("e._2").as("neighbor_id"))
-    val exactSwept = knnExact(vectors, queries, k)
+    val exactSwept = exact0
       .select(col("query_id"), col("neighbor_id"),
         explode(lit(probes.toArray)).as("nprobe"))
     val hits = exactSwept.alias("e")

@@ -58,6 +58,28 @@ object EmbeddingQueries {
     Embeddings.ivfProbeSweep(vectors(spark, dir), queryVectors(spark, dir),
       NumCentroids, IvfSweepProbes, K)
 
+  /** Predicate label and probe depths of the FILTERED-search sweep: label 3
+    * is ~10% of the corpus (labels are uniform 0–9), selective enough that
+    * shallow probes visibly starve; the depths bracket the deployed
+    * [[NProbe]] and end at the centroid count, where the filtered answer is
+    * exact by construction (the saturation endpoint, gated).
+    */
+  val FilterLabel = 3
+  val FilteredSweepProbes: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** `q_ann_filtered_sweep`: FILTERED vector search — metadata-predicate
+    * top-[[K]] ("top-k WHERE label = [[FilterLabel]]"), the serve path every
+    * production vector store ships, priced across probe depths (see
+    * [[Embeddings.ivfFilteredProbeSweep]]). Read beside `q_ivf_sweep`: the
+    * same index, the same depths — the recall gap at each depth is what the
+    * predicate's bucket starvation costs, and the n_candidates column is
+    * what post-filtering saves in scored rows.
+    */
+  def annFilteredSweep(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfFilteredProbeSweep(vectors(spark, dir),
+      queryVectors(spark, dir), NumCentroids, FilteredSweepProbes, K,
+      col("label") === FilterLabel)
+
   def sq8TopK(spark: SparkSession, dir: String): DataFrame =
     Embeddings.sq8TopK(vectors(spark, dir), queryVectors(spark, dir), K)
 
@@ -808,6 +830,7 @@ object EmbeddingQueries {
     "q_graph_sweep" -> (graphSweepQ _),
     "q_graph_insert_recall" -> (graphInsertRecallQ _),
     "q_ivfpq_topk_indexed" -> (ivfPqTopKIndexed _),
+    "q_ann_filtered_sweep" -> (annFilteredSweep _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -2118,6 +2141,66 @@ object EmbeddingQueries {
     // the `probes`/`approx` CTEs re-derived at depth max(IvfSweepProbes)
     // with the bucket rank carried, swept by one config join; the final
     // LEFT JOIN re-attach keeps explicit zero rows on an empty table
+    "q_ann_filtered_sweep" -> (base +
+      s""", flbl AS (SELECT vec_id FROM embeddings WHERE label = $FilterLabel),
+          fex AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+                    / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+              FROM q JOIN v ON v.vec_id <> q.query_id
+              JOIN flbl fl ON fl.vec_id = v.vec_id
+              JOIN nrm nq ON nq.vec_id = q.query_id
+              JOIN nrm nv ON nv.vec_id = v.vec_id)
+            WHERE rank <= $K),
+          fpr AS (
+            SELECT query_id, qe, cent_id, rn AS c_rank FROM (
+              SELECT q.query_id, q.qe, c.cent_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i]))
+                    / (nq.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+              FROM q CROSS JOIN c
+              JOIN nrm nq ON nq.vec_id = q.query_id
+              JOIN nrm nc ON nc.vec_id = c.cent_id)
+            WHERE rn <= ${FilteredSweepProbes.max}),
+          fcand AS MATERIALIZED (
+            SELECT p.query_id, p.c_rank, a.vec_id AS neighbor_id,
+              (list_sum(list_transform(range(1, 65), i -> p.qe[i]*v.e[i]))
+                / (nq.nm * nv.nm)) AS score
+            FROM fpr p
+            JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            JOIN flbl fl ON fl.vec_id = a.vec_id
+            JOIN v ON v.vec_id = a.vec_id
+            JOIN nrm nq ON nq.vec_id = p.query_id
+            JOIN nrm nv ON nv.vec_id = a.vec_id),
+          fcfg AS (SELECT unnest([${FilteredSweepProbes.mkString(", ")}]) AS nprobe),
+          fswept AS (
+            SELECT fcfg.nprobe, cd.query_id, cd.neighbor_id, cd.score
+            FROM fcand cd JOIN fcfg ON cd.c_rank <= fcfg.nprobe),
+          fivf AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+              SELECT nprobe, query_id, neighbor_id,
+                row_number() OVER (PARTITION BY nprobe, query_id
+                  ORDER BY score DESC, neighbor_id ASC) AS rnk
+              FROM fswept)
+            WHERE rnk <= $K),
+          fexs AS (SELECT fcfg.nprobe, e.query_id, e.neighbor_id
+                   FROM fex e CROSS JOIN fcfg),
+          fh AS (
+            SELECT fexs.nprobe, count(i.neighbor_id) AS hits, count(*) AS total
+            FROM fexs LEFT JOIN fivf i
+              ON i.nprobe = fexs.nprobe AND i.query_id = fexs.query_id
+                 AND i.neighbor_id = fexs.neighbor_id
+            GROUP BY 1),
+          fncand AS (SELECT nprobe, count(*) AS n_candidates FROM fswept GROUP BY 1)
+          SELECT fcfg.nprobe::BIGINT AS nprobe,
+                 coalesce(fh.hits, 0)::BIGINT AS hits,
+                 coalesce(fh.total, 0)::BIGINT AS total,
+                 coalesce(fncand.n_candidates, 0)::BIGINT AS n_candidates
+          FROM fcfg
+          LEFT JOIN fh USING (nprobe)
+          LEFT JOIN fncand USING (nprobe)"""),
     "q_ivf_sweep" -> (base +
       s""", pr AS (
             SELECT query_id, qe, cent_id, rn AS c_rank FROM (

@@ -297,17 +297,21 @@ object StreamBench {
     val rows = all.as[(Long, Array[Float])].collect()
     val cutoff = rows.map(_._1).max - rows.length / 4
     val fresh = rows.filter(_._1 > cutoff).sortBy(_._1)
-    var store = Lineage.cut(all.filter($"vec_id" <= cutoff))
-    var graph = Lineage.cut(Embeddings.nnDescentRound(store,
-      Embeddings.knnGraphSeed(store, centroids, NnSeedAssign, K), K))
+    // the maintained pair is WRITTEN by the stream-execution thread (inside
+    // foreachBatch) and READ here by the driver thread: hold it in an
+    // AtomicReference so visibility doesn't ride on processAllAvailable's
+    // internal progress lock (review catch)
+    val store0 = Lineage.cut(all.filter($"vec_id" <= cutoff))
+    val maintained = new java.util.concurrent.atomic.AtomicReference(
+      (store0, Lineage.cut(Embeddings.nnDescentRound(store0,
+        Embeddings.knnGraphSeed(store0, centroids, NnSeedAssign, K), K))))
     val chunkSize = math.max(1, math.ceil(fresh.length.toDouble / chunks).toInt)
     val in = MemoryStream[(Long, Array[Float])]
     val q = Embeddings.graphIngestSink(in.toDF().toDF("vec_id", "embedding"),
       centroids, nProbe = NProbe, beam = GsBeam, rounds = GsRounds, k = K,
       Files.createTempDirectory("graphingest-ck").toString)(
-      () => (store, graph)) { (newStore, newGraph) =>
-      store = newStore
-      graph = newGraph
+      () => maintained.get()) { (newStore, newGraph) =>
+      maintained.set((newStore, newGraph))
       ()
     }
     measured(spark) {
@@ -316,7 +320,7 @@ object StreamBench {
           in.addData(chunk.toSeq)
           q.processAllAvailable()
         }
-        (fresh.length.toLong, graph.count())
+        (fresh.length.toLong, maintained.get()._2.count())
       } finally q.stop()
     }
   }

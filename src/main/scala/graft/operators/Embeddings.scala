@@ -1885,6 +1885,29 @@ object Embeddings {
     knnRecallOf(vectors, queries, k,
       ivfPqRerank(vectors, queries, numCentroids, nProbe, r, k))
 
+  /** [[ivfPqRerankRecall]] with the approximate arm served from a PRE-BUILT
+    * index ([[ivfPqRerankFromIndex]]); the float `vectorStore` appears only
+    * as the exact baseline and the refine stage's point-lookup side.
+    */
+  def ivfPqRerankRecallFromIndex(codes: DataFrame, assigned: DataFrame,
+                                 queries: DataFrame, centroids: DataFrame,
+                                 cb: DataFrame, vectorStore: DataFrame,
+                                 nProbe: Int, r: Int, k: Int): DataFrame =
+    knnRecallOf(vectorStore, queries, k,
+      ivfPqRerankFromIndex(codes, assigned, queries, centroids, cb,
+        vectorStore, nProbe, r, k))
+
+  /** [[ivfPqResidualRecall]] with the approximate arm served from a
+    * PRE-BUILT residual index ([[ivfPqResidualTopKFromIndex]]).
+    */
+  def ivfPqResidualRecallFromIndex(codes: DataFrame, assigned: DataFrame,
+                                   queries: DataFrame, centroids: DataFrame,
+                                   rcb: DataFrame, vectorStore: DataFrame,
+                                   nProbe: Int, k: Int): DataFrame =
+    knnRecallOf(vectorStore, queries, k,
+      ivfPqResidualTopKFromIndex(codes, assigned, queries, centroids, rcb,
+        nProbe, k))
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) diversified
     * top-k over an explicit candidate pool: greedily select k of the pool,
     * step 1 by pure relevance (exact query cosine), each later step by

@@ -105,29 +105,63 @@ object EmbeddingQueries {
     */
   val RerankR = 50
 
-  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.ivfPqRerank(vectors(spark, dir), queryVectors(spark, dir),
-      NumCentroids, NProbe, RerankR, K)
+  /** `q_ivfpq_rerank`: retrieve-then-rerank SERVED FROM the persisted
+    * [[pqIndex]] — the ADC pool comes from the read-back codes/assignment/
+    * codebook (no in-plan training or encoding; PlanAudit-asserted), and
+    * only the refine stage touches the float store, as queries×[[RerankR]]
+    * point lookups by candidate id — the full production serving shape.
+    * Identical oracle to the in-plan form it replaced (the artifact holds
+    * exactly the codebook/codes the oracle recomputes).
+    */
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
+    Embeddings.ivfPqRerankFromIndex(idx.codes, idx.assigned,
+      queryVectors(spark, dir), idx.centroids, idx.codebook,
+      vectors(spark, dir), NProbe, RerankR, K)
+  }
 
-  def ivfPqRerankRecall(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.ivfPqRerankRecall(vectors(spark, dir), queryVectors(spark, dir),
-      NumCentroids, NProbe, RerankR, K)
+  /** `q_ivfpq_rerank_recall`: [[ivfPqRerank]]'s per-query recall vs exact —
+    * the approximate arm serves from the persisted [[pqIndex]]; the float
+    * corpus appears only as the exact baseline and the refine store.
+    */
+  def ivfPqRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
+    Embeddings.ivfPqRerankRecallFromIndex(idx.codes, idx.assigned,
+      queryVectors(spark, dir), idx.centroids, idx.codebook,
+      vectors(spark, dir), NProbe, RerankR, K)
+  }
 
-  def ivfPqResidualTopK(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.ivfPqResidualTopK(vectors(spark, dir), queryVectors(spark, dir),
-      NumCentroids, NProbe, K)
+  /** `q_ivfpq_res_topk`: the residual (FAISS-IVFPQ) serve from the persisted
+    * [[pqIndex]]'s residual parts — codes, shared assignment/centroids, and
+    * the residual codebook; no residualization or encode in-plan.
+    */
+  def ivfPqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
+    Embeddings.ivfPqResidualTopKFromIndex(idx.rcodes, idx.assigned,
+      queryVectors(spark, dir), idx.centroids, idx.rcodebook, NProbe, K)
+  }
 
-  def ivfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.ivfPqResidualRecall(vectors(spark, dir), queryVectors(spark, dir),
-      NumCentroids, NProbe, K)
+  /** `q_ivfpq_res_recall`: [[ivfPqResidualTopK]]'s recall vs exact, the
+    * approximate arm served from the persisted residual index parts.
+    */
+  def ivfPqResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
+    Embeddings.ivfPqResidualRecallFromIndex(idx.rcodes, idx.assigned,
+      queryVectors(spark, dir), idx.centroids, idx.rcodebook,
+      vectors(spark, dir), NProbe, K)
+  }
 
   /** MMR-diversified top-[[K]] over the same IVF∘PQ codes-only pool the
-    * rerank query uses (see [[Embeddings.mmrSelect]]).
+    * rerank query uses (see [[Embeddings.mmrSelect]]) — the pool is
+    * retrieved from the persisted [[pqIndex]]; the float store is touched
+    * only for the selected candidates' pairwise/relevance scoring.
     */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
     val v = vectors(spark, dir); val q = queryVectors(spark, dir)
     Embeddings.mmrSelect(v, q,
-      Embeddings.ivfPqTopK(v, q, NumCentroids, NProbe, RerankR), K)
+      Embeddings.ivfPqTopKFromIndex(idx.codes, idx.assigned, q, idx.centroids,
+        idx.codebook, NProbe, RerankR), K)
   }
 
   /** Cosine threshold for the near-dup query (the harness data's top pair is
@@ -498,11 +532,6 @@ object EmbeddingQueries {
   val GsBeam = 10
   val GsRounds = 2
 
-  /** Filesystem root of the PERSISTED graph-ANN index artifact — the md5 of
-    * the sf dir (distinct dirs never share a path) plus the application id
-    * (concurrent sessions on the same dir get isolated paths), the
-    * `q_zorder_prune` tmp-path recipe.
-    */
   /** Shared tmp-path recipe of the persisted-index artifacts: md5 of the sf
     * dir (distinct dirs never share a path) plus the application id
     * (concurrent sessions on the same dir get isolated paths) — single-
@@ -519,26 +548,62 @@ object EmbeddingQueries {
   private def gsIndexRoot(spark: SparkSession, dir: String): String =
     artifactRoot(spark, dir, "graft_gsidx_")
 
-  /** Ensure-once body shared by the persisted-index builders: run `write`
-    * unless every part's `_SUCCESS` marker is already present under `root`,
-    * and register the JVM-exit cleanup exactly when this session attempts
-    * the write (session-scoped scratch must not accumulate orphan parquet
-    * trees in tmp — review catch). The hook is registered BEFORE the write
-    * so a failed or interrupted build's partial tree is cleaned too
-    * (review catch); deleting an absent dir at exit is a no-op.
+  /** Root-level completion marker of a persisted-index artifact, written
+    * AFTER every part — completeness is ONE atomic-enough check. Per-part
+    * `_SUCCESS` markers alone were a lifecycle hole (review catch): parts
+    * are written sequentially, so a crash BETWEEN parts leaves a root whose
+    * finished parts all pass their own marker check — only the
+    * applicationId salt kept a later session from serving a half-built
+    * index. With the manifest, any interruption before the final step
+    * forces a full rebuild.
     */
-  private def ensureArtifact(root: String, parts: Seq[String])(write: => Unit): Unit = {
-    val built = parts.forall(p => new java.io.File(s"$root/$p/_SUCCESS").exists)
-    if (!built) {
+  private[graft] val ArtifactManifest = "_GRAFT_INDEX_COMPLETE"
+
+  /** How old an artifact tree from ANOTHER session must be before the sweep
+    * reclaims it: 2× the longest session this harness runs (~6 h), so a
+    * CONCURRENT session's live index (at most session-age old) is never
+    * swept, while a hard-killed (SIGKILL/OOM) session's orphans — whose
+    * shutdown hook never ran, and whose applicationId-salted path no later
+    * session would ever match or clean — are reclaimed by the next build on
+    * the box instead of accumulating in tmp forever (review catch).
+    */
+  private[graft] val OrphanArtifactTtlMs: Long = 12L * 3600 * 1000
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Reclaim sibling `graft_*idx_*` trees left by dead sessions: never the
+    * current session's (appId is in the path — belt), never a young tree
+    * (a concurrent session may still be serving from it — braces; see
+    * [[OrphanArtifactTtlMs]]).
+    */
+  private[graft] def sweepOrphanArtifacts(dir: java.io.File, currentAppId: String,
+                                          nowMs: Long): Unit =
+    Option(dir.listFiles).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val stale = (f.getName.startsWith("graft_gsidx_") ||
+          f.getName.startsWith("graft_pqidx_")) &&
+        !f.getName.contains(currentAppId) &&
+        f.lastModified < nowMs - OrphanArtifactTtlMs
+      if (stale) rmTree(f)
+    }
+
+  /** Ensure-once body shared by the persisted-index builders: run `write`
+    * unless the root's [[ArtifactManifest]] marker is present, then write
+    * the marker LAST. The JVM-exit cleanup hook is registered BEFORE the
+    * write so a failed or interrupted build's partial tree is cleaned too
+    * (review catch); deleting an absent dir at exit is a no-op. Each build
+    * first sweeps orphan artifact trees of dead sessions from the shared
+    * tmp parent ([[sweepOrphanArtifacts]]).
+    */
+  private[graft] def ensureArtifact(root: String, appId: String)(write: => Unit): Unit = {
+    if (!new java.io.File(root, ArtifactManifest).exists) {
       val rootDir = new java.io.File(root)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(rootDir)
-      }))
+      sweepOrphanArtifacts(rootDir.getParentFile, appId, System.currentTimeMillis())
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(rootDir)))
       write
+      new java.io.File(root, ArtifactManifest).createNewFile(); ()
     }
   }
 
@@ -558,9 +623,9 @@ object EmbeddingQueries {
     * be written bucketed by node id so the per-wave frontier⋈edges join
     * co-locates without a shuffle.
     */
-  private def gsIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def gsIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val root = gsIndexRoot(spark, dir)
-    ensureArtifact(root, Seq("edges", "entries")) {
+    ensureArtifact(root, spark.sparkContext.applicationId) {
       nnDescentGraph(spark, dir).write.mode("overwrite").parquet(s"$root/edges")
       vectors(spark, dir).filter(col("vec_id") < NumCentroids)
         .select(col("vec_id"), col("embedding"))
@@ -571,19 +636,34 @@ object EmbeddingQueries {
      spark.read.parquet(s"$root/entries"))
   }
 
+  /** The read-back parts of the persisted IVF∘PQ index ([[pqIndex]]): the
+    * plain-PQ serve reads (codes, assigned, centroids, codebook); the
+    * RESIDUAL serve reads (rcodes, assigned, centroids, rcodebook) — the
+    * inverted file and centroids are shared, only the codebook family
+    * differs (plain PQ quantizes v, residual PQ quantizes v − c(v)).
+    */
+  private[graft] final case class PqIdx(codes: DataFrame, assigned: DataFrame,
+                                        centroids: DataFrame, codebook: DataFrame,
+                                        rcodes: DataFrame, rcodebook: DataFrame)
+
   /** The IVF∘PQ index as a PERSISTED ARTIFACT — the [[gsIndex]] treatment
     * applied to the second index family: codes ((neighbor_id, m, code) — 8
     * bytes/vector), the inverted-file assignment ((neighbor_id, cent_id)),
-    * the centroid vectors, and the PQ codebook, each written once per
-    * (session, sf dir) and read back for serving, so the serving plan's
-    * working set is EXACTLY the index parts — the float corpus appears
-    * nowhere (PlanAudit-asserted: no unfiltered embeddings scan). Integer
-    * codes and float codewords both round-trip parquet bit-exactly.
+    * the centroid vectors, the PQ codebook, plus the RESIDUAL family's
+    * codes/codebook (FAISS-IVFPQ formulation — PQ over v − c(v), sharing
+    * the assignment and centroids), each written once per (session, sf dir)
+    * and read back for serving, so every PQ-family serving plan's working
+    * set is EXACTLY the index parts — the float corpus appears in no
+    * retrieve stage (PlanAudit-asserted; the two-stage rerank gates
+    * additionally point-look-up the float store by candidate id, the
+    * production refine shape). Integer codes and float codewords both
+    * round-trip parquet bit-exactly. At 100 TB the codes/assigned parts
+    * would be written bucketed by cent_id so a probe's member fetch is a
+    * pruned co-located read.
     */
-  private def pqIndex(spark: SparkSession,
-                      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  private[graft] def pqIndex(spark: SparkSession, dir: String): PqIdx = {
     val root = artifactRoot(spark, dir, "graft_pqidx_")
-    ensureArtifact(root, Seq("codes", "assigned", "centroids", "codebook")) {
+    ensureArtifact(root, spark.sparkContext.applicationId) {
       val v = vectors(spark, dir)
       val cents = v.filter(col("vec_id") < NumCentroids)
       val cb = Embeddings.pqCodebook(v)
@@ -596,11 +676,23 @@ object EmbeddingQueries {
       cents.select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$root/centroids")
       cb.write.mode("overwrite").parquet(s"$root/codebook")
+      // residual family: the ivfPqResidualTopK in-plan recipe, persisted —
+      // residual codebook trains on the first-PqK vectors AFTER the
+      // centroid prefix (whose residuals are exactly zero)
+      val res = Embeddings.residualVectors(v, cents)
+      val rcb = Embeddings.pqCodebook(res.filter(col("vec_id") >= NumCentroids)
+        .select((col("vec_id") - NumCentroids).as("vec_id"), col("embedding")))
+      Embeddings.pqEncode(res.select("vec_id", "embedding"), rcb)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+        .write.mode("overwrite").parquet(s"$root/rcodes")
+      rcb.write.mode("overwrite").parquet(s"$root/rcodebook")
     }
-    (spark.read.parquet(s"$root/codes"),
-     spark.read.parquet(s"$root/assigned"),
-     spark.read.parquet(s"$root/centroids"),
-     spark.read.parquet(s"$root/codebook"))
+    PqIdx(spark.read.parquet(s"$root/codes"),
+      spark.read.parquet(s"$root/assigned"),
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codebook"),
+      spark.read.parquet(s"$root/rcodes"),
+      spark.read.parquet(s"$root/rcodebook"))
   }
 
   /** `q_ivfpq_topk_indexed`: IVF∘PQ serving from the persisted index — the
@@ -612,9 +704,9 @@ object EmbeddingQueries {
     * artifact.
     */
   def ivfPqTopKIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val (codes, assigned, cents, cb) = pqIndex(spark, dir)
-    Embeddings.ivfPqTopKFromIndex(codes, assigned, queryVectors(spark, dir),
-      cents, cb, NProbe, K)
+    val idx = pqIndex(spark, dir)
+    Embeddings.ivfPqTopKFromIndex(idx.codes, idx.assigned,
+      queryVectors(spark, dir), idx.centroids, idx.codebook, NProbe, K)
   }
 
   /** `q_graph_search_indexed`: the graph-ANN SERVING query — IVF-probe-seeded
@@ -888,14 +980,17 @@ object EmbeddingQueries {
     * removed) — the 0.7/0.3 trade in numbers.
     */
   def mmrDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
     val v = vectors(spark, dir); val q = queryVectors(spark, dir)
-    // ONE materialization of the shared ADC candidate pool: both selections
-    // hang off it and each selection is then consumed by two metric frames,
-    // so the pool subplan appears 4x in the single lazy plan — past the
-    // checkpoint break-even (measured 3.2 -> 2.6 s warm at sf0.01; the
-    // corpus-clean counter-rule is a 2-consumer case)
+    // ONE materialization of the shared ADC candidate pool (retrieved from
+    // the persisted index — no in-plan codebook training/encoding): both
+    // selections hang off it and each selection is then consumed by two
+    // metric frames, so the pool subplan appears 4x in the single lazy
+    // plan — past the checkpoint break-even (measured 3.2 -> 2.6 s warm at
+    // sf0.01; the corpus-clean counter-rule is a 2-consumer case)
     val pool = graft.operators.Lineage.cut(
-      Embeddings.ivfPqTopK(v, q, NumCentroids, NProbe, RerankR))
+      Embeddings.ivfPqTopKFromIndex(idx.codes, idx.assigned, q, idx.centroids,
+        idx.codebook, NProbe, RerankR))
     val topk = Embeddings.exactRerank(v, q, pool, K)
       .select(col("query_id"), col("neighbor_id"))
     val mmr = Embeddings.mmrSelect(v, q, pool, K)

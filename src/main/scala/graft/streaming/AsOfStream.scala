@@ -67,6 +67,15 @@ object AsOfStream {
     * stream; `delay` is the watermark (how late a click may arrive and still
     * count). Append-mode output: each purchase is emitted exactly once, when
     * the watermark passes it.
+    *
+    * DRIVER CONTRACT: finalization is STRICT (ts < watermark — see
+    * [[process]]), so a purchase exactly AT the final watermark of a stream
+    * that then goes quiescent is held forever (held, never lost). Any
+    * harness that drains a bounded feed through this sink MUST end with a
+    * watermark-advancing tick — one sentinel event strictly above the last
+    * purchase time (`StreamBench`/the specs already do) — or the last row
+    * silently stays pending. Same contract on
+    * [[PitStream.serveFeatures]].
     */
   def latestClickAsOf(events: DataFrame, delay: String): Dataset[Match] = {
     import events.sparkSession.implicits._

@@ -74,6 +74,12 @@ object PitStream {
     * value) stream; `delay` = the watermark, `stalenessUs` = the serving
     * staleness bound (the batch query's
     * [[graft.queries.AnalyticQueries.PitStalenessUs]] in production).
+    *
+    * DRIVER CONTRACT: finalize is STRICT (ts < watermark), so a training
+    * event exactly at the final watermark of a quiescent bounded feed is
+    * held forever — drivers must end with a watermark-advancing sentinel
+    * strictly above the last event time (see
+    * [[AsOfStream.latestClickAsOf]]'s identical contract).
     */
   def serveFeatures(events: DataFrame, delay: String,
                     stalenessUs: Long): Dataset[Served] = {

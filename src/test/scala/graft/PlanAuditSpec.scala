@@ -351,30 +351,52 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
-  /** The IVF∘PQ indexed serve's working set is EXACTLY the persisted index:
-    * it must scan the `graft_pqidx_*` artifact, and the only embeddings
-    * scans allowed are the QUERY set (vec_id-filtered at the reader) — an
-    * unfiltered corpus scan means a build stage (pqEncode/ivfAssign over the
-    * floats) crept back into the serving plan.
+  /** Every PQ-family SERVING gate reads the persisted `graft_pqidx_*`
+    * artifact and trains/encodes nothing in-plan. The rebuild's structural
+    * signature is a `dist` attribute — `pqSubDists`, the ONE builder both
+    * codebook training and corpus encoding take their argmin over, is the
+    * only producer in the library; no FromIndex serving path emits one. The
+    * recall/rerank/mmr gates legitimately ALSO scan the float corpus (the
+    * exact baseline, the refine stage's point-lookup store, the MMR metric
+    * frames), so the corpus-scan ban below applies only to the pure
+    * retrieve gates.
     */
-  test("q_ivfpq_topk_indexed serves from the persisted index, never the float corpus") {
-    val scans = scansOf("q_ivfpq_topk_indexed")
-    assert(scans.exists(_.relation.location.rootPaths
-        .exists(_.toString.contains("graft_pqidx"))),
-      "q_ivfpq_topk_indexed does not scan the persisted graft_pqidx artifact")
-    scans.filter(_.relation.location.rootPaths
-        .exists(_.toString.contains("embeddings")))
-      .foreach { s =>
-        // a BOUNDING predicate, not merely any mention of vec_id: an
-        // in-plan rebuild's full-corpus scan still gets IsNotNull(vec_id)
-        // pushed via the downstream equi-join, so "contains(vec_id)" alone
-        // cannot catch the regression this test exists for (review catch) —
-        // the query set's vec_id < NumQueries range filter is the signature
-        val pushed = s.metadata.getOrElse("PushedFilters", "")
-        assert(pushed.contains("LessThan(vec_id"),
-          s"embeddings scan without a bounding vec_id predicate " +
-            s"(an index build crept into the indexed serve?): $pushed")
-      }
+  test("PQ serving gates read the persisted index, never rebuild it in-plan") {
+    val servingGates = Seq("q_ivfpq_topk_indexed", "q_ivfpq_rerank",
+      "q_ivfpq_rerank_recall", "q_mmr_topk", "q_mmr_diversity",
+      "q_ivfpq_res_topk", "q_ivfpq_res_recall")
+    servingGates.foreach { name =>
+      assert(scansOf(name).exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("graft_pqidx"))),
+        s"$name does not scan the persisted graft_pqidx artifact")
+      val rebuild = fullPlan(name).filter(_.output.exists(_.name == "dist"))
+      assert(rebuild.isEmpty,
+        s"$name's lineage carries a pqSubDists `dist` attribute — a PQ " +
+          s"train/encode stage is back in a serving plan: ${rebuild.map(_.nodeName)}")
+    }
+  }
+
+  /** The two pure-retrieve indexed serves' working set is EXACTLY the
+    * persisted index: the only embeddings scans allowed are the QUERY set
+    * (vec_id-filtered at the reader) — an unfiltered corpus scan means a
+    * build stage (pqEncode/ivfAssign over the floats) crept back in.
+    */
+  test("pure-retrieve PQ serves never scan the float corpus") {
+    Seq("q_ivfpq_topk_indexed", "q_ivfpq_res_topk").foreach { name =>
+      scansOf(name).filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("embeddings")))
+        .foreach { s =>
+          // a BOUNDING predicate, not merely any mention of vec_id: an
+          // in-plan rebuild's full-corpus scan still gets IsNotNull(vec_id)
+          // pushed via the downstream equi-join, so "contains(vec_id)" alone
+          // cannot catch the regression this test exists for (review catch) —
+          // the query set's vec_id < NumQueries range filter is the signature
+          val pushed = s.metadata.getOrElse("PushedFilters", "")
+          assert(pushed.contains("LessThan(vec_id"),
+            s"$name: embeddings scan without a bounding vec_id predicate " +
+              s"(an index build crept into the indexed serve?): $pushed")
+        }
+    }
   }
 
   /** The media metadata query prunes the opaque payload blob: its stats come

@@ -1001,6 +1001,69 @@ object Embeddings {
       .unionByName(out.select(col("query_id"), col("neighbor_id"), col("rank")))
   }
 
+  /** [[graphSearch]] with a tombstone set excluded from the ANSWER — the
+    * production delete story BEFORE compaction: a deleted vector cannot be
+    * returned, but the graph still ROUTES THROUGH it (its node and edges
+    * remain until [[graphDelete]] compacts), so search connectivity is
+    * unchanged and the serve pays only one anti-join on the final visited
+    * set (tombstones live beside the index as an id list; at 100 TB the
+    * anti-join is id-keyed and partition-local to the top-k cut).
+    */
+  def graphSearchExcluding(vectors: DataFrame, queries: DataFrame,
+                           graph: DataFrame, centroids: DataFrame, nProbe: Int,
+                           beam: Int, rounds: Int, k: Int,
+                           tombstones: DataFrame): DataFrame =
+    topKPerQuery(
+      graphSearchStages(vectors, queries, graph, centroids, nProbe, beam,
+          rounds).last._2
+        .join(tombstones.select(col("vec_id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti"),
+      k)
+
+  /** DELETE a tombstone batch from an existing kNN graph — [[graphInsert]]'s
+    * counterpart, the compaction half of index freshness: deleted nodes'
+    * adjacency lists vanish with them, and every surviving node that pointed
+    * at a deleted neighbor re-prunes over its REMAINING neighbors plus each
+    * deleted neighbor's own (live) out-neighbors — the connect-around patch
+    * (the HNSW repair recipe), so local connectivity survives the hole
+    * without a rebuild and degree stays ≤ k.
+    *
+    * Scale shape: pure equi-joins — tombstones hit the edge list as
+    * anti/semi-joins, patch candidates come from one edge⋈edge join keyed on
+    * the deleted node id (≤ |tomb|·k² rows), rescoring is id-keyed point
+    * lookups against the LIVE store, the cut to k is the bounded TopK heap,
+    * and untouched nodes' rows pass through an anti-join unread. No
+    * broadcast hints: the tombstone set is a corpus fraction, not a batch —
+    * AQE picks the strategy per actual size. Returns the compacted
+    * adjacency (query_id, neighbor_id).
+    */
+  def graphDelete(store: DataFrame, graph: DataFrame, tombstones: DataFrame,
+                  k: Int): DataFrame = {
+    val tomb = tombstones.select(col("vec_id"))
+    val tombQ = tomb.select(col("vec_id").as("query_id"))
+    val tombN = tomb.select(col("vec_id").as("neighbor_id"))
+    val edges = graph.select(col("query_id"), col("neighbor_id"))
+    // deleted nodes' own lists vanish with them
+    val kept = edges.join(tombQ, Seq("query_id"), "left_anti")
+    // an edge u → d with d tombstoned breaks u's list: u re-prunes
+    val broken = kept.join(tombN, Seq("neighbor_id"), "left_semi")
+    val affected = broken.select("query_id").distinct()
+    // connect-around: for each broken u → d, d's own out-neighbors become
+    // u's candidates (still-tombstoned ones drop in the anti-join below)
+    val viaDeleted = broken.select(col("query_id"), col("neighbor_id").as("mid"))
+      .join(edges.select(col("query_id").as("mid"), col("neighbor_id")), Seq("mid"))
+      .select(col("query_id"), col("neighbor_id"))
+    val cands = kept.join(affected, Seq("query_id"), "left_semi")
+      .unionByName(viaDeleted)
+      .join(tombN, Seq("neighbor_id"), "left_anti")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+    val live = store.join(tomb, Seq("vec_id"), "left_anti")
+    val repaired = scoreCandidatesTopK(live, cands, k)
+    kept.join(affected, Seq("query_id"), "left_anti")
+      .unionByName(repaired.select(col("query_id"), col("neighbor_id")))
+  }
+
   /** Streaming graph-index MAINTENANCE — [[indexIngestSink]]'s contract for
     * the graph family: newly-arriving vectors are inserted per micro-batch
     * with [[graphInsert]] against the caller's CURRENT (store, graph), and
@@ -1034,6 +1097,38 @@ object Embeddings {
             centroids, nProbe, beam, rounds, k))
           val grownStore = Lineage.cut(store.unionByName(fresh))
           onBatch(grownStore, updated)
+        }
+      }
+      .start()
+
+  /** The DELETE path of streaming graph-index maintenance — tombstone ids
+    * arrive as a stream and each micro-batch compacts the caller's CURRENT
+    * (store, graph) with [[graphDelete]], handing back the shrunk pair.
+    * Redelivery-safe the same way [[graphIngestSink]] is (review catch for
+    * that sink, applied here from the start): ids NOT in the current store
+    * are dropped by a semi-join before compaction, so a replayed batch whose
+    * swap already landed is a no-op — without it, a replay would re-run the
+    * repair over an already-compacted graph and (harmlessly but wastefully)
+    * rescore; with it the batch is provably empty. A production deployment
+    * interleaves this sink with the insert sink on one maintained pair and
+    * schedules [[graphDelete]]-style full compaction off the serving path;
+    * between compactions serves go through [[graphSearchExcluding]].
+    */
+  def graphTombstoneSink(idStream: DataFrame, k: Int, checkpointDir: String)
+                        (current: () => (DataFrame, DataFrame))
+                        (onBatch: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    idStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (store, graph) = current()
+        val tomb = Lineage.cut(batch.toDF().select(col("vec_id"))
+          .join(store.select("vec_id"), Seq("vec_id"), "left_semi"))
+        if (!tomb.isEmpty) {
+          val compacted = Lineage.cut(graphDelete(store, graph, tomb, k))
+          val shrunkStore = Lineage.cut(
+            store.join(tomb, Seq("vec_id"), "left_anti"))
+          onBatch(shrunkStore, compacted)
         }
       }
       .start()

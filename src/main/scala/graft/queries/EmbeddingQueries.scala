@@ -831,6 +831,77 @@ object EmbeddingQueries {
       .unionByName(served)
   }
 
+  /** Deterministic tombstone predicate of the index-DELETE gate: ids
+    * ≡ [[TombRem]] (mod [[TombMod]]) — ~5% of the corpus, spread across the
+    * id range (and thus across IVF cells). The centroid/query prefix is
+    * excluded so entry points and the standard query set stay live: the
+    * gate prices what deletion does to the GRAPH, not to the probe seeding
+    * (a production store versions entry points separately).
+    */
+  val TombMod = 20
+  val TombRem = 7
+
+  /** `q_graph_delete_recall`: the OTHER half of index freshness priced —
+    * `q_graph_insert_recall`'s shape for deletes. A deterministic ~5%
+    * tombstone set ([[TombMod]]/[[TombRem]]) is deleted three ways, and for
+    * each the STANDARD query set's beam-search recall vs the exact top-[[K]]
+    * over the LIVE corpus is gated with the graph's edge count beside it,
+    * as (stage, hits, total, n_edges) rows:
+    *
+    *   - `tombstoned`: the persisted full-corpus index [[gsIndex]] served
+    *     with the serve-time anti-join ([[Embeddings.graphSearchExcluding]])
+    *     — deleted vectors can't be answers but still route; zero index
+    *     maintenance paid, edge count unchanged;
+    *   - `compacted`: [[Embeddings.graphDelete]]'s connect-around compaction
+    *     (deleted nodes gone, broken lists re-pruned over patched
+    *     candidates), then a normal serve — what the index looks like after
+    *     the maintenance job runs;
+    *   - `rebuilt`: a from-scratch build over the live corpus (the
+    *     [[gsIndex]] recipe: IVF-cell seed + one NN-Descent round) — the
+    *     freshness ceiling a full rebuild would pay for.
+    *
+    * The tombstoned-vs-compacted gap prices route-through serving; the
+    * compacted-vs-rebuilt gap is what connect-around repair gives up vs a
+    * rebuild (measured, not asserted). Edge counts pin that compaction
+    * keeps degree bounded without rebuilding.
+    */
+  def graphDeleteRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val floor = math.max(NumCentroids, NumQueries)
+    val tomb = v.filter(col("vec_id") % TombMod === TombRem &&
+        col("vec_id") >= floor)
+      .select("vec_id")
+    val live = v.join(tomb, Seq("vec_id"), "left_anti")
+    val cents = v.filter(col("vec_id") < NumCentroids)
+    val q = queryVectors(spark, dir)
+    val (graph, _) = gsIndex(spark, dir)
+    // the recall baseline: exact top-K over the LIVE corpus (a deleted
+    // vector is not a correct answer by definition); cut — three stage rows
+    // consume it
+    val exact = graft.operators.Lineage.cut(
+      Embeddings.knnExact(live, q, K).select(col("query_id"), col("neighbor_id")))
+    def stageRow(label: String, served: DataFrame, g: DataFrame): DataFrame =
+      Embeddings.knnRecallTotals(exact, served)
+        .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(label).as("stage"), col("hits"), col("total"),
+          col("n_edges"))
+    val servedTomb = Embeddings.graphSearchExcluding(v, q, graph, cents,
+      NProbe, GsBeam, GsRounds, K, tomb)
+    val compacted = graft.operators.Lineage.cut(
+      Embeddings.graphDelete(v, graph, tomb, K))
+    val servedComp = Embeddings.graphSearch(live, q, compacted, cents,
+      NProbe, GsBeam, GsRounds, K)
+    val rebuilt = graft.operators.Lineage.cut(
+      Embeddings.nnDescentRound(live,
+        graft.operators.Lineage.cut(
+          Embeddings.knnGraphSeed(live, cents, NnSeedAssign, K)), K))
+    val servedReb = Embeddings.graphSearch(live, q, rebuilt, cents,
+      NProbe, GsBeam, GsRounds, K)
+    stageRow("tombstoned", servedTomb, graph)
+      .unionByName(stageRow("compacted", servedComp, compacted))
+      .unionByName(stageRow("rebuilt", servedReb, rebuilt))
+  }
+
   /** Candidate-pool depth of the binary-quantization serve (the full-dim
     * rerank then cuts to [[K]] — [[MrlServeR]]'s economics at 1 bit/dim).
     */
@@ -921,6 +992,7 @@ object EmbeddingQueries {
     "q_graph_search_recall" -> (graphSearchRecallQ _),
     "q_graph_sweep" -> (graphSweepQ _),
     "q_graph_insert_recall" -> (graphInsertRecallQ _),
+    "q_graph_delete_recall" -> (graphDeleteRecallQ _),
     "q_ivfpq_topk_indexed" -> (ivfPqTopKIndexed _),
     "q_ann_filtered_sweep" -> (annFilteredSweep _),
     "q_nndescent_graph" -> (nnDescentGraph _),
@@ -1663,6 +1735,116 @@ object EmbeddingQueries {
         ${gsWaveCtes(GsBeam, "_m", "upedges", "gs0_m", "q")},
         ${gsTopCte("serve_m", "vis2_m", K.toString)}"""
 
+  /** The delete-gate oracle's chain: the deterministic tombstone set, the
+    * live corpus and the exact baseline over it, then the three stages —
+    * the full-graph search's visited set anti-filtered
+    * ([[Embeddings.graphSearchExcluding]]'s replay over `vis2`),
+    * [[Embeddings.graphDelete]]'s connect-around compaction replayed edge
+    * for edge (kept minus broken, patch candidates through the deleted
+    * node's list, re-prune by the shared cosine) with a serve over the
+    * compacted graph, and the [[nnGraphCtes]] build replayed over the live
+    * corpus (suffix `_r`) with its own serve. Both extra wave chains reuse
+    * the beam-independent `gs0` probe (live centroids — the tombstone floor
+    * keeps the prefix out of the set).
+    */
+  private val gsDeleteCtes =
+    s""", tombd AS MATERIALIZED (SELECT vec_id FROM v
+          WHERE vec_id % $TombMod = $TombRem
+            AND vec_id >= ${math.max(NumCentroids, NumQueries)}),
+        lv AS MATERIALIZED (SELECT vec_id, e FROM v
+          WHERE vec_id NOT IN (SELECT vec_id FROM tombd)),
+        dexact AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qq.query_id, lv.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY qq.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> qq.qe[i]*lv.e[i]))
+                  / (nq.nm * nv.nm)) DESC, lv.vec_id ASC) AS rank
+            FROM q qq JOIN lv ON lv.vec_id <> qq.query_id
+            JOIN nrm nq ON nq.vec_id = qq.query_id
+            JOIN nrm nv ON nv.vec_id = lv.vec_id)
+          WHERE rank <= $K),
+        vis2x AS (SELECT query_id, neighbor_id, score FROM vis2
+          WHERE neighbor_id NOT IN (SELECT vec_id FROM tombd)),
+        ${gsTopCte("tomb_serve", "vis2x", K.toString)},
+        keptd AS MATERIALIZED (SELECT node_id, neighbor_id FROM round1
+          WHERE node_id NOT IN (SELECT vec_id FROM tombd)),
+        brokend AS MATERIALIZED (SELECT node_id, neighbor_id FROM keptd
+          WHERE neighbor_id IN (SELECT vec_id FROM tombd)),
+        affd AS MATERIALIZED (SELECT DISTINCT node_id FROM brokend),
+        candd AS MATERIALIZED (
+          SELECT DISTINCT node_id, neighbor_id FROM (
+            SELECT k.node_id, k.neighbor_id FROM keptd k
+              JOIN affd a USING (node_id)
+            UNION ALL
+            SELECT b.node_id, g.neighbor_id FROM brokend b
+              JOIN round1 g ON g.node_id = b.neighbor_id)
+          WHERE neighbor_id NOT IN (SELECT vec_id FROM tombd)
+            AND node_id <> neighbor_id),
+        repaird AS MATERIALIZED (
+          SELECT node_id, neighbor_id FROM (
+            SELECT cd.node_id, cd.neighbor_id,
+              row_number() OVER (PARTITION BY cd.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, cd.neighbor_id ASC) AS rank
+            FROM candd cd
+            JOIN v va ON va.vec_id = cd.node_id
+            JOIN v vb ON vb.vec_id = cd.neighbor_id
+            JOIN nrm na ON na.vec_id = cd.node_id
+            JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
+          WHERE rank <= $K),
+        compd AS MATERIALIZED (
+          SELECT node_id, neighbor_id FROM keptd
+          WHERE node_id NOT IN (SELECT node_id FROM affd)
+          UNION ALL SELECT node_id, neighbor_id FROM repaird)
+        ${gsWaveCtes(GsBeam, "_d", "compd", "gs0", "q")},
+        ${gsTopCte("serve_d", "vis2_d", K.toString)},
+        massign_r AS MATERIALIZED (
+          SELECT vec_id, cent_id FROM (
+            SELECT lv.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY lv.vec_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> lv.e[i]*c.ce[i]))
+                  / (nv.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+            FROM lv CROSS JOIN c
+            JOIN nrm nv ON nv.vec_id = lv.vec_id
+            JOIN nrm nc ON nc.vec_id = c.cent_id)
+          WHERE rn <= $NnSeedAssign),
+        scand_r AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS node_id, b.vec_id AS neighbor_id
+          FROM massign_r a JOIN massign_r b
+            ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        seed_r AS MATERIALIZED (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT sc.node_id, sc.neighbor_id,
+              row_number() OVER (PARTITION BY sc.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, sc.neighbor_id ASC) AS rank
+            FROM scand_r sc
+            JOIN v va ON va.vec_id = sc.node_id
+            JOIN v vb ON vb.vec_id = sc.neighbor_id
+            JOIN nrm na ON na.vec_id = sc.node_id
+            JOIN nrm nb ON nb.vec_id = sc.neighbor_id)
+          WHERE rank <= $K),
+        und_r AS MATERIALIZED (SELECT node_id AS u, neighbor_id AS w FROM seed_r
+                 UNION ALL SELECT neighbor_id, node_id FROM seed_r),
+        cand_r AS MATERIALIZED (SELECT node_id, neighbor_id FROM seed_r
+                  UNION
+                  SELECT x.u AS node_id, y.w AS neighbor_id
+                  FROM und_r x JOIN und_r y ON x.w = y.u WHERE x.u <> y.w),
+        round1_r AS MATERIALIZED (
+          SELECT node_id, neighbor_id, rank FROM (
+            SELECT cd.node_id, cd.neighbor_id,
+              row_number() OVER (PARTITION BY cd.node_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> va.e[i]*vb.e[i]))
+                  / (na.nm * nb.nm)) DESC, cd.neighbor_id ASC) AS rank
+            FROM cand_r cd
+            JOIN v va ON va.vec_id = cd.node_id
+            JOIN v vb ON vb.vec_id = cd.neighbor_id
+            JOIN nrm na ON na.vec_id = cd.node_id
+            JOIN nrm nb ON nb.vec_id = cd.neighbor_id)
+          WHERE rank <= $K)
+        ${gsWaveCtes(GsBeam, "_r", "round1_r", "gs0", "q")},
+        ${gsTopCte("serve_r", "vis2_r", K.toString)}"""
+
   /** One scored-expansion block of the beam-search oracle: score `src`'s
     * (query_id, neighbor_id) pairs with the shared sequential-double cosine
     * (the exact arithmetic [[Embeddings.graphSearchStages]]' score join
@@ -1890,6 +2072,24 @@ object EmbeddingQueries {
                  (SELECT count(*) FROM upedges)::BIGINT AS n_edges
           FROM exact e LEFT JOIN serve_m m
             ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id"""),
+    "q_graph_delete_recall" -> (base + nnGraphCtes + gsCtes + gsDeleteCtes +
+      s""" SELECT 'tombstoned' AS stage, count(t.neighbor_id)::BIGINT AS hits,
+                  count(*)::BIGINT AS total,
+                  (SELECT count(*) FROM round1)::BIGINT AS n_edges
+          FROM dexact e LEFT JOIN tomb_serve t
+            ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+          UNION ALL
+          SELECT 'compacted' AS stage, count(t.neighbor_id)::BIGINT AS hits,
+                 count(*)::BIGINT AS total,
+                 (SELECT count(*) FROM compd)::BIGINT AS n_edges
+          FROM dexact e LEFT JOIN serve_d t
+            ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+          UNION ALL
+          SELECT 'rebuilt' AS stage, count(t.neighbor_id)::BIGINT AS hits,
+                 count(*)::BIGINT AS total,
+                 (SELECT count(*) FROM round1_r)::BIGINT AS n_edges
+          FROM dexact e LEFT JOIN serve_r t
+            ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id"""),
     "q_graph_search_indexed" -> (base + nnGraphCtes + gsCtes +
       s""", ${gsTopCte("gsfinal", "vis2", K.toString)}
          SELECT query_id, neighbor_id, rn::BIGINT AS rank FROM gsfinal"""),

@@ -180,6 +180,143 @@ class GraphSearchSpec extends SparkSpec {
     ()
   }
 
+  /** Graph deletion ([[Embeddings.graphDelete]] — [[Embeddings.graphInsert]]'s
+    * counterpart): tombstoned nodes' lists vanish, no surviving list points
+    * at a tombstone, untouched lists pass through intact, and every broken
+    * list re-prunes to the exact top-k over its remaining neighbors plus the
+    * connect-around candidates — checked against a driver-side recompute
+    * from the raw embeddings (same sequential-double cosine).
+    */
+  test("graphDelete: tombstones gone, connect-around re-prune exact, untouched intact") {
+    import org.apache.spark.sql.functions.{col => c}
+    val all = vectors.cache()
+    val tomb = all.filter(c("vec_id") % 17 === 5 && c("vec_id") >= EmbeddingQueries.NumCentroids)
+      .select("vec_id").localCheckpoint(true)
+    val tombIds = tomb.as[Long].collect().toSet
+    assert(tombIds.nonEmpty)
+    val g0 = graph
+    val g1 = Embeddings.graphDelete(all, g0, tomb, K).as[(Long, Long)].collect()
+    assert(!g1.exists(r => tombIds(r._1)), "a deleted node kept its list")
+    assert(!g1.exists(r => tombIds(r._2)), "a surviving list points at a tombstone")
+    val old = g0.as[(Long, Long, Int)].collect()
+    val oldByNode = old.groupBy(_._1)
+    val byNode = g1.groupBy(_._1)
+    val affected = oldByNode.collect {
+      case (v, rows) if !tombIds(v) && rows.exists(r => tombIds(r._2)) => v
+    }.toSet
+    assert(affected.nonEmpty, "tombstone set broke no list — vacuous test data")
+    // untouched survivors keep their exact adjacency
+    oldByNode.keys.filterNot(tombIds).filterNot(affected).foreach { v =>
+      assert(byNode(v).map(_._2).toSet === oldByNode(v).map(_._2).toSet,
+        s"untouched $v drifted")
+    }
+    // affected survivors re-prune to the exact top-k over live remaining ∪
+    // connect-around candidates
+    val emb = all.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    affected.foreach { v =>
+      val oldList = oldByNode(v).map(_._2)
+      val viaDeleted = oldList.filter(tombIds)
+        .flatMap(d => oldByNode.getOrElse(d, Array.empty).map(_._2))
+      val cands = (oldList.filterNot(tombIds) ++ viaDeleted)
+        .filterNot(tombIds).filterNot(_ == v).toSet
+      val expect = cands.toSeq
+        .map(n => (n, cos(v, n)))
+        .sortBy { case (n, s) => (-s, n) }
+        .take(K).map(_._1).toSet
+      assert(byNode(v).map(_._2).toSet === expect, s"re-pruned list wrong for $v")
+      assert(byNode(v).length <= K)
+    }
+    all.unpersist()
+    ()
+  }
+
+  /** Serve-time tombstoning ([[Embeddings.graphSearchExcluding]]): with an
+    * empty tombstone set the serve IS [[Embeddings.graphSearch]]; with one,
+    * no tombstoned id is ever an answer while the search still routes
+    * through deleted nodes (results stay ranked and bounded).
+    */
+  test("graphSearchExcluding: anti-joins answers, identity on empty tombstones") {
+    val queries = vectors.filter(col("vec_id") < EmbeddingQueries.NumQueries)
+    val g = graph
+    val none = Seq.empty[Long].toDF("vec_id")
+    val plain = Embeddings.graphSearch(vectors, queries, g, centroids,
+        EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K)
+      .as[(Long, Long, Int)].collect().toSet
+    val id = Embeddings.graphSearchExcluding(vectors, queries, g, centroids,
+        EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K,
+        none)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(id === plain, "empty tombstone set changed the serve")
+    val tombIds = plain.map(_._2).take(3)
+    val served = Embeddings.graphSearchExcluding(vectors, queries, g, centroids,
+        EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K,
+        tombIds.toSeq.toDF("vec_id"))
+      .as[(Long, Long, Int)].collect()
+    assert(!served.exists(r => tombIds(r._2)), "a tombstoned id was served")
+    served.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= K)
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length), s"ranks broken for $q")
+    }
+  }
+
+  /** Streaming delete parity ([[Embeddings.graphTombstoneSink]]): tombstone
+    * ids arriving across micro-batches must leave exactly the (store, graph)
+    * the same batched [[Embeddings.graphDelete]] sequence produces, and a
+    * redelivered batch is a no-op (the store semi-join).
+    */
+  test("graphTombstoneSink: streamed deletes equal the batch delete sequence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c}
+    val all = vectors.cache()
+    val tombIds = all.filter(c("vec_id") % 17 === 5 && c("vec_id") >= EmbeddingQueries.NumCentroids)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    val g0 = graph
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    @volatile var state = (all.select("vec_id", "embedding").localCheckpoint(true), g0)
+    val q = Embeddings.graphTombstoneSink(
+      in.toDF().toDF("vec_id"), K,
+      java.nio.file.Files.createTempDirectory("gt-ck").toString)(() => state) {
+      (s, g) => state = (s, g)
+    }
+    val chunks = tombIds.grouped(math.max(1, tombIds.size / 2)).toSeq
+    chunks.foreach { ch => in.addData(ch); q.processAllAvailable() }
+    // at-least-once redelivery: already-deleted ids are a no-op
+    val before = state._2.as[(Long, Long)].collect().toSet
+    in.addData(chunks.head)
+    q.processAllAvailable()
+    assert(state._2.as[(Long, Long)].collect().toSet === before,
+      "redelivered tombstones must not change the graph")
+    q.stop()
+
+    var batchState: (DataFrame, DataFrame) =
+      (all.select("vec_id", "embedding"), g0)
+    chunks.foreach { ch =>
+      val ids = ch.toDF("vec_id")
+      batchState = (
+        batchState._1.join(ids, Seq("vec_id"), "left_anti").localCheckpoint(true),
+        Embeddings.graphDelete(batchState._1, batchState._2, ids, K)
+          .localCheckpoint(true))
+    }
+    assert(state._2.as[(Long, Long)].collect().toSet
+      === batchState._2.as[(Long, Long)].collect().toSet)
+    assert(state._1.select("vec_id").as[Long].collect().toSet
+      === batchState._1.select("vec_id").as[Long].collect().toSet)
+    all.unpersist()
+    ()
+  }
+
   /** Stream-static serving parity ([[Embeddings.graphProbeSink]]): query
     * micro-batches answered from the ONE pre-built graph + static store must
     * equal the batch search for the same query set, at every chunking —

@@ -88,10 +88,11 @@ class PlanAuditSpec extends SparkSpec {
     // baseline. The search waves themselves are pure equi-joins + bounded
     // heaps (see Embeddings.graphSearchStages).
     "q_graph_search_indexed", "q_graph_search_recall", "q_graph_sweep",
-    // Index MAINTENANCE gate: its lineage legitimately contains a build —
-    // the store-side seed's O(n·C) broadcast-centroid assignment probe, the
-    // insert search's entry probe, and the knnExact baseline over the batch
-    "q_graph_insert_recall",
+    // Index MAINTENANCE gates: their lineages legitimately contain a build —
+    // the store/live-side seed's O(n·C) broadcast-centroid assignment probe,
+    // the serve's entry probe, and the knnExact baseline (batch / live
+    // corpus respectively)
+    "q_graph_insert_recall", "q_graph_delete_recall",
     // Binary-quantization serving: the Hamming scan is the documented
     // broadcast-query probe over packed integer signatures (n × queries,
     // no join key by design); the recall twin adds the knnExact baseline.

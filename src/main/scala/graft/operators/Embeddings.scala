@@ -436,6 +436,55 @@ object Embeddings {
         probes.max, pred),
       knnExact(vectors.filter(pred), queries, k), probes, k)
 
+  /** Filtered-search STRATEGY CROSSOVER — the switch every production
+    * vector store implements: when the metadata predicate is selective
+    * enough, skip the index and brute-force the filtered subset (PRE-filter
+    * — recall 1.0 by construction at cost |subset|·queries), otherwise
+    * probe the index and drop non-matching candidates before scoring
+    * (POST-filter — [[ivfFilteredProbeSweep]]). This gate prices both arms
+    * across a predicate-selectivity ladder (`label < s`, labels uniform
+    * 0–9, so s ≈ s·10% of the corpus) as (sel, arm, nprobe, hits, total,
+    * n_scored) rows: the `pre` row's hits EQUAL total by definition (it IS
+    * the exact baseline — its information is the n_scored cost), and the
+    * `post` rows are the per-depth recall/cost curve against that same
+    * baseline. The crossover reads off the table: wherever post-filter
+    * needs depth ≈ the centroid count to match pre-filter's recall, its
+    * scored-candidate cost has converged to the pre-filter scan and the
+    * index buys nothing — the selectivity at which that happens is the
+    * production switch point. One exact baseline per selectivity, cut —
+    * both arms read it.
+    */
+  def ivfFilterCrossoverSweep(vectors: DataFrame, queries: DataFrame,
+                              numCentroids: Int, selLabels: Seq[Int],
+                              probes: Seq[Int], k: Int): DataFrame =
+    selLabels.map { s =>
+      val pred = col("label") < s
+      val sub = vectors.filter(pred)
+      val exact = Lineage.cut(knnExact(sub, queries, k)
+        .select(col("query_id"), col("neighbor_id")))
+      val post = probeSweepOver(
+          probedCandidates(vectors, queries,
+            firstCentroids(vectors, numCentroids), probes.max, pred),
+          exact, probes, k)
+        .select(lit(s.toLong).as("sel"), lit("post").as("arm"), col("nprobe"),
+          col("hits"), col("total"), col("n_candidates").as("n_scored"))
+      // the pre arm's cost: every (query, live subset member) pair is
+      // scored except self-pairs — pure scalar arithmetic, no extra
+      // corpus-sized pass
+      val preCost = sub.agg(count(lit(1)).as("n_sub"))
+        .crossJoin(sub.select(col("vec_id"))
+          .join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap")))
+        .crossJoin(queries.agg(count(lit(1)).as("n_q")))
+        .select((col("n_sub") * col("n_q") - col("n_overlap")).as("n_scored"))
+      val pre = exact.agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(preCost))
+        .select(lit(s.toLong).as("sel"), lit("pre").as("arm"),
+          lit(0L).as("nprobe"), col("cnt").as("hits"), col("cnt").as("total"),
+          col("n_scored"))
+      post.unionByName(pre)
+    }.reduce(_.unionByName(_))
+
   /** The shared sweep tail: fan scored candidates across the probe depths
     * (a candidate at bucket rank r serves every depth ≥ r), bounded TopK
     * per (depth, query), recall vs the given exact baseline, and the

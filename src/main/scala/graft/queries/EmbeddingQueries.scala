@@ -80,6 +80,25 @@ object EmbeddingQueries {
       queryVectors(spark, dir), NumCentroids, FilteredSweepProbes, K,
       col("label") === FilterLabel)
 
+  /** Selectivity ladder of the pre/post-filter crossover gate: `label < s`
+    * keeps ≈ s·10% of the corpus (labels uniform 0–9) — 10%, 30%, 60%,
+    * bracketing the range where production stores flip strategy.
+    */
+  val XoverSels: Seq[Int] = Seq(1, 3, 6)
+
+  /** `q_ann_filter_xover`: the filtered-search STRATEGY SWITCH priced
+    * ([[Embeddings.ivfFilterCrossoverSweep]]) — at each predicate
+    * selectivity, the post-filter index probe's per-depth recall/cost curve
+    * NEXT TO the pre-filter brute-force-over-subset arm (exact by
+    * construction; its row carries the scan cost). Read beside
+    * `q_ann_filtered_sweep` (the post-filter mechanics at one predicate):
+    * this gate answers the question a query planner actually asks — at
+    * WHICH selectivity does probing stop beating the filtered scan.
+    */
+  def annFilterXover(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.ivfFilterCrossoverSweep(vectors(spark, dir),
+      queryVectors(spark, dir), NumCentroids, XoverSels, FilteredSweepProbes, K)
+
   def sq8TopK(spark: SparkSession, dir: String): DataFrame =
     Embeddings.sq8TopK(vectors(spark, dir), queryVectors(spark, dir), K)
 
@@ -995,6 +1014,7 @@ object EmbeddingQueries {
     "q_graph_delete_recall" -> (graphDeleteRecallQ _),
     "q_ivfpq_topk_indexed" -> (ivfPqTopKIndexed _),
     "q_ann_filtered_sweep" -> (annFilteredSweep _),
+    "q_ann_filter_xover" -> (annFilterXover _),
     "q_nndescent_graph" -> (nnDescentGraph _),
     "q_nndescent_recall" -> (nnDescentRecall _),
     "q_srp_neardup" -> (srpNearDup _),
@@ -1845,6 +1865,59 @@ object EmbeddingQueries {
         ${gsWaveCtes(GsBeam, "_r", "round1_r", "gs0", "q")},
         ${gsTopCte("serve_r", "vis2_r", K.toString)}"""
 
+  /** One selectivity rung of the crossover oracle (`label < s`, suffix
+    * `_x$s`): the `q_ann_filtered_sweep` replay over this rung's subset —
+    * exact baseline, post-filtered probe candidates against the shared
+    * `fpr_x`/`fcfg_x` probe ranking, per-depth top-[[K]]/hits/candidate
+    * counts. The pre-filter arm needs no CTEs of its own: its hits/total
+    * ARE the baseline's row count and its cost is scalar arithmetic over
+    * `flbl_x$s`.
+    */
+  private def xoverSelCtes(s: Int): String =
+    s""", flbl_x$s AS (SELECT vec_id FROM embeddings WHERE label < $s),
+        fex_x$s AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                (list_sum(list_transform(range(1, 65), i -> q.qe[i]*v.e[i]))
+                  / (nq.nm * nv.nm)) DESC, v.vec_id ASC) AS rank
+            FROM q JOIN v ON v.vec_id <> q.query_id
+            JOIN flbl_x$s fl ON fl.vec_id = v.vec_id
+            JOIN nrm nq ON nq.vec_id = q.query_id
+            JOIN nrm nv ON nv.vec_id = v.vec_id)
+          WHERE rank <= $K),
+        fcand_x$s AS MATERIALIZED (
+          SELECT p.query_id, p.c_rank, a.vec_id AS neighbor_id,
+            (list_sum(list_transform(range(1, 65), i -> p.qe[i]*v.e[i]))
+              / (nq.nm * nv.nm)) AS score
+          FROM fpr_x p
+          JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+          JOIN flbl_x$s fl ON fl.vec_id = a.vec_id
+          JOIN v ON v.vec_id = a.vec_id
+          JOIN nrm nq ON nq.vec_id = p.query_id
+          JOIN nrm nv ON nv.vec_id = a.vec_id),
+        fswept_x$s AS (
+          SELECT fcfg_x.nprobe, cd.query_id, cd.neighbor_id, cd.score
+          FROM fcand_x$s cd JOIN fcfg_x ON cd.c_rank <= fcfg_x.nprobe),
+        fivf_x$s AS (
+          SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT nprobe, query_id, neighbor_id,
+              row_number() OVER (PARTITION BY nprobe, query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM fswept_x$s)
+          WHERE rnk <= $K),
+        fexs_x$s AS (SELECT fcfg_x.nprobe, e.query_id, e.neighbor_id
+                     FROM fex_x$s e CROSS JOIN fcfg_x),
+        fh_x$s AS (
+          SELECT fexs_x$s.nprobe, count(i.neighbor_id) AS hits,
+                 count(*) AS total
+          FROM fexs_x$s LEFT JOIN fivf_x$s i
+            ON i.nprobe = fexs_x$s.nprobe AND i.query_id = fexs_x$s.query_id
+               AND i.neighbor_id = fexs_x$s.neighbor_id
+          GROUP BY 1),
+        fncand_x$s AS (SELECT nprobe, count(*) AS n_candidates
+                       FROM fswept_x$s GROUP BY 1)"""
+
   /** One scored-expansion block of the beam-search oracle: score `src`'s
     * (query_id, neighbor_id) pairs with the shared sequential-double cosine
     * (the exact arithmetic [[Embeddings.graphSearchStages]]' score join
@@ -2496,6 +2569,36 @@ object EmbeddingQueries {
           FROM fcfg
           LEFT JOIN fh USING (nprobe)
           LEFT JOIN fncand USING (nprobe)"""),
+    "q_ann_filter_xover" -> (base +
+      s""", fpr_x AS MATERIALIZED (
+            SELECT query_id, qe, cent_id, rn AS c_rank FROM (
+              SELECT q.query_id, q.qe, c.cent_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  (list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i]))
+                    / (nq.nm * nc.nm)) DESC, c.cent_id ASC) AS rn
+              FROM q CROSS JOIN c
+              JOIN nrm nq ON nq.vec_id = q.query_id
+              JOIN nrm nc ON nc.vec_id = c.cent_id)
+            WHERE rn <= ${FilteredSweepProbes.max}),
+          fcfg_x AS (SELECT unnest([${FilteredSweepProbes.mkString(", ")}]) AS nprobe)""" +
+      XoverSels.map(xoverSelCtes).mkString + " " +
+      XoverSels.map { s =>
+        s"""SELECT CAST($s AS BIGINT) AS sel, 'post' AS arm,
+                  fcfg_x.nprobe::BIGINT AS nprobe,
+                  coalesce(fh_x$s.hits, 0)::BIGINT AS hits,
+                  coalesce(fh_x$s.total, 0)::BIGINT AS total,
+                  coalesce(fncand_x$s.n_candidates, 0)::BIGINT AS n_scored
+           FROM fcfg_x
+           LEFT JOIN fh_x$s USING (nprobe)
+           LEFT JOIN fncand_x$s USING (nprobe)
+           UNION ALL
+           SELECT CAST($s AS BIGINT) AS sel, 'pre' AS arm, 0::BIGINT AS nprobe,
+                  (SELECT count(*) FROM fex_x$s)::BIGINT AS hits,
+                  (SELECT count(*) FROM fex_x$s)::BIGINT AS total,
+                  ((SELECT count(*) FROM flbl_x$s) * (SELECT count(*) FROM q)
+                    - (SELECT count(*) FROM flbl_x$s
+                       WHERE vec_id < $NumQueries))::BIGINT AS n_scored"""
+      }.mkString(" UNION ALL ")),
     "q_ivf_sweep" -> (base +
       s""", pr AS (
             SELECT query_id, qe, cent_id, rn AS c_rank FROM (

@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed: Set[String] = Set(
     "q_knn_topk", "q_hard_negatives",
     "q_ann_topk", "q_ann_recall", "q_ivf_sweep", "q_ann_filtered_sweep",
+    "q_ann_filter_xover",
     "q_ivf_stats", "q_ivf_quality", "q_hybrid_rrf",
     "q_sq8_topk", "q_sq8_recall", "q_pq_topk", "q_pq_recall",
     "q_ivfpq_topk", "q_ivfpq_recall", "q_ivfpq_topk_indexed",

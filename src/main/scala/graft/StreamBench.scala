@@ -189,14 +189,16 @@ object StreamBench {
   }
 
   /** The streamed ANN serving tier: the sf embeddings table's vectors ALL
-    * replayed as a query stream against the pre-built IVF∘PQ index of the
+    * replayed as a query stream against the PERSISTED IVF∘PQ index of the
     * same corpus, each micro-batch answered through the full
     * retrieve-then-rerank plan ([[graft.operators.Embeddings.rerankProbeSink]]
     * — ADC pool from codes alone, exact rerank fetching queries×r float rows
-    * from the static store). The index (codes, assignments, codebook,
-    * centroids) is built ONCE and lineage-cut — per-trigger plans see static
-    * frames only, the serving contract. `rowsOut` counts emitted top-k
-    * neighbor rows; the pipeline is stateless (no watermark state), so
+    * from the static store). The index frames are the
+    * [[graft.queries.EmbeddingQueries.pqIndex]] artifact READ-BACKS — the
+    * same parquet parts every batch serving gate scans, so the streamed line
+    * prices the same artifact reads (the build, if not already ensured this
+    * session, runs before the measured section). `rowsOut` counts emitted
+    * top-k neighbor rows; the pipeline is stateless (no watermark state), so
     * state_rows/bytes report 0 — the serving tier's memory is the index,
     * not stream state.
     */
@@ -206,15 +208,10 @@ object StreamBench {
     import graft.operators.{Embeddings, Lineage}
     // Parameter-locked to the correctness-gated queries: if EmbeddingQueries'
     // constants move, this bench measures the same configuration (r10 ADVICE).
-    import graft.queries.EmbeddingQueries.{NumCentroids, NProbe, RerankR, K}
+    import graft.queries.EmbeddingQueries.{NProbe, RerankR, K}
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    val centroids = Lineage.cut(corpus.filter($"vec_id" < NumCentroids))
-    val codebook = Lineage.cut(Embeddings.pqCodebook(corpus))
-    val codes = Lineage.cut(Embeddings.pqEncode(corpus, codebook)
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("code")))
-    val assigned = Lineage.cut(Embeddings.ivfAssign(corpus, centroids)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id")))
+    val idx = graft.queries.EmbeddingQueries.pqIndex(spark, sfDir)
     val store = Lineage.cut(corpus)
 
     val rows = corpus.as[(Long, Array[Float])].collect()
@@ -222,8 +219,8 @@ object StreamBench {
     val in = MemoryStream[(Long, Array[Float])]
     var rowsOut = 0L
     val q = Embeddings.rerankProbeSink(
-      in.toDF().toDF("vec_id", "embedding"), codes, assigned, centroids,
-      codebook, store, nProbe = NProbe, r = RerankR, k = K,
+      in.toDF().toDF("vec_id", "embedding"), idx.codes, idx.assigned,
+      idx.centroids, idx.codebook, store, nProbe = NProbe, r = RerankR, k = K,
       Files.createTempDirectory("annserve-ck").toString) { res =>
       rowsOut += res.count()
       ()
@@ -239,28 +236,29 @@ object StreamBench {
     }
   }
 
-  /** Graph-ANN serving: query micro-batches answered from the PRE-BUILT
-    * NN-Descent graph via beam search
-    * ([[graft.operators.Embeddings.graphProbeSink]]) — the r15 serving tier
-    * measured at the same parameter lock as `q_graph_search_indexed`.
+  /** Graph-ANN serving: query micro-batches answered from the PERSISTED
+    * NN-Descent index via beam search
+    * ([[graft.operators.Embeddings.graphProbeSink]]) — the serving tier
+    * measured at the same parameter lock as `q_graph_search_indexed`, over
+    * the same [[graft.queries.EmbeddingQueries.gsIndex]] artifact read-backs
+    * that gate scans (edge list + entry vectors from parquet; any build runs
+    * before the measured section).
     */
   def runGraphServe(spark: SparkSession, sfDir: String, chunks: Int): Result = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.operators.{Embeddings, Lineage}
-    import graft.queries.EmbeddingQueries.{GsBeam, GsRounds, K, NProbe, NnSeedAssign, NumCentroids}
+    import graft.queries.EmbeddingQueries.{GsBeam, GsRounds, K, NProbe}
     val corpus = Lineage.cut(spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding"))
-    val centroids = Lineage.cut(corpus.filter($"vec_id" < NumCentroids))
-    val graph = Lineage.cut(Embeddings.nnDescentRound(corpus,
-      Embeddings.knnGraphSeed(corpus, centroids, NnSeedAssign, K), K))
+    val (graph, entries) = graft.queries.EmbeddingQueries.gsIndex(spark, sfDir)
 
     val rows = corpus.as[(Long, Array[Float])].collect()
     val chunkSize = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
     val in = MemoryStream[(Long, Array[Float])]
     var rowsOut = 0L
     val q = Embeddings.graphProbeSink(
-      in.toDF().toDF("vec_id", "embedding"), graph, corpus, centroids,
+      in.toDF().toDF("vec_id", "embedding"), graph, corpus, entries,
       nProbe = NProbe, beam = GsBeam, rounds = GsRounds, k = K,
       Files.createTempDirectory("graphserve-ck").toString) { res =>
       rowsOut += res.count()

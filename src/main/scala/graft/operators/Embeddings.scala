@@ -1083,15 +1083,20 @@ object Embeddings {
     * lookups against the LIVE store, the cut to k is the bounded TopK heap,
     * and untouched nodes' rows pass through an anti-join unread. No
     * broadcast hints: the tombstone set is a corpus fraction, not a batch —
-    * AQE picks the strategy per actual size. Returns the compacted
-    * adjacency (query_id, neighbor_id).
+    * AQE picks the strategy per actual size. Returns the compacted graph as
+    * (query_id, neighbor_id, rank) — untouched rows keep their original
+    * rank (their lists didn't change), repaired lists carry the fresh
+    * re-prune ranks — so the output satisfies [[graphInsert]]'s input
+    * contract and the two maintenance operators interleave on one
+    * maintained pair (review catch: a rank-less output broke the
+    * delete→insert composition both sinks advertise).
     */
   def graphDelete(store: DataFrame, graph: DataFrame, tombstones: DataFrame,
                   k: Int): DataFrame = {
     val tomb = tombstones.select(col("vec_id"))
     val tombQ = tomb.select(col("vec_id").as("query_id"))
     val tombN = tomb.select(col("vec_id").as("neighbor_id"))
-    val edges = graph.select(col("query_id"), col("neighbor_id"))
+    val edges = graph.select(col("query_id"), col("neighbor_id"), col("rank"))
     // deleted nodes' own lists vanish with them
     val kept = edges.join(tombQ, Seq("query_id"), "left_anti")
     // an edge u → d with d tombstoned breaks u's list: u re-prunes
@@ -1102,7 +1107,8 @@ object Embeddings {
     val viaDeleted = broken.select(col("query_id"), col("neighbor_id").as("mid"))
       .join(edges.select(col("query_id").as("mid"), col("neighbor_id")), Seq("mid"))
       .select(col("query_id"), col("neighbor_id"))
-    val cands = kept.join(affected, Seq("query_id"), "left_semi")
+    val cands = kept.select(col("query_id"), col("neighbor_id"))
+      .join(affected, Seq("query_id"), "left_semi")
       .unionByName(viaDeleted)
       .join(tombN, Seq("neighbor_id"), "left_anti")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1110,7 +1116,7 @@ object Embeddings {
     val live = store.join(tomb, Seq("vec_id"), "left_anti")
     val repaired = scoreCandidatesTopK(live, cands, k)
     kept.join(affected, Seq("query_id"), "left_anti")
-      .unionByName(repaired.select(col("query_id"), col("neighbor_id")))
+      .unionByName(repaired.select(col("query_id"), col("neighbor_id"), col("rank")))
   }
 
   /** Streaming graph-index MAINTENANCE — [[indexIngestSink]]'s contract for

@@ -634,8 +634,9 @@ object EmbeddingQueries {
     * plans price SEARCH, never an index rebuild (the `ivfPqTopKFromIndex`
     * serving seam, realized through the `q_zorder_prune` write→readback
     * precedent). The build is eagerly ensured at query-construction time
-    * (the registry sweep pays the one-time jobs); `_SUCCESS` markers make
-    * the ensure idempotent without module-level lifecycle state. Returns
+    * (the registry sweep pays the one-time jobs); the root-level
+    * [[ArtifactManifest]] marker, written after every part, makes the
+    * ensure idempotent without module-level lifecycle state. Returns
     * (edge list as (query_id, neighbor_id), entry vectors as
     * (vec_id, embedding)); float embeddings round-trip parquet bit-exactly,
     * so read-back scores equal in-plan scores. At 100 TB the artifact would
@@ -650,8 +651,11 @@ object EmbeddingQueries {
         .select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$root/entries")
     }
+    // rank rides along (Catalyst prunes it from pure-adjacency serving
+    // plans): the maintenance operators' graph contract carries it, so a
+    // read-back index composes with graphInsert/graphDelete directly
     (spark.read.parquet(s"$root/edges")
-       .select(col("node_id").as("query_id"), col("neighbor_id")),
+       .select(col("node_id").as("query_id"), col("neighbor_id"), col("rank")),
      spark.read.parquet(s"$root/entries"))
   }
 

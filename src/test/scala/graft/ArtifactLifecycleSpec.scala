@@ -15,13 +15,21 @@ import graft.queries.EmbeddingQueries
 class ArtifactLifecycleSpec extends AnyFunSuite {
 
   test("ensureArtifact builds once, and a missing manifest forces a full rebuild") {
-    val root = Files.createTempDirectory("graft_test_artifact").toString
+    // the ensure SWEEPS the root's parent for orphan trees: give the test
+    // an isolated parent so `sbt test` can never reclaim a real session's
+    // >TTL-old artifact still being served from the shared tmpdir
+    // (review catch)
+    val root = Files.createTempDirectory("graft_test_ensure")
+      .resolve("graft_gsidx_appX_root").toString
     var builds = 0
-    EmbeddingQueries.ensureArtifact(root, "appX") { builds += 1 }
+    // the write closure creates the tree (as the parquet writers do) —
+    // the manifest lands in what the write produced
+    def build(): Unit = { new java.io.File(root).mkdirs(); builds += 1 }
+    EmbeddingQueries.ensureArtifact(root, "appX") { build() }
     assert(builds == 1)
     assert(new java.io.File(root, EmbeddingQueries.ArtifactManifest).exists,
       "manifest marker not written after a successful build")
-    EmbeddingQueries.ensureArtifact(root, "appX") { builds += 1 }
+    EmbeddingQueries.ensureArtifact(root, "appX") { build() }
     assert(builds == 1, "rebuilt despite a present manifest")
 
     // the crash-between-parts hole the manifest closes: parts that look
@@ -33,7 +41,7 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
       val d = new java.io.File(root, p); d.mkdirs()
       new java.io.File(d, "_SUCCESS").createNewFile()
     }
-    EmbeddingQueries.ensureArtifact(root, "appX") { builds += 1 }
+    EmbeddingQueries.ensureArtifact(root, "appX") { build() }
     assert(builds == 2,
       "complete-looking parts without the root manifest did not force a rebuild")
   }

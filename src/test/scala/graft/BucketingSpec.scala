@@ -16,9 +16,11 @@ class BucketingSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: collectPlan(a.executedPlan)
-    case _ => p +: (p.children ++ p.subqueries).flatMap(collectPlan)
+  // deliberately NOT SparkSpec.collectPlan: exchange-counting must walk the
+  // FINAL adaptive plan (a.executedPlan), not the pre-AQE input plan
+  private def collectExecutedPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: collectExecutedPlan(a.executedPlan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(collectExecutedPlan)
   }
 
   test("bucketed lineitem ⋈ orders plans with zero exchanges, same result") {
@@ -38,7 +40,7 @@ class BucketingSpec extends SparkSpec {
     try {
       val joined = Bucketing.coLocatedJoin(spark, "li_b", "ord_b", Seq("l_orderkey"))
       joined.write.format("noop").mode("overwrite").save() // finalize AQE plan
-      val exchanges = collectPlan(joined.queryExecution.executedPlan)
+      val exchanges = collectExecutedPlan(joined.queryExecution.executedPlan)
         .collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.isEmpty,
         s"bucketed join still shuffles: ${exchanges.map(_.nodeName)}")
@@ -71,7 +73,7 @@ class BucketingSpec extends SparkSpec {
       val joined = raw.join(spark.table("li_b2").withColumnRenamed("l_quantity", "q2"),
         "l_orderkey")
       joined.write.format("noop").mode("overwrite").save()
-      val exchanges = collectPlan(joined.queryExecution.executedPlan)
+      val exchanges = collectExecutedPlan(joined.queryExecution.executedPlan)
         .collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.nonEmpty, "expected the raw-path side to require a shuffle")
     } finally {
@@ -116,7 +118,7 @@ class BucketingSpec extends SparkSpec {
         val res = Embeddings.ivfPqTopKFromIndex(codesDf, assigned, queries,
           centroids, cb, nProbe = 4, k = 5)
         res.write.format("noop").mode("overwrite").save()
-        val ex = collectPlan(res.queryExecution.executedPlan)
+        val ex = collectExecutedPlan(res.queryExecution.executedPlan)
           .collect { case e: ShuffleExchangeExec => e }
         (ex.size, res.as[(Long, Long, Int)].collect().toSet)
       }

@@ -195,7 +195,7 @@ class GraphSearchSpec extends SparkSpec {
     val tombIds = tomb.as[Long].collect().toSet
     assert(tombIds.nonEmpty)
     val g0 = graph
-    val g1 = Embeddings.graphDelete(all, g0, tomb, K).as[(Long, Long)].collect()
+    val g1 = Embeddings.graphDelete(all, g0, tomb, K).as[(Long, Long, Int)].collect()
     assert(!g1.exists(r => tombIds(r._1)), "a deleted node kept its list")
     assert(!g1.exists(r => tombIds(r._2)), "a surviving list points at a tombstone")
     val old = g0.as[(Long, Long, Int)].collect()
@@ -205,10 +205,11 @@ class GraphSearchSpec extends SparkSpec {
       case (v, rows) if !tombIds(v) && rows.exists(r => tombIds(r._2)) => v
     }.toSet
     assert(affected.nonEmpty, "tombstone set broke no list — vacuous test data")
-    // untouched survivors keep their exact adjacency
+    // untouched survivors keep their exact adjacency AND original ranks
+    // (the rank column is graphInsert's input contract — preserving it is
+    // what lets delete→insert interleave on one maintained pair)
     oldByNode.keys.filterNot(tombIds).filterNot(affected).foreach { v =>
-      assert(byNode(v).map(_._2).toSet === oldByNode(v).map(_._2).toSet,
-        s"untouched $v drifted")
+      assert(byNode(v).toSet === oldByNode(v).toSet, s"untouched $v drifted")
     }
     // affected survivors re-prune to the exact top-k over live remaining ∪
     // connect-around candidates
@@ -234,10 +235,47 @@ class GraphSearchSpec extends SparkSpec {
       val expect = cands.toSeq
         .map(n => (n, cos(v, n)))
         .sortBy { case (n, s) => (-s, n) }
-        .take(K).map(_._1).toSet
-      assert(byNode(v).map(_._2).toSet === expect, s"re-pruned list wrong for $v")
+        .take(K).map(_._1)
+      assert(byNode(v).sortBy(_._3).map(_._2).toSeq === expect,
+        s"re-pruned list wrong for $v")
       assert(byNode(v).length <= K)
     }
+    all.unpersist()
+    ()
+  }
+
+  /** The maintenance operators INTERLEAVE on one maintained pair — the
+    * composition both sinks' scaladocs advertise: [[Embeddings.graphDelete]]'s
+    * output (rank preserved/recomputed) must satisfy
+    * [[Embeddings.graphInsert]]'s input contract, so delete→insert runs
+    * without schema errors and leaves every re-inserted node with a valid
+    * bounded ranked list (review catch: a rank-less delete output broke
+    * exactly this).
+    */
+  test("delete then insert interleave on one maintained (store, graph) pair") {
+    import org.apache.spark.sql.functions.{col => c}
+    val all = vectors.cache()
+    val tomb = all.filter(c("vec_id") % 17 === 5 && c("vec_id") >= EmbeddingQueries.NumCentroids)
+      .select("vec_id").localCheckpoint(true)
+    val g1 = Embeddings.graphDelete(all, graph, tomb, K).localCheckpoint(true)
+    val store1 = all.join(tomb, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    // re-insert the deleted vectors into the compacted graph
+    val back = all.join(tomb, Seq("vec_id"), "left_semi")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val g2 = Embeddings.graphInsert(store1, g1, back, centroids,
+        EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam,
+        EmbeddingQueries.GsRounds, K)
+      .as[(Long, Long, Int)].collect()
+    val backIds = tomb.as[Long].collect().toSet
+    val byNode = g2.groupBy(_._1)
+    backIds.foreach { id =>
+      val rows = byNode.getOrElse(id, Array.empty)
+      assert(rows.nonEmpty, s"re-inserted $id has no out-edges")
+      assert(rows.length <= K)
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"ranks broken for re-inserted $id")
+    }
+    assert(byNode.values.forall(_.length <= K), "degree bound broken")
     all.unpersist()
     ()
   }
@@ -293,10 +331,10 @@ class GraphSearchSpec extends SparkSpec {
     val chunks = tombIds.grouped(math.max(1, tombIds.size / 2)).toSeq
     chunks.foreach { ch => in.addData(ch); q.processAllAvailable() }
     // at-least-once redelivery: already-deleted ids are a no-op
-    val before = state._2.as[(Long, Long)].collect().toSet
+    val before = state._2.as[(Long, Long, Int)].collect().toSet
     in.addData(chunks.head)
     q.processAllAvailable()
-    assert(state._2.as[(Long, Long)].collect().toSet === before,
+    assert(state._2.as[(Long, Long, Int)].collect().toSet === before,
       "redelivered tombstones must not change the graph")
     q.stop()
 
@@ -309,8 +347,8 @@ class GraphSearchSpec extends SparkSpec {
         Embeddings.graphDelete(batchState._1, batchState._2, ids, K)
           .localCheckpoint(true))
     }
-    assert(state._2.as[(Long, Long)].collect().toSet
-      === batchState._2.as[(Long, Long)].collect().toSet)
+    assert(state._2.as[(Long, Long, Int)].collect().toSet
+      === batchState._2.as[(Long, Long, Int)].collect().toSet)
     assert(state._1.select("vec_id").as[Long].collect().toSet
       === batchState._1.select("vec_id").as[Long].collect().toSet)
     all.unpersist()

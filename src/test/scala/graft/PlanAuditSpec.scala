@@ -106,11 +106,6 @@ class PlanAuditSpec extends SparkSpec {
     // volume; the raw-key side of the query is all equi-joins.
     "q_kmv_setops")
 
-  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)
-    case _ => p +: (p.children ++ p.subqueries).flatMap(collectPlan)
-  }
-
   /** Build a registered query's physical plan with every lineage cut in the
     * library disabled — the full-lineage form every sweep audits.
     */

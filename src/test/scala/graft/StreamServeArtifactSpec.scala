@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.operators.Embeddings
@@ -20,11 +19,6 @@ class StreamServeArtifactSpec extends SparkSpec {
   import spark.implicits._
 
   private val sfDir = "/root/testdata/sf0.001"
-
-  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: collectPlan(a.inputPlan)
-    case _ => p +: (p.children ++ p.subqueries).flatMap(collectPlan)
-  }
 
   private def scanPaths(df: DataFrame): Seq[String] =
     collectPlan(df.queryExecution.executedPlan).collect {

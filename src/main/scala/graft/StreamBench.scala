@@ -13,7 +13,7 @@ import graft.sinks.BalanceUpsert
 import graft.sources.{SyntheticCdc, Tables}
 import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
 
-/** Streaming throughput bench — ONE JSON line per pipeline, six pipelines:
+/** Streaming throughput bench — ONE JSON line per pipeline, seven pipelines:
   *
   *   1. `stream_clean_rows_per_sec` — the composed corpus cleaner
   *      ([[graft.streaming.CorpusCleanStream]]: language/quality gates,
@@ -32,7 +32,10 @@ import graft.streaming.{CorpusCleanStream, MetricsListener, StreamingPipeline}
   *      the pre-built NN-Descent graph, [[runGraphServe]]);
   *   5. `graph_ingest_rows_per_sec` — graph-index MAINTENANCE (streamed
   *      insertion into the pre-built graph, [[runGraphIngest]]);
-  *   6. `pit_serve_rows_per_sec` — point-in-time feature serving over the
+  *   6. `graph_maintain_rows_per_sec` — the FULL maintenance lifecycle:
+  *      inserts and deletes interleaved on one maintained pair through both
+  *      sinks ([[runGraphMaintain]]);
+  *   7. `pit_serve_rows_per_sec` — point-in-time feature serving over the
   *      events feed ([[runPitServe]]).
   *
   * All drive the SPARK_GRAFT_SF_DIR data via MemoryStream (the only offline
@@ -323,6 +326,65 @@ object StreamBench {
     }
   }
 
+  /** Graph-index maintenance under the FULL lifecycle: INSERTS and DELETES
+    * interleave on ONE maintained (store, graph) pair — the held-out last
+    * quarter streams in through [[graft.operators.Embeddings.graphIngestSink]]
+    * while a deterministic slice of the pre-built store streams out through
+    * [[graft.operators.Embeddings.graphTombstoneSink]], alternating
+    * micro-batches (the composition both sinks' contracts advertise;
+    * `GraphSearchSpec` proves the batch-parity of each and of the
+    * delete→insert chain). rows/sec counts maintenance EVENTS (inserted
+    * vectors + tombstoned ids); rows_out = the final maintained graph's
+    * edge count. The alternation is driven serially (one
+    * processAllAvailable at a time), so the shared pair needs no locking
+    * beyond the AtomicReference visibility handoff.
+    */
+  def runGraphMaintain(spark: SparkSession, sfDir: String, chunks: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Embeddings, Lineage}
+    import graft.queries.EmbeddingQueries.{GsBeam, GsRounds, K, NProbe, NnSeedAssign, NumCentroids}
+    val all = Lineage.cut(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding"))
+    val centroids = Lineage.cut(all.filter($"vec_id" < NumCentroids))
+    val rows = all.as[(Long, Array[Float])].collect()
+    val cutoff = rows.map(_._1).max - rows.length / 4
+    val fresh = rows.filter(_._1 > cutoff).sortBy(_._1)
+    // tombstones: a deterministic ~5% slice of the PRE-BUILT store, never
+    // the centroid prefix (entry points stay live — the delete gate's rule)
+    val tombs = rows.collect {
+      case (id, _) if id <= cutoff && id >= NumCentroids && id % 20 == 7 => id
+    }.sorted
+    val store0 = Lineage.cut(all.filter($"vec_id" <= cutoff))
+    val maintained = new java.util.concurrent.atomic.AtomicReference(
+      (store0, Lineage.cut(Embeddings.nnDescentRound(store0,
+        Embeddings.knnGraphSeed(store0, centroids, NnSeedAssign, K), K))))
+    val swap = (s: DataFrame, g: DataFrame) => { maintained.set((s, g)); () }
+    val inV = MemoryStream[(Long, Array[Float])]
+    val inT = MemoryStream[Long]
+    val qIns = Embeddings.graphIngestSink(inV.toDF().toDF("vec_id", "embedding"),
+      centroids, nProbe = NProbe, beam = GsBeam, rounds = GsRounds, k = K,
+      Files.createTempDirectory("graphmaint-ins-ck").toString)(
+      () => maintained.get())(swap)
+    val qDel = Embeddings.graphTombstoneSink(inT.toDF().toDF("vec_id"), K,
+      Files.createTempDirectory("graphmaint-del-ck").toString)(
+      () => maintained.get())(swap)
+    val vChunk = math.max(1, math.ceil(fresh.length.toDouble / chunks).toInt)
+    val tChunk = math.max(1, math.ceil(tombs.length.toDouble / chunks).toInt)
+    measured(spark) {
+      try {
+        fresh.grouped(vChunk).map(_.toSeq).toSeq.zipAll(
+            tombs.grouped(tChunk).map(_.toSeq).toSeq,
+            Seq.empty[(Long, Array[Float])], Seq.empty[Long])
+          .foreach { case (vs, ts) =>
+            if (vs.nonEmpty) { inV.addData(vs); qIns.processAllAvailable() }
+            if (ts.nonEmpty) { inT.addData(ts); qDel.processAllAvailable() }
+          }
+        ((fresh.length + tombs.length).toLong, maintained.get()._2.count())
+      } finally { qIns.stop(); qDel.stop() }
+    }
+  }
+
   /** Point-in-time feature serving: the events table re-keyed into the
     * merged PIT feed (clicks/views = feature streams, purchases = training
     * events) and streamed in event-time order through
@@ -402,6 +464,7 @@ object StreamBench {
     println(runAnnServe(spark, sfDir, chunks).json("ann_serve_queries_per_sec", sfDir, backend))
     println(runGraphServe(spark, sfDir, chunks).json("graph_serve_queries_per_sec", sfDir, backend))
     println(runGraphIngest(spark, sfDir, chunks).json("graph_ingest_rows_per_sec", sfDir, backend))
+    println(runGraphMaintain(spark, sfDir, chunks).json("graph_maintain_rows_per_sec", sfDir, backend))
     println(runPitServe(spark, sfDir, chunks).json("pit_serve_rows_per_sec", sfDir, backend))
     spark.stop()
   }

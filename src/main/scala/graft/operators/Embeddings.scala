@@ -1050,6 +1050,31 @@ object Embeddings {
       .unionByName(out.select(col("query_id"), col("neighbor_id"), col("rank")))
   }
 
+  /** One serve's ANSWERS and its COST from a single stages pass: the
+    * per-query top-`k` plus the total exact-distance evaluations paid (seed
+    * probe + every wave's newly-scored candidates, the [[graphSearchSweep]]
+    * cost axis) as a 1-row (n_scored) frame. `excluded` applies the
+    * serve-time tombstone anti-join ([[graphSearchExcluding]] semantics) to
+    * the answers only — routing and therefore cost still pass through
+    * deleted nodes, which is exactly the overhead this pairing lets a gate
+    * put beside each variant's recall.
+    */
+  def graphSearchWithCost(vectors: DataFrame, queries: DataFrame,
+                          graph: DataFrame, centroids: DataFrame, nProbe: Int,
+                          beam: Int, rounds: Int, k: Int,
+                          excluded: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val stages = graphSearchStages(vectors, queries, graph, centroids, nProbe,
+      beam, rounds)
+    val finalVisited = excluded match {
+      case Some(t) => stages.last._2.join(
+        t.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_anti")
+      case None => stages.last._2
+    }
+    (topKPerQuery(finalVisited, k),
+     stages.map(_._3).reduce(_.unionByName(_))
+       .agg(count(lit(1)).as("n_scored")))
+  }
+
   /** [[graphSearch]] with a tombstone set excluded from the ANSWER — the
     * production delete story BEFORE compaction: a deleted vector cannot be
     * returned, but the graph still ROUTES THROUGH it (its node and edges
@@ -1062,12 +1087,8 @@ object Embeddings {
                            graph: DataFrame, centroids: DataFrame, nProbe: Int,
                            beam: Int, rounds: Int, k: Int,
                            tombstones: DataFrame): DataFrame =
-    topKPerQuery(
-      graphSearchStages(vectors, queries, graph, centroids, nProbe, beam,
-          rounds).last._2
-        .join(tombstones.select(col("vec_id").as("neighbor_id")),
-          Seq("neighbor_id"), "left_anti"),
-      k)
+    graphSearchWithCost(vectors, queries, graph, centroids, nProbe, beam,
+      rounds, k, Some(tombstones))._1
 
   /** DELETE a tombstone batch from an existing kNN graph — [[graphInsert]]'s
     * counterpart, the compaction half of index freshness: deleted nodes'

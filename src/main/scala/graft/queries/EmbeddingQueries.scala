@@ -868,8 +868,9 @@ object EmbeddingQueries {
     * `q_graph_insert_recall`'s shape for deletes. A deterministic ~5%
     * tombstone set ([[TombMod]]/[[TombRem]]) is deleted three ways, and for
     * each the STANDARD query set's beam-search recall vs the exact top-[[K]]
-    * over the LIVE corpus is gated with the graph's edge count beside it,
-    * as (stage, hits, total, n_edges) rows:
+    * over the LIVE corpus is gated with the serve's exact-evaluation count
+    * and the graph's edge count beside it, as (stage, hits, total,
+    * n_scored, n_edges) rows:
     *
     *   - `tombstoned`: the persisted full-corpus index [[gsIndex]] served
     *     with the serve-time anti-join ([[Embeddings.graphSearchExcluding]])
@@ -883,10 +884,14 @@ object EmbeddingQueries {
     *     [[gsIndex]] recipe: IVF-cell seed + one NN-Descent round) — the
     *     freshness ceiling a full rebuild would pay for.
     *
-    * The tombstoned-vs-compacted gap prices route-through serving; the
+    * The tombstoned-vs-compacted gap prices route-through serving from BOTH
+    * sides: recall AND the n_scored overhead of exact-scoring dead nodes the
+    * search routes through — the per-serve cost that accumulates with the
+    * tombstone fraction and is exactly what a compaction-scheduling policy
+    * trades against the compaction job (measured, not asserted). The
     * compacted-vs-rebuilt gap is what connect-around repair gives up vs a
-    * rebuild (measured, not asserted). Edge counts pin that compaction
-    * keeps degree bounded without rebuilding.
+    * rebuild. Edge counts pin that compaction keeps degree bounded without
+    * rebuilding.
     */
   def graphDeleteRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
@@ -903,26 +908,28 @@ object EmbeddingQueries {
     // consume it
     val exact = graft.operators.Lineage.cut(
       Embeddings.knnExact(live, q, K).select(col("query_id"), col("neighbor_id")))
-    def stageRow(label: String, served: DataFrame, g: DataFrame): DataFrame =
+    def stageRow(label: String, served: DataFrame, scored: DataFrame,
+                 g: DataFrame): DataFrame =
       Embeddings.knnRecallTotals(exact, served)
+        .crossJoin(broadcast(scored))
         .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
         .select(lit(label).as("stage"), col("hits"), col("total"),
-          col("n_edges"))
-    val servedTomb = Embeddings.graphSearchExcluding(v, q, graph, cents,
-      NProbe, GsBeam, GsRounds, K, tomb)
+          col("n_scored"), col("n_edges"))
+    val (servedTomb, scoredTomb) = Embeddings.graphSearchWithCost(v, q, graph,
+      cents, NProbe, GsBeam, GsRounds, K, Some(tomb))
     val compacted = graft.operators.Lineage.cut(
       Embeddings.graphDelete(v, graph, tomb, K))
-    val servedComp = Embeddings.graphSearch(live, q, compacted, cents,
-      NProbe, GsBeam, GsRounds, K)
+    val (servedComp, scoredComp) = Embeddings.graphSearchWithCost(live, q,
+      compacted, cents, NProbe, GsBeam, GsRounds, K)
     val rebuilt = graft.operators.Lineage.cut(
       Embeddings.nnDescentRound(live,
         graft.operators.Lineage.cut(
           Embeddings.knnGraphSeed(live, cents, NnSeedAssign, K)), K))
-    val servedReb = Embeddings.graphSearch(live, q, rebuilt, cents,
-      NProbe, GsBeam, GsRounds, K)
-    stageRow("tombstoned", servedTomb, graph)
-      .unionByName(stageRow("compacted", servedComp, compacted))
-      .unionByName(stageRow("rebuilt", servedReb, rebuilt))
+    val (servedReb, scoredReb) = Embeddings.graphSearchWithCost(live, q,
+      rebuilt, cents, NProbe, GsBeam, GsRounds, K)
+    stageRow("tombstoned", servedTomb, scoredTomb, graph)
+      .unionByName(stageRow("compacted", servedComp, scoredComp, compacted))
+      .unionByName(stageRow("rebuilt", servedReb, scoredReb, rebuilt))
   }
 
   /** Candidate-pool depth of the binary-quantization serve (the full-dim
@@ -2152,18 +2159,24 @@ object EmbeddingQueries {
     "q_graph_delete_recall" -> (base + nnGraphCtes + gsCtes + gsDeleteCtes +
       s""" SELECT 'tombstoned' AS stage, count(t.neighbor_id)::BIGINT AS hits,
                   count(*)::BIGINT AS total,
+                  ((SELECT count(*) FROM gs0) + (SELECT count(*) FROM sc1)
+                    + (SELECT count(*) FROM sc2))::BIGINT AS n_scored,
                   (SELECT count(*) FROM round1)::BIGINT AS n_edges
           FROM dexact e LEFT JOIN tomb_serve t
             ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
           UNION ALL
           SELECT 'compacted' AS stage, count(t.neighbor_id)::BIGINT AS hits,
                  count(*)::BIGINT AS total,
+                 ((SELECT count(*) FROM gs0) + (SELECT count(*) FROM sc1_d)
+                   + (SELECT count(*) FROM sc2_d))::BIGINT AS n_scored,
                  (SELECT count(*) FROM compd)::BIGINT AS n_edges
           FROM dexact e LEFT JOIN serve_d t
             ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
           UNION ALL
           SELECT 'rebuilt' AS stage, count(t.neighbor_id)::BIGINT AS hits,
                  count(*)::BIGINT AS total,
+                 ((SELECT count(*) FROM gs0) + (SELECT count(*) FROM sc1_r)
+                   + (SELECT count(*) FROM sc2_r))::BIGINT AS n_scored,
                  (SELECT count(*) FROM round1_r)::BIGINT AS n_edges
           FROM dexact e LEFT JOIN serve_r t
             ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id"""),

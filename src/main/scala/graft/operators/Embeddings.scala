@@ -1118,10 +1118,20 @@ object Embeddings {
     val tombQ = tomb.select(col("vec_id").as("query_id"))
     val tombN = tomb.select(col("vec_id").as("neighbor_id"))
     val edges = graph.select(col("query_id"), col("neighbor_id"), col("rank"))
-    // deleted nodes' own lists vanish with them
-    val kept = edges.join(tombQ, Seq("query_id"), "left_anti")
+    // deleted nodes' own lists vanish with them. CUT the multiply-referenced
+    // frames (kept ×3, broken ×2): logical plans are trees, so every
+    // reference DUPLICATES the subtree — uncut, the nesting (cands ⊃ kept ⊃
+    // edges, viaDeleted ⊃ broken ⊃ kept ⊃ …) multiplies the graph leaf into
+    // hundreds of copies and Catalyst's stats estimation (join sizeInBytes
+    // = PRODUCT over children) does BigInteger arithmetic on astronomically
+    // compounded sizes — measured as multi-minute PLANNING time per
+    // streamed micro-batch (the interleaved-maintenance bench sat at
+    // 0.4 rows/sec inside SizeInBytesOnlyStatsPlanVisitor before these
+    // cuts; graphInsert never hit it because it cuts its search output
+    // first thing).
+    val kept = Lineage.cut(edges.join(tombQ, Seq("query_id"), "left_anti"))
     // an edge u → d with d tombstoned breaks u's list: u re-prunes
-    val broken = kept.join(tombN, Seq("neighbor_id"), "left_semi")
+    val broken = Lineage.cut(kept.join(tombN, Seq("neighbor_id"), "left_semi"))
     val affected = broken.select("query_id").distinct()
     // connect-around: for each broken u → d, d's own out-neighbors become
     // u's candidates (still-tombstoned ones drop in the anti-join below)
@@ -1169,13 +1179,30 @@ object Embeddings {
         val fresh = Lineage.cut(batch.toDF().select(store.columns.map(col): _*)
           .join(store.select("vec_id"), Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
-          val updated = Lineage.cut(graphInsert(store, graph, fresh,
-            centroids, nProbe, beam, rounds, k))
-          val grownStore = Lineage.cut(store.unionByName(fresh))
+          val updated = Lineage.cut(rebucket(graphInsert(store, graph, fresh,
+            centroids, nProbe, beam, rounds, k)))
+          val grownStore = Lineage.cut(rebucket(store.unionByName(fresh)))
           onBatch(grownStore, updated)
         }
       }
       .start()
+
+  /** Re-bucket an ACCUMULATED frame to the session's default parallelism
+    * before checkpointing it as the next maintained state. Load-bearing for
+    * read-modify-write maintenance sinks: each swap's output is a UNION
+    * (untouched ∪ repaired ∪ new) and `localCheckpoint` preserves partition
+    * counts, so without this the maintained pair's partition count grows by
+    * ~2-3× parallelism PER MICRO-BATCH — after 20 alternating
+    * insert/delete swaps every downstream shuffle pays ~1000 near-empty
+    * tasks (AQE is disabled on the stream-execution thread, so nothing
+    * coalesces them) and the maintenance pipeline measured ~50× slower than
+    * insertion alone (0.4 vs 25 rows/sec at sf0.1) before this fix. One
+    * round-robin shuffle of the (small) maintained state per swap bounds
+    * the count forever; at 100 TB the same call becomes repartition BY NODE
+    * ID so maintained state stays co-located for the frontier⋈edges join.
+    */
+  private def rebucket(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** The DELETE path of streaming graph-index maintenance — tombstone ids
     * arrive as a stream and each micro-batch compacts the caller's CURRENT
@@ -1201,9 +1228,9 @@ object Embeddings {
         val tomb = Lineage.cut(batch.toDF().select(col("vec_id"))
           .join(store.select("vec_id"), Seq("vec_id"), "left_semi"))
         if (!tomb.isEmpty) {
-          val compacted = Lineage.cut(graphDelete(store, graph, tomb, k))
-          val shrunkStore = Lineage.cut(
-            store.join(tomb, Seq("vec_id"), "left_anti"))
+          val compacted = Lineage.cut(rebucket(graphDelete(store, graph, tomb, k)))
+          val shrunkStore = Lineage.cut(rebucket(
+            store.join(tomb, Seq("vec_id"), "left_anti")))
           onBatch(shrunkStore, compacted)
         }
       }

@@ -456,12 +456,19 @@ object Embeddings {
     */
   def ivfFilterCrossoverSweep(vectors: DataFrame, queries: DataFrame,
                               numCentroids: Int, selLabels: Seq[Int],
-                              probes: Seq[Int], k: Int): DataFrame =
-    selLabels.map { s =>
+                              probes: Seq[Int], k: Int): DataFrame = {
+    import Par.ec
+    // one exact baseline per selectivity, cut — both arms read it; the
+    // three baselines are independent, so they materialize concurrently
+    // (guide §2.6) instead of back-to-back
+    val fExacts = selLabels.map { s =>
+      s -> Par.ckpt(knnExact(vectors.filter(col("label") < s), queries, k)
+        .select(col("query_id"), col("neighbor_id")))
+    }
+    fExacts.map { case (s, fExact) =>
       val pred = col("label") < s
       val sub = vectors.filter(pred)
-      val exact = Lineage.cut(knnExact(sub, queries, k)
-        .select(col("query_id"), col("neighbor_id")))
+      val exact = Par.await(fExact)
       val post = probeSweepOver(
           probedCandidates(vectors, queries,
             firstCentroids(vectors, numCentroids), probes.max, pred),
@@ -484,6 +491,7 @@ object Embeddings {
           col("n_scored"))
       post.unionByName(pre)
     }.reduce(_.unionByName(_))
+  }
 
   /** The shared sweep tail: fan scored candidates across the probe depths
     * (a candidate at bucket rank r serves every depth ≥ r), bounded TopK
@@ -818,10 +826,23 @@ object Embeddings {
     */
   def knnGraphRecall(vectors: DataFrame,
                      stages: Seq[(String, DataFrame, DataFrame)],
-                     k: Int, mod: Int, rem: Int): DataFrame = {
+                     k: Int, mod: Int, rem: Int): DataFrame =
+    knnGraphRecallWith(sampleExact(vectors, k, mod, rem), stages)
+
+  /** The exact baseline [[knnGraphRecall]] ranks against — exposed so a gate
+    * can materialize it CONCURRENTLY with its build ladder (the baseline
+    * shares nothing with the ladder's rounds, so overlapped it hides under
+    * them; guide §2.6).
+    */
+  def sampleExact(vectors: DataFrame, k: Int, mod: Int, rem: Int): DataFrame = {
     val sample = vectors.filter(pmod(col("vec_id"), lit(mod)) === rem)
-    val exact = knnExact(vectors, sample, k)
+    knnExact(vectors, sample, k)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** [[knnGraphRecall]] against a caller-provided exact baseline frame. */
+  def knnGraphRecallWith(exact: DataFrame,
+                         stages: Seq[(String, DataFrame, DataFrame)]): DataFrame =
     stages.map { case (label, g, cands) =>
       knnRecallTotals(exact, g)
         .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_scored"))))
@@ -829,7 +850,6 @@ object Embeddings {
         .select(lit(label).as("stage"), col("hits"), col("total"),
           col("n_scored"), col("n_edges"))
     }.reduce(_.unionByName(_))
-  }
 
   /** BEAM SEARCH over a kNN graph — the SERVING query path that makes the
     * NN-Descent/HNSW-family index investment pay off (the graph analogue of
@@ -887,9 +907,9 @@ object Embeddings {
     * [[graphSearchStages]] so [[graphSearchSweep]] pays it once across all
     * widths (the oracle hoists its twin, `gsProbeCtes`, identically).
     */
-  private def graphSearchSeed(vectors: DataFrame, queries: DataFrame,
-                              centroids: DataFrame,
-                              nProbe: Int): (DataFrame, DataFrame) = {
+  private[graft] def graphSearchSeed(vectors: DataFrame, queries: DataFrame,
+                                     centroids: DataFrame,
+                                     nProbe: Int): (DataFrame, DataFrame) = {
     val c = centroids.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_norm"))
     val probeScored = queries
@@ -971,11 +991,16 @@ object Embeddings {
   def graphSearchRecall(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
                         centroids: DataFrame, nProbe: Int, beam: Int,
                         rounds: Int, k: Int): DataFrame = {
+    import Par.ec
     // the exact baseline is read once per stage — cut it (queries×k rows)
-    // so the broadcast-probe scan runs once, not once per union arm
-    val exact = Lineage.cut(knnExact(vectors, queries, k)
+    // so the broadcast-probe scan runs once, not once per union arm; on a
+    // pool thread so it overlaps the serial wave cuts (guide §2.6)
+    val fExact = Par.ckpt(knnExact(vectors, queries, k)
       .select(col("query_id"), col("neighbor_id")))
-    graphSearchStages(vectors, queries, graph, centroids, nProbe, beam, rounds)
+    val stages = graphSearchStages(vectors, queries, graph, centroids, nProbe,
+      beam, rounds)
+    val exact = Par.await(fExact)
+    stages
       .map { case (label, vis, fresh) =>
         knnRecallTotals(exact, topKPerQuery(vis, k))
           .crossJoin(broadcast(fresh.agg(count(lit(1)).as("n_scored"))))
@@ -995,14 +1020,23 @@ object Embeddings {
   def graphSearchSweep(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
                        centroids: DataFrame, nProbe: Int, beams: Seq[Int],
                        rounds: Int, k: Int): DataFrame = {
-    val exact = Lineage.cut(knnExact(vectors, queries, k)
+    import Par.ec
+    import scala.concurrent.Future
+    val fExact = Par.ckpt(knnExact(vectors, queries, k)
       .select(col("query_id"), col("neighbor_id")))
     // the entry probe and its scores do not depend on the width — seed once
-    // (review catch; the oracle hoists gsProbeCtes the same way)
+    // (review catch; the oracle hoists gsProbeCtes the same way); the
+    // per-width wave chains are then independent of each other AND of the
+    // exact baseline, so each runs on a pool thread (guide §2.6) — the
+    // sweep pays the widest beam's chain, not the sum over widths
     val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
-    beams.map { b =>
-      val stages = graphSearchWaves(vectors, queries, graph, visited0,
-        entries, b, rounds)
+    val perBeam = beams.map { b =>
+      b -> Future(graphSearchWaves(vectors, queries, graph, visited0,
+        entries, b, rounds))
+    }
+    val exact = Par.await(fExact)
+    perBeam.map { case (b, fStages) =>
+      val stages = Par.await(fStages)
       val scoredAll = stages.map(_._3).reduce(_.unionByName(_))
       knnRecallTotals(exact, topKPerQuery(stages.last._2, k))
         .crossJoin(broadcast(scoredAll.agg(count(lit(1)).as("n_scored"))))
@@ -1063,7 +1097,24 @@ object Embeddings {
                           graph: DataFrame, centroids: DataFrame, nProbe: Int,
                           beam: Int, rounds: Int, k: Int,
                           excluded: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val stages = graphSearchStages(vectors, queries, graph, centroids, nProbe,
+    val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
+    graphSearchWithCostFrom(vectors, queries, graph, visited0, entries, beam,
+      rounds, k, excluded)
+  }
+
+  /** [[graphSearchWithCost]] over a pre-computed entry seed — the seam that
+    * lets a gate serving SEVERAL graph variants against the SAME query set
+    * pay the IVF entry probe (and its exact entry scores) once: the seed
+    * depends only on (queries, centroids) plus the entry nodes' embeddings,
+    * and entry nodes ARE centroids, so any arm whose store keeps the
+    * centroid prefix live (every maintenance gate does — tombstones exclude
+    * the prefix by construction) shares the identical seed frame.
+    */
+  private[graft] def graphSearchWithCostFrom(vectors: DataFrame, queries: DataFrame,
+                          graph: DataFrame, visited0: DataFrame, entries: DataFrame,
+                          beam: Int, rounds: Int, k: Int,
+                          excluded: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val stages = graphSearchWaves(vectors, queries, graph, visited0, entries,
       beam, rounds)
     val finalVisited = excluded match {
       case Some(t) => stages.last._2.join(

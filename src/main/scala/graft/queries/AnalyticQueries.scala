@@ -1233,9 +1233,13 @@ object AnalyticQueries {
     // the single small harness file arrives as ONE scan partition — spread
     // it so the fold uses the cores (measured 10.8 -> 1.9 s warm at sf0.1).
     // At 100 TB the scan has natural partitions and no such respread runs
-    // (the operator itself never shuffles input rows).
+    // (the operator itself never shuffles input rows). The EXACT arm reads
+    // the same spread frame: its 12-way Expand's partial distinct dedup is
+    // the per-task hot loop (one scan partition = one core), and both arms
+    // sharing one respread lets exchange reuse pay it once (guide §2.5/§2.4;
+    // counts are exchange-invariant, so the gated rows are unchanged).
     val spread = df.repartition(s.sparkContext.defaultParallelism)
-    graft.operators.Profile.tableProfile(df)
+    graft.operators.Profile.tableProfile(spread)
       .join(graft.operators.Profile.tableProfileHll(spread)
         .select(col("col_name"), col("est_distinct")), "col_name")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),

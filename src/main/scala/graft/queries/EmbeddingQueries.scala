@@ -517,7 +517,15 @@ object EmbeddingQueries {
     * claims.
     */
   def nnDescentRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Par
+    import Par.ec
+    import scala.concurrent.Future
     val v = vectors(spark, dir)
+    // the exact baseline shares nothing with the ladder — materialize it on
+    // a pool thread so it hides under the serial rounds (guide §2.6; it was
+    // previously a lazy 3-consumer frame relying on AQE stage reuse)
+    val fExact = Future(graft.operators.Lineage.cut(
+      Embeddings.sampleExact(v, K, NnSampleMod, NnSampleRem)))
     // per-round cuts (the ConnectedComponents chaining pattern): each round
     // consumes its input graph ~5x and the next round replays the previous
     // one multiplicatively — uncut, the 3-stage ladder measured 7.3 s warm
@@ -539,9 +547,8 @@ object EmbeddingQueries {
     // uncut 6.0-6.3 s warm, so the explicit cut pattern is also faster)
     val c2 = graft.operators.Lineage.cut(Embeddings.descentCandidates(r1))
     val r2 = graft.operators.Lineage.cut(Embeddings.knnGraphSeedFrom(v, c2, K))
-    Embeddings.knnGraphRecall(v,
-      Seq(("seed", seed, seedCands), ("round1", r1, c1), ("round2", r2, c2)), K,
-      NnSampleMod, NnSampleRem)
+    Embeddings.knnGraphRecallWith(Par.await(fExact),
+      Seq(("seed", seed, seedCands), ("round1", r1, c1), ("round2", r2, c2)))
   }
 
   /** Beam width and expansion rounds for the graph-ANN SERVING search
@@ -814,6 +821,9 @@ object EmbeddingQueries {
     * serving cost of freshness-by-insertion, as data.
     */
   def graphInsertRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Par
+    import Par.ec
+    import scala.concurrent.Future
     val v = vectors(spark, dir)
     // bounded 1-row argmax collect (the documented collect class): the batch
     // boundary must be a literal so the store/batch filters push down
@@ -821,19 +831,36 @@ object EmbeddingQueries {
     val store = v.filter(col("vec_id") <= cutoff)
     val batch = v.filter(col("vec_id") > cutoff)
     val cents = v.filter(col("vec_id") < NumCentroids)
-    // pre-insert index over the store (the persisted index's exact recipe,
-    // seeded within the store); cut per stage — the nnDescentRecall pattern
-    val graph0 = graft.operators.Lineage.cut(
-      Embeddings.nnDescentRound(store,
-        graft.operators.Lineage.cut(
-          Embeddings.knnGraphSeed(store, cents, NnSeedAssign, K)), K))
-    val updated = graft.operators.Lineage.cut(
-      Embeddings.graphInsert(store, graph0, batch, cents,
-        NProbe, GsBeam, GsRounds, K))
-    val (rebuilt, _) = gsIndex(spark, dir)
-    val exact = graft.operators.Lineage.cut(
+    val q = queryVectors(spark, dir)
+    // DATAFLOW materialization (the dedupDecision pattern, guide §2.6): the
+    // pre-insert build→insert chain, the two exact baselines, and the serve
+    // are independent chains of eager cuts — sequential construction pays
+    // their SUM, the future graph pays the critical path
+    // (build → insert → serve) with both baselines hidden under it.
+    // Frames and results are identical; only job submission order changes.
+    val fUpdated = Future {
+      // pre-insert index over the store (the persisted index's exact recipe,
+      // seeded within the store); cut per stage — the nnDescentRecall pattern
+      val graph0 = graft.operators.Lineage.cut(
+        Embeddings.nnDescentRound(store,
+          graft.operators.Lineage.cut(
+            Embeddings.knnGraphSeed(store, cents, NnSeedAssign, K)), K))
+      graft.operators.Lineage.cut(
+        Embeddings.graphInsert(store, graph0, batch, cents,
+          NProbe, GsBeam, GsRounds, K))
+    }
+    val fExact = Future(graft.operators.Lineage.cut(
       Embeddings.knnExact(v, batch, K)
-        .select(col("query_id"), col("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"))))
+    val fExactQ = Future(graft.operators.Lineage.cut(
+      Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id"))))
+    val fServedTopK = fUpdated.map { updated =>
+      Embeddings.graphSearch(v, q, updated, cents, NProbe, GsBeam,
+        GsRounds, K).select(col("query_id"), col("neighbor_id"))
+    }
+    val (rebuilt, _) = gsIndex(spark, dir)
+    val updated = Par.await(fUpdated)
+    val exact = Par.await(fExact)
     def stageRow(label: String, g: DataFrame): DataFrame =
       Embeddings.knnRecallTotals(exact,
           g.filter(col("query_id") > cutoff)
@@ -841,12 +868,8 @@ object EmbeddingQueries {
         .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
         .select(lit(label).as("stage"), col("hits"), col("total"),
           col("n_edges"))
-    val q = queryVectors(spark, dir)
-    val exactQ = graft.operators.Lineage.cut(
-      Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id")))
-    val served = Embeddings.knnRecallTotals(exactQ,
-        Embeddings.graphSearch(v, q, updated, cents, NProbe, GsBeam,
-          GsRounds, K).select(col("query_id"), col("neighbor_id")))
+    val served = Embeddings.knnRecallTotals(Par.await(fExactQ),
+        Par.await(fServedTopK))
       .crossJoin(broadcast(updated.agg(count(lit(1)).as("n_edges"))))
       .select(lit("serve").as("stage"), col("hits"), col("total"),
         col("n_edges"))
@@ -894,6 +917,9 @@ object EmbeddingQueries {
     * rebuilding.
     */
   def graphDeleteRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Par
+    import Par.ec
+    import scala.concurrent.Future
     val v = vectors(spark, dir)
     val floor = math.max(NumCentroids, NumQueries)
     val tomb = v.filter(col("vec_id") % TombMod === TombRem &&
@@ -903,11 +929,39 @@ object EmbeddingQueries {
     val cents = v.filter(col("vec_id") < NumCentroids)
     val q = queryVectors(spark, dir)
     val (graph, _) = gsIndex(spark, dir)
+    // DATAFLOW materialization (the dedupDecision pattern, guide §2.6): the
+    // exact baseline, the tombstoned serve, the compact→serve chain, and the
+    // rebuild→serve chain are independent — overlapped, the gate pays the
+    // critical path (longest chain) instead of the sum of all four. The IVF
+    // entry seed is additionally shared across the three serves
+    // ([[Embeddings.graphSearchWithCostFrom]]): entry nodes are centroids,
+    // which the tombstone floor keeps live in every arm, so the seed frame
+    // is bit-identical — one probe job instead of three.
+    val fSeed = Future(Embeddings.graphSearchSeed(v, q, cents, NProbe))
     // the recall baseline: exact top-K over the LIVE corpus (a deleted
     // vector is not a correct answer by definition); cut — three stage rows
     // consume it
-    val exact = graft.operators.Lineage.cut(
-      Embeddings.knnExact(live, q, K).select(col("query_id"), col("neighbor_id")))
+    val fExact = Future(graft.operators.Lineage.cut(
+      Embeddings.knnExact(live, q, K).select(col("query_id"), col("neighbor_id"))))
+    val fTomb = fSeed.map { case (vis0, ent) =>
+      Embeddings.graphSearchWithCostFrom(v, q, graph, vis0, ent,
+        GsBeam, GsRounds, K, Some(tomb))
+    }
+    val fComp = Future(graft.operators.Lineage.cut(
+        Embeddings.graphDelete(v, graph, tomb, K)))
+      .flatMap { compacted => fSeed.map { case (vis0, ent) =>
+        (compacted, Embeddings.graphSearchWithCostFrom(live, q, compacted,
+          vis0, ent, GsBeam, GsRounds, K))
+      } }
+    val fReb = Future(graft.operators.Lineage.cut(
+        Embeddings.nnDescentRound(live,
+          graft.operators.Lineage.cut(
+            Embeddings.knnGraphSeed(live, cents, NnSeedAssign, K)), K)))
+      .flatMap { rebuilt => fSeed.map { case (vis0, ent) =>
+        (rebuilt, Embeddings.graphSearchWithCostFrom(live, q, rebuilt,
+          vis0, ent, GsBeam, GsRounds, K))
+      } }
+    val exact = Par.await(fExact)
     def stageRow(label: String, served: DataFrame, scored: DataFrame,
                  g: DataFrame): DataFrame =
       Embeddings.knnRecallTotals(exact, served)
@@ -915,18 +969,9 @@ object EmbeddingQueries {
         .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
         .select(lit(label).as("stage"), col("hits"), col("total"),
           col("n_scored"), col("n_edges"))
-    val (servedTomb, scoredTomb) = Embeddings.graphSearchWithCost(v, q, graph,
-      cents, NProbe, GsBeam, GsRounds, K, Some(tomb))
-    val compacted = graft.operators.Lineage.cut(
-      Embeddings.graphDelete(v, graph, tomb, K))
-    val (servedComp, scoredComp) = Embeddings.graphSearchWithCost(live, q,
-      compacted, cents, NProbe, GsBeam, GsRounds, K)
-    val rebuilt = graft.operators.Lineage.cut(
-      Embeddings.nnDescentRound(live,
-        graft.operators.Lineage.cut(
-          Embeddings.knnGraphSeed(live, cents, NnSeedAssign, K)), K))
-    val (servedReb, scoredReb) = Embeddings.graphSearchWithCost(live, q,
-      rebuilt, cents, NProbe, GsBeam, GsRounds, K)
+    val (servedTomb, scoredTomb) = Par.await(fTomb)
+    val (compacted, (servedComp, scoredComp)) = Par.await(fComp)
+    val (rebuilt, (servedReb, scoredReb)) = Par.await(fReb)
     stageRow("tombstoned", servedTomb, scoredTomb, graph)
       .unionByName(stageRow("compacted", servedComp, scoredComp, compacted))
       .unionByName(stageRow("rebuilt", servedReb, scoredReb, rebuilt))

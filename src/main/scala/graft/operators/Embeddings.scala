@@ -633,20 +633,57 @@ object Embeddings {
                       threshold: Double): DataFrame =
     ivfNearDupPairsWith(vectors, firstCentroids(vectors, numCentroids), nAssign, threshold)
 
+  /** Salt width of the bucket-local self-joins: the centroid-bucket key
+    * domain is numCentroids (16 here) — far below the core count — and a
+    * hot bucket additionally concentrates its |bucket|² pair emission in
+    * ONE task (guide §2.5). Salting joins x (replicated G ways) against
+    * y keyed by (cent_id, hash(vec_id) mod G): every pair still meets
+    * exactly once (at y's salt), the join volume is unchanged, and the key
+    * domain widens ×G so hot buckets split across tasks. Deterministic
+    * (data-derived salt — no rand(); retried tasks reproduce placement).
+    */
+  private val BucketSalt = 8
+
+  /** All (x ≠ y by `pairPred`) id pairs sharing a bucket, deduped — the
+    * salted self-join shared by the near-dup blocking and the graph seed.
+    */
+  private def saltedBucketPairs(asg: DataFrame,
+                                pairPred: (Column, Column) => Column): DataFrame = {
+    // explicit partition count: AQE's size-based coalescing would fold this
+    // tiny-byte exchange back to ONE partition and fuse the (broadcast)
+    // self-join's whole |bucket|² pair emission into a single task — the
+    // compute here is quadratic in bucket size while the exchange bytes are
+    // linear, exactly the case size-based coalescing mis-sizes. Pinning the
+    // salted key's exchange at defaultParallelism is scale-adaptive (the
+    // join needed a cent_id exchange anyway; this is the same shuffle on
+    // the wider salted key).
+    val p = asg.sparkSession.sparkContext.defaultParallelism
+    val x = asg.select(col("vec_id"), col("cent_id"),
+        explode(lit((0 until BucketSalt).toArray)).as("g"))
+      .repartition(p, col("cent_id"), col("g"))
+    val y = asg.select(col("vec_id").as("y_vec"), col("cent_id").as("y_cent"),
+      pmod(xxhash64(col("vec_id")), lit(BucketSalt)).cast("int").as("y_g"))
+    x.join(y, col("cent_id") === col("y_cent") && col("g") === col("y_g") &&
+        pairPred(col("vec_id"), col("y_vec")))
+      .select(col("vec_id").as("vec_a"), col("y_vec").as("vec_b"))
+      .distinct()
+  }
+
   /** Bucketed near-dup pairs over an explicit centroid set. */
   def ivfNearDupPairsWith(vectors: DataFrame, centroids: DataFrame, nAssign: Int,
                           threshold: Double): DataFrame = {
     val asg = ivfMultiAssign(vectors, centroids, nAssign)
-    val cands = asg.alias("x")
-      .join(asg.alias("y"),
-        col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val cands = saltedBucketPairs(asg, _ < _)
     val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
       l2Norm(col("embedding")).as("a_norm"))
     val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
       l2Norm(col("embedding")).as("b_norm"))
+    // spread the exact-cosine verification onto the unique PAIR key: the
+    // attach joins leave the stage partitioned by vec_b, and a hub vector
+    // (member of a hot bucket) concentrates its candidate pairs in one task
+    // (guide §2.5; the TextDedup verify respread's twin)
     cands.join(a, "vec_a").join(b, "vec_b")
+      .repartition(col("vec_a"), col("vec_b"))
       .filter(dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))
         >= threshold)
       .select(col("vec_a"), col("vec_b"))

@@ -227,6 +227,13 @@ object TextDedup {
         col("sh_set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sz").as("size_b"),
         col("sh_set").as("set_b")), "doc_b")
+      // spread the per-pair intersection onto the PAIR key before computing
+      // it: the attach joins leave the stage partitioned by doc_b, and a hot
+      // doc (boilerplate that LSH-collides with many others) concentrates
+      // its whole candidate list in one task (guide §2.5 — measured: the
+      // verify stage ran maxTask ≈ stage wall). Pair keys are unique, so
+      // hashing on them cannot skew; rows are unchanged.
+      .repartition(col("doc_a"), col("doc_b"))
       // exact intersection of the two distinct-shingle sets; cast keeps the
       // former count()-based LongType schema
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))

@@ -590,7 +590,15 @@ object Embeddings {
     * banding in TextDedup, trading recall for sub-quadratic work.
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+    // spread the probe side: the n² scan is CPU-bound (n·(n−1)/2 dots) and
+    // the single-row-group harness file is ONE scan partition, so unspread
+    // the whole baseline ran serial (measured 1.9 s at sf0.1 — the
+    // documented q_bq_* respread artifact; this operator is the quarantined
+    // oracle baseline, never the production path, so the extra exchange is
+    // priced only where exactness is the point)
+    val spread = vectors
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val a = spread.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
       l2Norm(col("embedding")).as("a_norm"))
     val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
       l2Norm(col("embedding")).as("b_norm"))
@@ -1390,7 +1398,12 @@ object Embeddings {
         .reduce(_ + _)
       struct(lit(b).cast("int").as("band"), sig.as("sig"))
     }
-    vectors.select(col("vec_id"), explode(array(bands: _*)).as("bs"))
+    // the nBits-dot signature projection is CPU-bound and the harness file
+    // is one scan partition — spread it so the pack uses the cores
+    // (measured 0.86 s serial at sf0.1; the q_bq_rerank respread precedent,
+    // documented local-file artifact)
+    vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), explode(array(bands: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 

@@ -1026,7 +1026,15 @@ object CurationQueries {
     * mean probability in e6 fixed point. `docBg` must carry
     * (doc_id, bigram, n) with space-separated bigram halves.
     */
-  private def lmScoreOfBigramCounts(d: DataFrame, docBg: DataFrame): DataFrame = {
+  private def lmScoreOfBigramCounts(d: DataFrame, docBg0: DataFrame): DataFrame = {
+    // the per-doc bigram table is consumed by THREE dependent subplans (the
+    // conditional model's m12 — itself read twice via m1 — and the scoring
+    // join), and the stage profile showed the whole intra+boundary pipeline
+    // executing three times (~2.5 s cpu each at sf0.1) — cross-consumer AQE
+    // reuse does not cover it. One cut replaces three executions; narrow
+    // (doc_id, bigram, n) rows, far above the 2-consumer break-even the
+    // repo's other cut decisions measured.
+    val docBg = graft.operators.Lineage.cut(docBg0)
     val m12 = docBg.groupBy("bigram").agg(sum(col("n")).as("c12"))
     val m1 = m12.select(split(col("bigram"), " ").getItem(0).as("w1"), col("c12"))
       .groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -1317,7 +1325,9 @@ object CurationQueries {
     * end to end so the DuckDB oracle chains the identical recurrence.
     */
   private def passageEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ph = passageHashes(spark, dir).distinct()
+    // two consumers (the hot-cap aggregation and the bucket join's both
+    // sides) re-ran the md5-window fan-out; one cut materializes it once
+    val ph = graft.operators.Lineage.cut(passageHashes(spark, dir).distinct())
     val ok = ph.groupBy("passage_hash").agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, RankPassageCap))
       .select("passage_hash")

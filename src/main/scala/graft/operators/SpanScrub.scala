@@ -56,8 +56,17 @@ object SpanScrub {
   /** Scrub `d` of every token covered by a window whose hash is in `dupH`.
     * Output: (doc_id, n_tokens, n_dropped, scrubbed).
     */
-  def scrubWith(d: DataFrame, dupH: DataFrame, w: Int = W): DataFrame = {
-    val cov = windowHashes(d, w).join(dupH, Seq("h"), "left_semi")
+  def scrubWith(d: DataFrame, dupH: DataFrame, w: Int = W): DataFrame =
+    scrubWithWindows(d, windowHashes(d, w), dupH, w)
+
+  /** [[scrubWith]] over a pre-computed [[windowHashes]] frame of `d` — the
+    * seam [[scrubCorpus]] uses to fan one materialized window table to both
+    * its consumers (duplicate detection and coverage) instead of re-running
+    * the stride-1 fan-out per consumer.
+    */
+  private def scrubWithWindows(d: DataFrame, wh: DataFrame, dupH: DataFrame,
+                               w: Int): DataFrame = {
+    val cov = wh.join(dupH, Seq("h"), "left_semi")
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("pos"))
       .distinct()
     val kept = d.select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -80,10 +89,14 @@ object SpanScrub {
     * not duplication — `q_repetition`'s domain).
     */
   def scrubCorpus(d: DataFrame, w: Int = W): DataFrame = {
-    val dup = windowHashes(d, w).groupBy("h")
+    // one cut window table feeds BOTH the duplicate-hash aggregation and
+    // the coverage semi-join (the fan-out is the expensive stage and ran
+    // twice — measured as two serial single-task scans at sf0.1)
+    val wh = Lineage.cut(windowHashes(d, w))
+    val dup = wh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("h")
-    scrubWith(d, dup, w)
+    scrubWithWindows(d, wh, dup, w)
   }
 
   /** Probe form: scrub arriving documents of any span the static reference

@@ -1329,8 +1329,11 @@ object TextQueries {
     */
   def capCalib(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = TextDedup.shingles(docs(spark, dir), "doc_id", "text", n = 3)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // the doc-shingle frame feeds the frequency table AND the capped-keep
+    // join; cut once (two executions of the explode+hash scan otherwise)
+    val sh = graft.operators.Lineage.cut(
+      TextDedup.shingles(docs(spark, dir), "doc_id", "text", n = 3)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
     // a shingle in f docs contributes f doc-shingle entries, so the drop
     // count comes from the distinct-shingle-sized frequency table — no

@@ -45,10 +45,17 @@ object Jobs {
           val run = si.taskMetrics.executorRunTime / 1e3
           val rows = si.taskMetrics.shuffleReadMetrics.recordsRead +
             si.taskMetrics.inputMetrics.recordsRead
+          // the first graft frame of the submission callsite names the
+          // operator/future body the stage belongs to — the bare callsite is
+          // just the action (localCheckpoint / future dispatch) and ambiguous
+          val where = si.details.split('\n')
+            .find(l => l.contains("graft.") && !l.contains("graft.Jobs") &&
+              !l.contains("Lineage.scala") && !l.contains("Par.scala"))
+            .map(_.trim.replaceAll("^at ", "")).getOrElse("")
           println(f"[jobs]   stage=${si.stageId}%4d tasks=${si.numTasks}%3d " +
             f"dur=${dur.getOrElse(-1.0)}%7.3fs cpu=$run%7.3fs " +
             f"maxTask=${maxTask.getOrElse(si.stageId, 0L) / 1e3}%6.3fs rows=$rows%8d " +
-            si.name.takeWhile(_ != '\n').take(60))
+            si.name.takeWhile(_ != '\n').take(40) + " @ " + where.take(80))
         }
     }
     spark.sparkContext.addSparkListener(listener)

@@ -69,38 +69,40 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           vertices: Option[DataFrame] = None, maxIter: Int = 50): DataFrame = {
-    // materialize the raw edge projection ONCE — everything downstream
-    // (symmetric closure, endpoint universe, every propagation round) derives
-    // from it, and without the checkpoint each consumer would re-execute the
-    // (possibly expensive) upstream plan that produced the pairs (e.g. the
-    // whole MinHash-LSH pipeline)
-    val e = Lineage.cut(
-      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
-    val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    // endpoints BEFORE dropping self-loops: a vertex seen only in a self-loop
-    // is still a (singleton) vertex
-    val endpoints = both.select(col("u").as("id")).distinct()
-    val sym = both.filter(col("u") =!= col("v")).distinct()
-    // Only EDGE-ENDPOINT vertices iterate: a vertex outside every edge can
-    // never change label, so the propagation rounds run over the (orders
-    // smaller) near-dup endpoint set and the rest of the universe attaches
-    // as singletons at the END via one left join. The former design carried
-    // one self-loop per universe vertex through every round — O(V) shuffled
-    // per round; at 100 TB the corpus is V and the dedup evidence is ≪ V,
-    // so rounds must scale with the evidence, not the corpus.
-    val verts = Lineage.cut(endpoints)
-    // the hash-to-min join set: symmetric deduped edges PLUS one self-loop
-    // per ENDPOINT vertex, so each round's "min over self and neighbors" is
-    // ONE join + ONE aggregation — no per-round union with the label frame
-    // (which also trips a Catalyst constraint-rewrite bug when unioning a
-    // frame with its own derivative), and no left-join back for neighborless
-    // vertices. Checkpointed once — every round joins against it.
+    // The whole init — symmetric closure, endpoint universe, per-endpoint
+    // self-loops — materializes as ONE checkpoint job: each input edge
+    // explodes to (u,v),(v,u),(u,u),(v,v) and one distinct() yields exactly
+    // {symmetric non-self edges} ∪ {one self-loop per endpoint}. This is the
+    // hash-to-min join set every round reads: the self-loop rows supply the
+    // "min over self" term, so each round is ONE join + ONE aggregation — no
+    // per-round union with the label frame (which also trips a Catalyst
+    // constraint-rewrite bug when unioning a frame with its own derivative).
+    // The (possibly expensive) upstream pair plan (e.g. the whole MinHash-LSH
+    // pipeline) executes exactly once, inside this job; the former
+    // three-checkpoint init (raw pairs, endpoints, sym ∪ self-loops) paid
+    // three serial driver-synchronized jobs and re-scanned the pair
+    // checkpoint twice for the same rows. Only EDGE-ENDPOINT vertices
+    // iterate: a vertex outside every edge can never change label, so the
+    // propagation rounds run over the (orders smaller) near-dup endpoint set
+    // and the rest of the universe attaches as singletons at the END via one
+    // anti-join. At 100 TB the corpus is V and the dedup evidence is ≪ V, so
+    // rounds must scale with the evidence, not the corpus.
     val selfSym = Lineage.cut(
-      sym.union(verts.select(col("id").as("u"), col("id").as("v"))))
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")),
+          struct(col("u"), col("u").as("v")),
+          struct(col("v").as("u"), col("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .distinct())
+    // one row per endpoint vertex — a cheap filter of the checkpointed set,
+    // not its own checkpoint job
+    val verts = selfSym.filter(col("u") === col("v")).select(col("u").as("id"))
 
     // round-0 labels are the identity (comp = id) — no materialization needed
-    // (verts is already checkpointed and the first round never reads a label
-    // frame, see below)
+    // (verts filters the checkpointed join set and the first round never
+    // reads a label frame, see below)
     var labels = verts.select(col("id"), col("id").as("comp"))
     // Convergence probe: labels only ever DECREASE, so the label sum strictly
     // decreases until the fixpoint — comparing one aggregate per round (on the

@@ -947,6 +947,22 @@ object Embeddings {
     graphSearchWaves(vectors, queries, graph, visited0, entries, beam, rounds)
   }
 
+  /** [[graphSearchStages]] for a consumer that reads ONLY the final visited
+    * set (the pure-serve path): per-round `fresh` frames are left lazy (their
+    * sole consumer is the score join feeding the round's visited cut) and the
+    * last round's visited is left lazy too (its sole consumer is the caller's
+    * one top-k job) — the serve pays `rounds − 1` checkpoint jobs instead of
+    * `2 × rounds`. Identical rows; recall/cost gates, which count each
+    * round's `fresh` as a second consumer, keep the cutting form.
+    */
+  private def graphSearchFinal(vectors: DataFrame, queries: DataFrame,
+                               graph: DataFrame, centroids: DataFrame,
+                               nProbe: Int, beam: Int, rounds: Int): DataFrame = {
+    val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
+    graphSearchWaves(vectors, queries, graph, visited0, entries, beam, rounds,
+      cutFresh = false, cutLast = false).last._2
+  }
+
   /** The beam-INDEPENDENT seed of the search — the IVF entry probe and its
     * exact scores, cut once: (visited₀, entries). Hoisted out of
     * [[graphSearchStages]] so [[graphSearchSweep]] pays it once across all
@@ -980,8 +996,9 @@ object Embeddings {
   /** The per-width expansion waves over a pre-seeded visited set. */
   private def graphSearchWaves(vectors: DataFrame, queries: DataFrame,
                                graph: DataFrame, visited0: DataFrame,
-                               entries: DataFrame, beam: Int,
-                               rounds: Int): Seq[(String, DataFrame, DataFrame)] = {
+                               entries: DataFrame, beam: Int, rounds: Int,
+                               cutFresh: Boolean = true,
+                               cutLast: Boolean = true): Seq[(String, DataFrame, DataFrame)] = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
     val v = vectors.select(col("vec_id").as("neighbor_id"),
@@ -1006,12 +1023,18 @@ object Embeddings {
           col("g.next_id").as("neighbor_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .distinct()
-      // fresh is cut once and read by BOTH consumers (the score join below
-      // and the recall gate's n_scored count)
-      val fresh = Lineage.cut(
-        expand.join(visited.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_anti"))
-      visited = Lineage.cut(visited.unionByName(score(fresh)))
+      // fresh is cut once when read by BOTH consumers (the score join below
+      // and a recall/cost gate's n_scored count); a pure serve has only the
+      // score join and leaves it lazy (cutFresh=false)
+      val freshRaw = expand.join(visited.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val fresh = if (cutFresh) Lineage.cut(freshRaw) else freshRaw
+      // intermediate rounds are always cut (round r+1 reads visited three
+      // times — frontier top-k, anti-join, union arm — and the plan would
+      // grow 3^rounds without the truncation); the LAST round's visited has
+      // no successor round, so a single-consumer caller skips its cut
+      val vis = visited.unionByName(score(fresh))
+      visited = if (r == rounds && !cutLast) vis else Lineage.cut(vis)
       stages += ((s"round$r", visited, fresh))
       r += 1
     }
@@ -1025,8 +1048,8 @@ object Embeddings {
                   centroids: DataFrame, nProbe: Int, beam: Int, rounds: Int,
                   k: Int): DataFrame =
     topKPerQuery(
-      graphSearchStages(vectors, queries, graph, centroids, nProbe, beam,
-        rounds).last._2, k)
+      graphSearchFinal(vectors, queries, graph, centroids, nProbe, beam,
+        rounds), k)
 
   /** Per-wave recall of the beam search vs the exact top-`k`, with each
     * wave's exact-distance-evaluation count beside it — the (stage, hits,
@@ -1042,8 +1065,9 @@ object Embeddings {
     // pool thread so it overlaps the serial wave cuts (guide §2.6)
     val fExact = Par.ckpt(knnExact(vectors, queries, k)
       .select(col("query_id"), col("neighbor_id")))
-    val stages = graphSearchStages(vectors, queries, graph, centroids, nProbe,
-      beam, rounds)
+    val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
+    val stages = graphSearchWaves(vectors, queries, graph, visited0, entries,
+      beam, rounds, cutLast = false)
     val exact = Par.await(fExact)
     stages
       .map { case (label, vis, fresh) =>
@@ -1077,7 +1101,7 @@ object Embeddings {
     val (visited0, entries) = graphSearchSeed(vectors, queries, centroids, nProbe)
     val perBeam = beams.map { b =>
       b -> Future(graphSearchWaves(vectors, queries, graph, visited0,
-        entries, b, rounds))
+        entries, b, rounds, cutLast = false))
     }
     val exact = Par.await(fExact)
     perBeam.map { case (b, fStages) =>
@@ -1160,7 +1184,7 @@ object Embeddings {
                           beam: Int, rounds: Int, k: Int,
                           excluded: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val stages = graphSearchWaves(vectors, queries, graph, visited0, entries,
-      beam, rounds)
+      beam, rounds, cutLast = false)
     val finalVisited = excluded match {
       case Some(t) => stages.last._2.join(
         t.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_anti")

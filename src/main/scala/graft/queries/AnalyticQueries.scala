@@ -1238,10 +1238,28 @@ object AnalyticQueries {
     // the per-task hot loop (one scan partition = one core), and both arms
     // sharing one respread lets exchange reuse pay it once (guide §2.5/§2.4;
     // counts are exchange-invariant, so the gated rows are unchanged).
-    val spread = df.repartition(s.sparkContext.defaultParallelism)
-    graft.operators.Profile.tableProfile(spread)
-      .join(graft.operators.Profile.tableProfileHll(spread)
-        .select(col("col_name"), col("est_distinct")), "col_name")
+    // Jobs-profiled (r18): lazily composed, the two arms' aggregations ran
+    // SEQUENTIALLY (each materializes under its own broadcast-exchange
+    // thread) — 1.2 s scan+respread, then 1.8 s HLL, then 2.9 s exact, one
+    // after the other. Cutting the spread frame once and materializing each
+    // 11-row arm on a pool thread (guide §2.6) overlaps the HLL arm under
+    // the exact Expand entirely; rows unchanged (the arms are independent
+    // and the spread is exchange-invariant for every gated count).
+    import graft.operators.Par
+    import Par.ec
+    // hash-repartition on the natural high-cardinality key instead of
+    // round-robin: keyless repartition(n) pays a local sort of its input
+    // (sortBeforeRepartition, guide §2.5) inside the already-serial scan map
+    // task; the hash spread is deterministic and counts stay
+    // exchange-invariant
+    val spread = graft.operators.Lineage.cut(
+      df.repartition(s.sparkContext.defaultParallelism,
+        col("l_orderkey"), col("l_linenumber")))
+    val fExact = Par.ckpt(graft.operators.Profile.tableProfile(spread))
+    val fHll = Par.ckpt(graft.operators.Profile.tableProfileHll(spread)
+      .select(col("col_name"), col("est_distinct")))
+    Par.await(fExact)
+      .join(Par.await(fHll), "col_name")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct").as("exact_distinct"), col("est_distinct"),
         when(col("n_distinct") === 0L, 0L)

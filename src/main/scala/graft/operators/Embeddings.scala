@@ -1051,6 +1051,19 @@ object Embeddings {
       graphSearchFinal(vectors, queries, graph, centroids, nProbe, beam,
         rounds), k)
 
+  /** [[graphSearch]] over a pre-computed entry seed — the serve-side twin of
+    * [[graphSearchWithCostFrom]]'s seam: the seed depends only on (queries,
+    * centroids, entry-node embeddings), so a gate can compute it concurrently
+    * with whatever produces the graph it serves. Identical answers.
+    */
+  def graphSearchFromSeed(vectors: DataFrame, queries: DataFrame,
+                          graph: DataFrame, visited0: DataFrame,
+                          entries: DataFrame, beam: Int, rounds: Int,
+                          k: Int): DataFrame =
+    topKPerQuery(
+      graphSearchWaves(vectors, queries, graph, visited0, entries, beam,
+        rounds, cutFresh = false, cutLast = false).last._2, k)
+
   /** Per-wave recall of the beam search vs the exact top-`k`, with each
     * wave's exact-distance-evaluation count beside it — the (stage, hits,
     * total, n_scored) ladder that prices the beam/rounds choice the way
@@ -1134,9 +1147,18 @@ object Embeddings {
     */
   def graphInsert(store: DataFrame, graph: DataFrame, newVectors: DataFrame,
                   centroids: DataFrame, nProbe: Int, beam: Int, rounds: Int,
-                  k: Int): DataFrame = {
-    val out = Lineage.cut(
-      graphSearch(store, newVectors, graph, centroids, nProbe, beam, rounds, k))
+                  k: Int, seed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // `seed` is the batch's IVF entry probe ((visited₀, entries), the
+    // [[graphSearchSeed]] frames): it depends only on (store, batch,
+    // centroids) — NOT on the graph — so a gate that builds the graph on the
+    // same chain can compute it concurrently with the build and hand it in,
+    // taking the probe job off the build→insert critical path (the
+    // graphDeleteRecallQ shared-seed pattern). Identical frames either way.
+    val (vis0, ent) = seed.getOrElse(
+      graphSearchSeed(store, newVectors, centroids, nProbe))
+    val out = Lineage.cut(topKPerQuery(
+      graphSearchWaves(store, newVectors, graph, vis0, ent, beam, rounds,
+        cutFresh = false, cutLast = false).last._2, k))
     val backCands = out.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"))
     val affected = backCands.select("query_id").distinct()

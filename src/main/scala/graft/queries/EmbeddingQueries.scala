@@ -838,6 +838,12 @@ object EmbeddingQueries {
     // their SUM, the future graph pays the critical path
     // (build → insert → serve) with both baselines hidden under it.
     // Frames and results are identical; only job submission order changes.
+    // both serves' IVF entry seeds depend only on (queries, centroids, store
+    // embeddings) — not on the maintained graph — so they materialize
+    // concurrently with the build→insert chain instead of inside it (the
+    // graphDeleteRecallQ shared-seed economics, applied to the critical path)
+    val fSeedBatch = Future(Embeddings.graphSearchSeed(store, batch, cents, NProbe))
+    val fSeedQ = Future(Embeddings.graphSearchSeed(v, q, cents, NProbe))
     val fUpdated = Future {
       // pre-insert index over the store (the persisted index's exact recipe,
       // seeded within the store); cut per stage — the nnDescentRecall pattern
@@ -845,19 +851,19 @@ object EmbeddingQueries {
         Embeddings.nnDescentRound(store,
           graft.operators.Lineage.cut(
             Embeddings.knnGraphSeed(store, cents, NnSeedAssign, K)), K))
+      // the batch seed materialized while the build ran; await it only here
       graft.operators.Lineage.cut(
         Embeddings.graphInsert(store, graph0, batch, cents,
-          NProbe, GsBeam, GsRounds, K))
+          NProbe, GsBeam, GsRounds, K, seed = Some(Par.await(fSeedBatch))))
     }
     val fExact = Future(graft.operators.Lineage.cut(
       Embeddings.knnExact(v, batch, K)
         .select(col("query_id"), col("neighbor_id"))))
     val fExactQ = Future(graft.operators.Lineage.cut(
       Embeddings.knnExact(v, q, K).select(col("query_id"), col("neighbor_id"))))
-    val fServedTopK = fUpdated.map { updated =>
-      Embeddings.graphSearch(v, q, updated, cents, NProbe, GsBeam,
-        GsRounds, K).select(col("query_id"), col("neighbor_id"))
-    }
+    val fServedTopK = for { updated <- fUpdated; seedQ <- fSeedQ } yield
+      Embeddings.graphSearchFromSeed(v, q, updated, seedQ._1, seedQ._2,
+        GsBeam, GsRounds, K).select(col("query_id"), col("neighbor_id"))
     val (rebuilt, _) = gsIndex(spark, dir)
     val updated = Par.await(fUpdated)
     val exact = Par.await(fExact)

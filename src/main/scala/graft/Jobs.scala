@@ -26,6 +26,7 @@ object Jobs {
     val jobStart = scala.collection.concurrent.TrieMap.empty[Int, Long]
     val maxTask = scala.collection.concurrent.TrieMap.empty[Int, Long]
     @volatile var record = false
+    @volatile var runStart = 0L
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (record) { jobStart(js.jobId) = js.time; () }
@@ -52,15 +53,22 @@ object Jobs {
             .find(l => l.contains("graft.") && !l.contains("graft.Jobs") &&
               !l.contains("Lineage.scala") && !l.contains("Par.scala"))
             .map(_.trim.replaceAll("^at ", "")).getOrElse("")
+          // t0/t1 are submit/complete offsets from the run start — adjacent
+          // stages with overlapping [t0, t1] windows really ran concurrently,
+          // which a duration alone cannot show
+          val sub = si.submissionTime.map(t => (t - runStart) / 1e3)
+          val fin = si.completionTime.map(t => (t - runStart) / 1e3)
           println(f"[jobs]   stage=${si.stageId}%4d tasks=${si.numTasks}%3d " +
             f"dur=${dur.getOrElse(-1.0)}%7.3fs cpu=$run%7.3fs " +
             f"maxTask=${maxTask.getOrElse(si.stageId, 0L) / 1e3}%6.3fs rows=$rows%8d " +
-            si.name.takeWhile(_ != '\n').take(40) + " @ " + where.take(80))
+            f"t=[${sub.getOrElse(-1.0)}%6.2f,${fin.getOrElse(-1.0)}%6.2f] " +
+            si.name.takeWhile(_ != '\n').take(30) + " @ " + where.take(70))
         }
     }
     spark.sparkContext.addSparkListener(listener)
     (1 to runs).foreach { i =>
       record = i == runs // only instrument the last (warm) run
+      runStart = System.currentTimeMillis()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -127,6 +127,34 @@ class GraphSearchSpec extends SparkSpec {
     ()
   }
 
+  /** The r18 critical-path seam: a gate may compute the batch's IVF entry
+    * seed concurrently with the graph build and hand it to [[graphInsert]]
+    * explicitly — the maintained graph must be row-identical to the default
+    * (internally-seeded) form, or the overlap silently changes a gated
+    * query's answer.
+    */
+  test("graphInsert with an explicit pre-computed seed equals the default form") {
+    import org.apache.spark.sql.functions.{col => c}
+    val held = vectors.filter(c("vec_id") % 17 === 5 &&
+      c("vec_id") >= EmbeddingQueries.NumCentroids)
+    val store = vectors.join(held.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val g0 = graft.operators.Lineage.cut(
+      Embeddings.nnDescentRound(store,
+        Embeddings.knnGraphSeed(store, centroids, EmbeddingQueries.NnSeedAssign, K), K))
+    val heldRows = held.select("vec_id", "embedding").localCheckpoint(true)
+    val seed = Embeddings.graphSearchSeed(store, heldRows, centroids,
+      EmbeddingQueries.NProbe)
+    def rows(g: DataFrame): Set[(Long, Long, Int)] =
+      g.as[(Long, Long, Int)].collect().toSet
+    val defaultForm = rows(Embeddings.graphInsert(store, g0, heldRows, centroids,
+      EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K))
+    val seededForm = rows(Embeddings.graphInsert(store, g0, heldRows, centroids,
+      EmbeddingQueries.NProbe, EmbeddingQueries.GsBeam, EmbeddingQueries.GsRounds, K,
+      seed = Some(seed)))
+    assert(seededForm === defaultForm)
+  }
+
   /** Streaming ingest parity ([[Embeddings.graphIngestSink]]): vectors
     * inserted across micro-batches must leave exactly the (store, graph)
     * that the same batched [[Embeddings.graphInsert]] sequence produces.
